@@ -1,0 +1,449 @@
+"""Per-document extraction solver.
+
+Re-implements the execution semantics of blueprint-oss's bound tree
+(bp/tree.py, bp/bound_tree.py, bp/scoring.py) as materialized candidate
+lists with exact merge scoring.  The solver returns the *best* extraction —
+the same result as the reference pumped to exhaustion
+(run_model with Config(num_samples=-1), bp/run.py:50-67).
+
+Replicated reference quirks (intentional, for output parity):
+  * PatternNode flattens connective rules to atoms, so a Disjunction inside
+    a pattern behaves conjunctively (bp/tree.py:340-341).
+  * Leaf-level connective rules act as validity filters only; their scores
+    are discarded (BoundLeafNode yields the pre-merge extraction,
+    bp/bound_tree.py:112-129).
+  * MergeNode's own spanning rules are never scored
+    (BoundMergeNode.__next__ passes the child through,
+    bp/bound_tree.py:197-199).
+  * Leaf candidate counting for join ordering uses the pattern's original
+    atoms with field-set == {field}; the final bound leaves use the
+    flattened atoms (bp/tree.py:324-338 vs 761-802).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
+
+from ..model.nodes import (
+    CombineNode, EmptyNode, LeafNode, MergeNode, Node, PatternNode,
+    PickBestNode, combine, optimize_rule_distribution,
+)
+from ..model.rules import (
+    Atom, Conjunction, Connective, Disjunction, Field, Rule, get_atoms,
+)
+from .docmodel import DocPool
+from .kernels import score_predicate
+
+MINIMUM_FIELD_SCORE = 0.1  # strict lower bound (bp/scoring.py:196-200)
+
+# Safety valve for candidate-list materialization (the reference has a 45 s
+# per-doc SIGALRM instead, bp/cli/run_model.py:32).
+MAX_PAIRS_PER_COMBINE = 4_000_000
+
+
+class SolverBudgetError(RuntimeError):
+  pass
+
+
+@dataclass
+class SE:
+  """A scored extraction (reference: bp/scoring.py:44-171)."""
+  assign: Dict[Field, int]          # field -> entity id (assigned only)
+  field_scores: Dict[Field, float]  # may include 0.0 for absent fields
+  rule_scores: Dict[int, float]     # rid -> score cache
+  mass: int
+  score: float
+
+  @property
+  def is_empty(self) -> bool:
+    return not self.assign
+
+  def valid(self) -> bool:
+    for f in self.assign:
+      if not self.field_scores[f] > MINIMUM_FIELD_SCORE:
+        return False
+    return True
+
+
+def _rule_score(rule: Rule, assign: Dict[Field, int], doc: DocPool) -> float:
+  """Score a rule against an assignment; atoms with missing fields score 1
+  (bp/rule.py:249-256, conjunction/disjunction bp/rule.py:306-321)."""
+  if isinstance(rule, Atom):
+    if any(f not in assign for f in rule.fields):
+      return 1.0
+    return score_predicate(rule.predicate, doc,
+                           tuple(assign[f] for f in rule.fields))
+  if isinstance(rule, Disjunction):
+    return max(_rule_score(r, assign, doc) for r in rule.rules)
+  # Conjunction
+  s = 1.0
+  for r in rule.rules:
+    s *= _rule_score(r, assign, doc)
+  return s
+
+
+def _upper_bound(rule: Rule, assign: Dict[Field, int],
+                 cache: Dict[int, float], doc: DocPool) -> float:
+  """reference: bp/scoring.py:267-284."""
+  if rule.rid in cache:
+    return cache[rule.rid]
+  if isinstance(rule, Atom):
+    if all(f in assign for f in rule.fields):
+      return score_predicate(rule.predicate, doc,
+                             tuple(assign[f] for f in rule.fields))
+    return 1.0
+  if isinstance(rule, Disjunction):
+    subs = [_upper_bound(r, assign, cache, doc) for r in rule.rules]
+    return max(subs) if subs else 1.0
+  s = 1.0
+  for r in rule.rules:
+    s *= _upper_bound(r, assign, cache, doc)
+  return s
+
+
+def merge(ses: Sequence[SE], rules: Sequence[Rule], mass: int,
+          doc: DocPool) -> SE:
+  """Exact replica of bp/scoring.py:217-264."""
+  assign: Dict[Field, int] = {}
+  field_scores: Dict[Field, float] = {}
+  rule_scores: Dict[int, float] = {}
+  for se in ses:
+    assign.update(se.assign)
+    rule_scores.update(se.rule_scores)
+    field_scores.update(se.field_scores)
+
+  # Cache all decidable atoms of all rules (bp/scoring.py:234-237).
+  for rule in rules:
+    for atom in get_atoms(rule):
+      if all(f in assign for f in atom.fields):
+        if atom.rid not in rule_scores:
+          rule_scores[atom.rid] = score_predicate(
+              atom.predicate, doc, tuple(assign[f] for f in atom.fields))
+
+  decidable = [r for r in rules if all(f in assign for f in r.fields)]
+  non_decidable = [r for r in rules
+                   if not all(f in assign for f in r.fields)]
+
+  # Early exits BEFORE multiplication (bp/scoring.py:249-251).
+  early_exits = [r for r in non_decidable
+                 if _upper_bound(r, assign, rule_scores, doc) == 0]
+
+  for rule in decidable:
+    s = rule_scores[rule.rid] if rule.rid in rule_scores \
+        else _rule_score(rule, assign, doc)
+    for f in rule.fields:
+      if f in assign:
+        field_scores[f] *= s
+    rule_scores[rule.rid] = s
+
+  for rule in early_exits:
+    for f in rule.fields:
+      if f in assign:
+        field_scores[f] = 0.0
+
+  score = sum(field_scores.values()) / mass
+  return SE(assign, field_scores, rule_scores, mass, score)
+
+
+# ---------------------------------------------------------------------------
+# Leaf candidate generation (bp/tree.py:68-96, 228-262).
+# ---------------------------------------------------------------------------
+
+def leaf_candidates(doc: DocPool, etype: str,
+                    atom_rules: Sequence[Atom],
+                    memo: Dict, count_only: bool = False) \
+    -> List[Tuple[int, float, Dict[int, float]]]:
+  """Scored (entity, field_score, atom_scores) candidates of one leaf,
+  sorted by score descending (stable), validity-cutoff applied.
+
+  Memoized per (predicate multiset, type) — the reference's lru-cached
+  `assignments()` (bp/tree.py:68-96)."""
+  key = (tuple(a.predicate for a in atom_rules), etype)
+  got = memo.get(key)
+  if got is None:
+    cands = []
+    for e in doc.entities_of_type(etype):
+      e = int(e)
+      score = 1.0
+      scores = {}
+      for a in atom_rules:
+        s = score_predicate(a.predicate, doc, (e,))
+        scores[a.rid] = s
+        score *= s
+      if score > MINIMUM_FIELD_SCORE:
+        cands.append((e, score, scores))
+    cands.sort(key=lambda c: -c[1])  # stable
+    memo[key] = cands
+    got = cands
+  return got
+
+
+# ---------------------------------------------------------------------------
+# Bound nodes with materialized candidate lists.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Bound:
+  legal_fields: FrozenSet[Field]
+  mass: int
+  cands: List[SE]  # sorted score-descending; includes/ends with the empty SE
+
+
+def _empty_se(fields: FrozenSet[Field], atom_rules: Sequence[Atom],
+              mass: int) -> SE:
+  # Leaf empty extraction carries 0.0 field scores and 1.0 atom scores
+  # (bp/scoring.py:287-307 with assignment None).
+  return SE({}, {f: 0.0 for f in fields},
+            {a.rid: 1.0 for a in atom_rules}, mass, 0.0)
+
+
+def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
+  if isinstance(node, EmptyNode):
+    return Bound(frozenset(), 1, [])
+
+  if isinstance(node, LeafNode):
+    atoms = [r for r in node.rules if isinstance(r, Atom)]
+    others = [r for r in node.rules if not isinstance(r, Atom)]
+    raw = leaf_candidates(doc, node.entity_type, atoms, memo)
+    cands: List[SE] = []
+    for (e, score, scores) in raw:
+      if others:
+        # Validity-only connective check; score discarded
+        # (bp/bound_tree.py:112-129).
+        v = score
+        for r in others:
+          v *= _rule_score(r, {node.field: e}, doc)
+        if not v > MINIMUM_FIELD_SCORE:
+          continue
+      cands.append(SE({node.field: e}, {node.field: score}, dict(scores),
+                      1, score))
+    cands.append(_empty_se(node.legal_fields, atoms, 1))
+    return Bound(node.legal_fields, 1, cands)
+
+  if isinstance(node, CombineNode):
+    b1 = bind_node(node.node1, doc, memo)
+    b2 = bind_node(node.node2, doc, memo)
+    return _bind_combine(b1, b2, node.rules, node.all_or_nothing, doc)
+
+  if isinstance(node, MergeNode):
+    # MergeNode executes as a fresh combine chain; its own spanning rules
+    # are never scored (bp/tree.py:455-461, bp/bound_tree.py:197-199).
+    return bind_node(combine(*node.children), doc, memo)
+
+  if isinstance(node, PickBestNode):
+    children = [bind_node(c, doc, memo) for c in node.children]
+    mass = max(c.mass for c in children)
+    legal = frozenset().union(*(c.legal_fields for c in children))
+    out: List[SE] = []
+    for c in children:
+      for se in c.cands:
+        m = merge([se], node.rules, mass, doc)
+        if m.valid():
+          out.append(m)
+    out.sort(key=lambda s: -s.score)
+    return Bound(legal, mass, out)
+
+  if isinstance(node, PatternNode):
+    return bind_pattern(node, doc, memo)
+
+  raise TypeError(f'unknown node type {type(node)}')
+
+
+def _bind_combine(b1: Bound, b2: Bound, rules: Sequence[Rule],
+                  all_or_nothing: bool, doc: DocPool) -> Bound:
+  legal = b1.legal_fields | b2.legal_fields
+  mass = b1.mass + b2.mass
+  if len(b1.cands) * len(b2.cands) > MAX_PAIRS_PER_COMBINE:
+    raise SolverBudgetError(
+        f'combine product {len(b1.cands)}x{len(b2.cands)} exceeds budget')
+  out: List[SE] = []
+  for a in b1.cands:
+    for b in b2.cands:
+      m = merge([a, b], rules, mass, doc)
+      if all_or_nothing and not m.is_empty \
+          and frozenset(m.assign) != legal:
+        continue
+      if m.valid():
+        out.append(m)
+  out.sort(key=lambda s: -s.score)  # stable; ties keep (i, j) order
+  return Bound(legal, mass, out)
+
+
+# ---------------------------------------------------------------------------
+# Pattern binding: per-document join ordering (bp/tree.py:302-423, 761-802).
+# ---------------------------------------------------------------------------
+
+def _flatten_rules(rules: Sequence[Rule]) -> List[Atom]:
+  """Connectives → their atoms (bp/tree.py:340-341)."""
+  out: List[Atom] = []
+  for r in rules:
+    if isinstance(r, Connective):
+      out.extend(r.atoms)
+    else:
+      out.append(r)
+  return out
+
+
+def _components(atoms: Sequence[Atom]) -> List[FrozenSet[Field]]:
+  """Connected components of the field multigraph
+  (bp/graphs.py:81-102)."""
+  parent: Dict[Field, Field] = {}
+
+  def find(x: Field) -> Field:
+    while parent[x] != x:
+      parent[x] = parent[parent[x]]
+      x = parent[x]
+    return x
+
+  for a in atoms:
+    for f in a.fields:
+      parent.setdefault(f, f)
+    fs = list(a.fields)
+    for f in fs[1:]:
+      ra, rb = find(fs[0]), find(f)
+      if ra != rb:
+        parent[rb] = ra
+
+  comps: Dict[Field, set] = {}
+  for f in parent:
+    comps.setdefault(find(f), set()).add(f)
+  return [frozenset(v) for v in comps.values()]
+
+
+def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
+  field_types = node.field_types
+  fields = node.legal_fields
+
+  # Leaf-candidate counts for ordering (bp/tree.py:324-338): original
+  # pattern rules with field-set == {f}, atoms only, plus the empty.
+  counts: Dict[Field, int] = {}
+  for f in fields:
+    leaf_rules = [r for r in node.rules
+                  if frozenset(r.fields) == frozenset((f,))]
+    atoms = [r for r in leaf_rules if isinstance(r, Atom)]
+    counts[f] = len(leaf_candidates(doc, field_types[f], atoms, memo)) + 1
+
+  flat = _flatten_rules(node.rules)
+  comps = _components(flat)
+
+  # Weighted multigraphs per component (bp/tree.py:348-373).
+  graphs = []
+  for comp in comps:
+    edges: Dict[Tuple[Field, Field], List[float]] = {}
+    for a in flat:
+      if not comp.issuperset(a.fields):
+        continue
+      if len(a.fields) == 1:
+        edge = (a.fields[0], a.fields[0])
+      elif len(a.fields) == 2:
+        v1, v2 = a.fields
+        edge = (v1, v2) if v1 < v2 else (v2, v1)
+      else:
+        continue  # no ≥3-ary base predicates get graph edges
+      edges.setdefault(edge, []).append(a.predicate.leniency())
+    graphs.append((comp, edges))
+
+  def estimated_valid(comp: FrozenSet[Field],
+                      edges: Dict[Tuple[Field, Field], List[float]]) \
+      -> float:
+    leniency = 1.0
+    for ws in edges.values():
+      for w in ws:
+        leniency *= w
+    total = 1.0
+    for f in comp:
+      total *= counts[f]
+    return total * leniency
+
+  graphs.sort(key=lambda g: (estimated_valid(*g), tuple(sorted(g[0]))))
+
+  def build_tree(comp: FrozenSet[Field],
+                 edges: Dict[Tuple[Field, Field], List[float]]) -> Node:
+    """Greedy min-cost pairing (bp/tree.py:761-802)."""
+    def prod_weight(ws: List[float]) -> float:
+      p = 1.0
+      for w in ws:
+        p *= w
+      return p
+
+    nodes: Dict[Field, Node] = {
+        f: LeafNode(field=f, entity_type=field_types[f]) for f in comp}
+    vertex_w: Dict[Field, float] = {
+        f: counts[f] * (prod_weight(edges[(f, f)]) if (f, f) in edges
+                        else 1.0)
+        for f in comp}
+    cur_edges = dict(edges)
+    vertices = set(comp)
+
+    def edge_key(e: Tuple[Field, Field]) -> float:
+      return vertex_w[e[0]] * vertex_w[e[1]] * prod_weight(cur_edges[e])
+
+    while len(vertices) > 1:
+      nonself = [e for e in sorted(cur_edges) if e[0] != e[1]]
+      if not nonself:
+        raise SolverBudgetError(
+            f'component {sorted(vertices)} has no pairable edges')
+      best = min(nonself, key=edge_key)
+      w = edge_key(best)
+      new_node = combine(nodes[best[0]], nodes[best[1]],
+                         all_or_nothing=True)
+      nodes[best[0]] = new_node
+      vertex_w[best[0]] = w
+      # collapse best[1] into best[0] (bp/graphs.py:144-162)
+      u, old = best[0], best[1]
+      new_edges: Dict[Tuple[Field, Field], List[float]] = {}
+      for (a, b), ws in cur_edges.items():
+        a2 = u if a == old else a
+        b2 = u if b == old else b
+        e2 = (a2, b2) if (a2 <= b2) else (b2, a2)
+        if e2 in new_edges:
+          new_edges[e2] = ws + new_edges[e2]
+        else:
+          new_edges[e2] = ws
+      cur_edges = new_edges
+      vertices.discard(old)
+
+    return nodes[next(iter(vertices))]
+
+  trees = [build_tree(comp, edges) for comp, edges in graphs]
+  if not trees:
+    # A pattern with no rules yields only the empty extraction.
+    return Bound(node.public_fields, max(1, len(node.public_fields)),
+                 [SE({}, {}, {}, 1, 0.0)])
+  root = reduce(lambda a, b: combine(a, b, all_or_nothing=True), trees)
+  root = optimize_rule_distribution(root, tuple(flat))
+  child = bind_node(root, doc, memo)
+
+  public = node.public_fields
+  mass = len(public)
+  out: List[SE] = []
+  for se in child.cands:
+    out.append(SE(
+        {f: e for f, e in se.assign.items() if f in public},
+        {f: s for f, s in se.field_scores.items() if f in public},
+        se.rule_scores, mass, se.score))
+  return Bound(public, mass, out)
+
+
+# ---------------------------------------------------------------------------
+# Entry point.
+# ---------------------------------------------------------------------------
+
+def best_extraction(root: Node, doc: DocPool) \
+    -> Tuple[Dict[Field, int], Dict[Field, float], float]:
+  """Best extraction of the optimized tree on one document — matches the
+  reference pumped to exhaustion (first strictly-better kept,
+  bp/bound_tree.py:61-65).
+
+  Returns (assignment field→entity id, field scores, score)."""
+  optimized = optimize_rule_distribution(root)
+  optimized.validate()
+  memo: Dict = {}
+  bound = bind_node(optimized, doc, memo)
+  if not bound.cands:
+    return {}, {}, 0.0
+  best = bound.cands[0]  # lists are sorted desc, stable
+  return dict(best.assign), dict(best.field_scores), best.score
