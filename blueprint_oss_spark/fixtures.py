@@ -242,8 +242,9 @@ def readme_blueprint():
 def labelvalue_blueprint():
   from .model.nodes import combine, extract
   from .model.rules import (
-      is_date, is_dollar_amount, is_left_to_right_label_value_pair,
-      is_top_down_label_value_pair, text_equals)
+      is_date, is_dollar_amount, is_entire_phrase,
+      is_left_to_right_label_value_pair, is_top_down_label_value_pair,
+      text_equals)
   issue = extract(
       text_equals('Issue date')('issue_label'),
       is_date('issue_date'),
@@ -254,6 +255,7 @@ def labelvalue_blueprint():
       is_top_down_label_value_pair('total_label', 'total_due'))
   name = extract(
       text_equals('Name:')('name_label'),
+      is_entire_phrase('name_value'),
       is_left_to_right_label_value_pair('name_label', 'name_value'))
   return combine(issue, total, name).with_name('labelvalue')
 

@@ -82,13 +82,34 @@ def reference_best(doc_id: str, spans: Sequence[Span], root,
     -> Tuple[Dict[str, str], float, List[Span]]:
   """Run the reference engine to exhaustion; return (fields→text, score,
   canonical out spans)."""
+  fields, score, outs = reference_best_set(doc_id, spans, root,
+                                           num_samples)
+  return fields, score, outs[0]
+
+
+def reference_best_set(doc_id: str, spans: Sequence[Span], root,
+                       num_samples: int = -1) \
+    -> Tuple[Dict[str, str], float, List[List[Span]]]:
+  """Like reference_best, but returns the canonical out-span sequences of
+  ALL top-score-tied extractions (the reference breaks exact score ties by
+  id()-ordered set iteration — bp/scoring.py:124-148 — so any tied argmax
+  is an acceptable parity target)."""
   doc = reference_doc_from_spans(doc_id, spans)
   res = run_model(doc, root, Config(num_samples=num_samples, timeout=-1))
   assert res.root is not None
-  best = res.root.top_20_extractions[0]
-  fields = {p.field: (p.entity.entity_text or '')
-            for p in best.extraction.points()}
-  return fields, best.score, canonical_out_spans(fields, spans)
+  tops = res.root.top_20_extractions
+  best_score = tops[0].score
+  outs = []
+  best_fields = None
+  for se in tops:
+    if se.score != best_score:
+      break
+    fields = {p.field: (p.entity.entity_text or '')
+              for p in se.extraction.points()}
+    if best_fields is None:
+      best_fields = fields
+    outs.append(canonical_out_spans(fields, spans))
+  return best_fields or {}, best_score, outs
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +133,7 @@ def ref_labelvalue_blueprint():
   from bp.tree import combine, extract
   from bp.rules.label import (
       is_left_to_right_label_value_pair, is_top_down_label_value_pair)
-  from bp.rules.semantic import is_date, is_dollar_amount
+  from bp.rules.semantic import is_date, is_dollar_amount, is_entire_phrase
   from bp.rules.textual import text_equals
   issue = extract(
       text_equals('Issue date')('issue_label'),
@@ -124,6 +145,7 @@ def ref_labelvalue_blueprint():
       is_top_down_label_value_pair('total_label', 'total_due'))
   name = extract(
       text_equals('Name:')('name_label'),
+      is_entire_phrase('name_value'),
       is_left_to_right_label_value_pair('name_label', 'name_value'))
   return combine(issue, total, name).with_name('labelvalue')
 
