@@ -1,38 +1,250 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: blueprint extraction over an interleaved-spans
+                 table synthesized deterministically (fixture corpus +
+                 sf0.001 documents.parquet re-laid-out as spans).
+queries()      — named operators from SURVEY.md §2 + training-data ops.
+oracle_sql()   — DuckDB equivalents for the SQL-expressible subset; the
+                 blueprint-extraction and hash-based ops are non-SQL and
+                 take the rows-only check (their real correctness gate is
+                 tests/test_extraction_parity.py against the reference
+                 engine itself).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from blueprint_oss_spark.fixtures import ALL_CORPORA
+from blueprint_oss_spark.spark.pipeline import (
+    SPANS_SCHEMA, extract_documents, spans_from_documents,
+)
+
+
+def _fixture_spans_df(spark: SparkSession, corpus: str, n_docs: int):
+  corpus_fn, bp_fn = ALL_CORPORA[corpus]
+  docs = corpus_fn(n_docs)
+  rows = [(doc_id,
+           [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in spans])
+          for doc_id, spans in docs]
+  return spark.createDataFrame(rows, SPANS_SCHEMA), bp_fn()
+
+
+def _n_docs_for(sf_dir: str, base: int = 400) -> int:
+  # deterministic scale knob derived from the sf directory name
+  try:
+    sf = float(sf_dir.rstrip('/').rsplit('sf', 1)[-1])
+  except ValueError:
+    sf = 0.01
+  return max(40, int(base * sf / 0.01))
+
+
+def _bp_extract(corpus: str):
+  def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df, root = _fixture_spans_df(spark, corpus, _n_docs_for(sf_dir))
+    out = extract_documents(df, root)
+    return out.select(
+        'doc_id',
+        F.to_json('fields').alias('fields_json'),
+        F.round('score', 9).alias('score'),
+        'n_entities', 'n_words',
+        F.to_json('out_spans').alias('out_spans_json'))
+  return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+  """Flagship: the README query over the readme fixture corpus, plus the
+  sf0.001 documents table re-expressed as interleaved spans and run
+  through the same engine with a keyword blueprint."""
+  from blueprint_oss_spark.model.nodes import extract as bp_extract_node
+  from blueprint_oss_spark.model.rules import text_equals, top_down
+
+  fixture_df, fixture_root = _fixture_spans_df(spark, 'readme', 60)
+  fix_out = extract_documents(fixture_df, fixture_root)
+
+  docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet') \
+      .limit(60)
+  spans = spans_from_documents(docs)
+  kw_root = bp_extract_node(
+      text_equals('spark', tolerance=0, taper=0)('kw_spark'),
+      text_equals('table', tolerance=0, taper=0)('kw_table'),
+      top_down('kw_spark', 'kw_table'))
+  doc_out = extract_documents(spans, kw_root)
+
+  return (fix_out.unionByName(doc_out)
+          .select('doc_id', F.to_json('fields').alias('fields_json'),
+                  'score', 'n_entities', 'n_words', 'error'))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+  from blueprint_oss_spark.ops import relational as R
+  from blueprint_oss_spark.ops import textops as T
+  from blueprint_oss_spark.ops import vectors as V
+  from blueprint_oss_spark.ops import multimodal as M
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+  def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media_table(spark, n=64)
+    return (M.extract_media_features(media)
+            .select('media_ref', 'kind',
+                    F.round(F.element_at('feature', 1), 6).alias('f0'),
+                    F.size('feature').alias('dim'), 'decode_status')
+            .orderBy('media_ref'))
+
+  return {
+      # --- blueprint extraction engine (non-SQL; oracle = the reference
+      # engine itself, via pytest) ---
+      'bp_extract_readme': _bp_extract('readme'),
+      'bp_extract_labelvalue': _bp_extract('labelvalue'),
+      'bp_extract_table': _bp_extract('table'),
+      'bp_extract_multipage': _bp_extract('multipage'),
+      'bp_extract_adversarial': _bp_extract('adversarial'),
+      # --- relational shell (DuckDB-oracled) ---
+      'q1_pricing_summary': R.q1_pricing_summary,
+      'q3_shipping_priority': R.q3_shipping_priority,
+      'top_events_per_user': R.top_events_per_user,
+      'orders_rollup': R.orders_rollup,
+      'supplier_nation_join': R.supplier_nation_join,
+      # --- training-data text ops (DuckDB-oracled) ---
+      'doc_token_stats': T.doc_token_stats,
+      'doc_quality': T.doc_quality,
+      'dedup_exact': T.dedup_exact,
+      'doc_fingerprints': T.doc_fingerprints,
+      'lang_id_heuristic': T.lang_id_heuristic,
+      # --- similarity / near-dup (hash-based ones are rows-only) ---
+      'embedding_norms': V.embedding_norms,
+      'cosine_topk': lambda s, d: V.cosine_topk_bruteforce(s, d),
+      'ann_topk_lsh': lambda s, d: V.ann_topk_lsh(s, d),
+      'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
+      'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
+      # --- multimodal plumbing (stubbed decode; deterministic) ---
+      'media_features': media_features,
+  }
+
+
+_STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
+           "'as','at','by'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+  return {
+      'q1_pricing_summary': """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """,
+      'q3_shipping_priority': """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """,
+      'top_events_per_user': """
+        SELECT user_id, event_id, event_type, rnk FROM (
+          SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events) t
+        WHERE rnk <= 3
+        ORDER BY user_id, rnk
+      """,
+      'orders_rollup': """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """,
+      'supplier_nation_join': """
+        SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+      """,
+      'doc_token_stats': """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                               x -> len(x) > 0)) AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                                 x -> len(x) > 0))) AS n_uniq_tokens,
+               length(text) AS len_chars
+        FROM documents ORDER BY doc_id
+      """,
+      'doc_quality': f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 AS n_punct,
+               len(list_filter(string_split(text, ' '),
+                   x -> len(x) > 0 AND x IN ({_STOP_EN})))
+                 AS n_stopwords
+        FROM documents ORDER BY doc_id
+      """,
+      'dedup_exact': """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY content_hash
+      """,
+      'doc_fingerprints': """
+        SELECT doc_id, md5(text) AS fp_full,
+               md5(array_to_string(
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0)[1:8], ' ')) AS fp_prefix8
+        FROM documents ORDER BY doc_id
+      """,
+      'lang_id_heuristic': f"""
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '),
+              x -> x IN ({_STOP_EN}))) AS hits_en,
+          len(list_filter(string_split(text,' '),
+              x -> x IN ('el','la','de','y','que','en','un','por','con')))
+            AS hits_es,
+          len(list_filter(string_split(text,' '),
+              x -> x IN ('der','die','das','und','ist','nicht','mit',
+                         'ein'))) AS hits_de,
+          len(list_filter(string_split(text,' '),
+              x -> x IN ('le','la','les','et','est','une','pour','dans')))
+            AS hits_fr
+        FROM documents ORDER BY doc_id
+      """,
+      'embedding_norms': """
+        SELECT vec_id, label,
+               ROUND(list_aggregate(
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)
+                                     * CAST(x AS DOUBLE)),
+                 'sum'), 2) AS norm_sq
+        FROM embeddings ORDER BY vec_id
+      """,
+  }

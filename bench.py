@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extraction_docs_per_sec": ...}
+
+Headline set:
+  extraction   — blueprint extraction over a synthesized interleaved-spans
+                 corpus (the engine's north-star metric, docs/sec)
+  q1/q3        — relational shell
+  dedup_exact / minhash_pairs / cosine_topk / doc_quality — training-data
+                 ops at sf scale
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+  sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+  cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
+  try:
+    sf = float(sf_dir.rstrip('/').rsplit('sf', 1)[-1])
+  except ValueError:
+    sf = 0.1
+
+  from pyspark.sql import SparkSession
+  spark = (SparkSession.builder
+           .master(f'local[{cpus}]')
+           .appName('blueprint-oss-spark-bench')
+           .config('spark.sql.shuffle.partitions', str(cpus))
+           .config('spark.sql.adaptive.enabled', 'true')
+           .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+           .config('spark.driver.memory',
+                   os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
+           .config('spark.ui.enabled', 'false')
+           .getOrCreate())
+  spark.sparkContext.setLogLevel('ERROR')
+
+  from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
+  from blueprint_oss_spark.spark.pipeline import (
+      SPANS_SCHEMA, extract_documents)
+  from blueprint_oss_spark.ops import relational as R
+  from blueprint_oss_spark.ops import textops as T
+  from blueprint_oss_spark.ops import vectors as V
+
+  timings: dict = {}
+
+  def timed(name, fn):
+    t0 = time.monotonic()
+    out = fn()
+    timings[name] = round(time.monotonic() - t0, 4)
+    return out
+
+  # --- extraction benchmark -------------------------------------------
+  n_docs = max(200, int(20000 * sf))
+  docs = readme_corpus(n_docs, seed=4242)
+  rows = [(doc_id,
+           [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in spans])
+          for doc_id, spans in docs]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA) \
+      .repartition(int(cpus) * 2).cache()
+  df.count()  # materialize input outside the timed section
+  root = readme_blueprint()
+
+  t0 = time.monotonic()
+  n_out = extract_documents(df, root).count()
+  extract_sec = time.monotonic() - t0
+  timings['extraction'] = round(extract_sec, 4)
+  docs_per_sec = n_out / extract_sec if extract_sec > 0 else 0.0
+  df.unpersist()
+
+  # --- relational + training-data ops ---------------------------------
+  timed('q1_pricing_summary',
+        lambda: R.q1_pricing_summary(spark, sf_dir).collect())
+  timed('q3_shipping_priority',
+        lambda: R.q3_shipping_priority(spark, sf_dir).collect())
+  timed('dedup_exact', lambda: T.dedup_exact(spark, sf_dir).count())
+  timed('doc_quality', lambda: T.doc_quality(spark, sf_dir).count())
+  timed('minhash_pairs',
+        lambda: T.minhash_shingles(spark, sf_dir).count())
+  timed('cosine_topk',
+        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect())
+
+  total = round(sum(timings.values()), 4)
+  print(json.dumps({
+      'metric': 'headline-suite wall time (extraction + relational + '
+                'training-data ops)',
+      'value': total,
+      'unit': 'sec',
+      'queries': timings,
+      'sf': sf,
+      'extraction_docs_per_sec': round(docs_per_sec, 2),
+      'extraction_docs': n_out,
+      'cpus': int(cpus),
+  }))
+  spark.stop()
+
+
+if __name__ == '__main__':
+  main()

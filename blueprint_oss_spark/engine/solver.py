@@ -48,6 +48,28 @@ class SolverBudgetError(RuntimeError):
   pass
 
 
+class SolverTimeoutError(RuntimeError):
+  pass
+
+
+# Per-document wall-clock deadline (reference: 45 s SIGALRM per doc,
+# bp/cli/run_model.py:32 + bp/timeout.py — executors can't use signals, so
+# the hot loops poll time.monotonic() instead).
+_DEADLINE: Optional[float] = None
+
+
+def set_deadline(t: Optional[float]) -> None:
+  global _DEADLINE
+  _DEADLINE = t
+
+
+def _check_deadline() -> None:
+  if _DEADLINE is not None:
+    import time
+    if time.monotonic() > _DEADLINE:
+      raise SolverTimeoutError()
+
+
 @dataclass
 class SE:
   """A scored extraction (reference: bp/scoring.py:44-171)."""
@@ -261,6 +283,7 @@ def _bind_combine(b1: Bound, b2: Bound, rules: Sequence[Rule],
         f'combine product {len(b1.cands)}x{len(b2.cands)} exceeds budget')
   out: List[SE] = []
   for a in b1.cands:
+    _check_deadline()
     for b in b2.cands:
       m = merge([a, b], rules, mass, doc)
       if all_or_nothing and not m.is_empty \

@@ -1,0 +1,101 @@
+"""Relational query surface over the driver's TPC-H-ish tables.
+
+These exercise the Spark relational shell the extraction pipeline rides on
+(scan pruning, joins, window top-k).  Each query here is DuckDB-oracled by
+__spark_entry__.oracle_sql().  Aggregates over doubles are computed in
+DECIMAL and cast to DOUBLE at the end so both engines produce bit-equal
+values regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+  return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q1-style pricing summary; decimal-exact aggregates."""
+  li = _t(spark, sf_dir, 'lineitem')
+  dec = lambda c: F.col(c).cast('decimal(18,2)')
+  return (li
+          .where(F.col('l_shipdate') <= F.lit('1998-09-02'))
+          .groupBy('l_returnflag', 'l_linestatus')
+          .agg(
+              F.sum(dec('l_quantity')).cast('double').alias('sum_qty'),
+              F.sum(dec('l_extendedprice')).cast('double')
+              .alias('sum_base_price'),
+              F.sum((dec('l_extendedprice')
+                     * (F.lit(1).cast('decimal(18,2)')
+                        - dec('l_discount'))).cast('decimal(28,4)'))
+              .cast('double').alias('sum_disc_price'),
+              F.count(F.lit(1)).alias('count_order'))
+          .orderBy('l_returnflag', 'l_linestatus'))
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q3-style: revenue of unshipped orders for a segment; the small
+  dimension side broadcasts."""
+  cust = _t(spark, sf_dir, 'customer').where(
+      F.col('c_mktsegment') == 'BUILDING')
+  orders = _t(spark, sf_dir, 'orders').where(
+      F.col('o_orderdate') < F.lit('1995-03-15'))
+  li = _t(spark, sf_dir, 'lineitem').where(
+      F.col('l_shipdate') > F.lit('1995-03-15'))
+  dec = lambda c: F.col(c).cast('decimal(18,2)')
+  return (li
+          .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .groupBy('l_orderkey', 'o_orderdate')
+          .agg(F.sum((dec('l_extendedprice')
+                      * (F.lit(1).cast('decimal(18,2)')
+                         - dec('l_discount'))).cast('decimal(28,4)'))
+               .cast('double').alias('revenue'))
+          .orderBy(F.desc('revenue'), 'l_orderkey')
+          .limit(10)
+          .select('l_orderkey',
+                  F.date_format('o_orderdate', 'yyyy-MM-dd')
+                  .alias('orderdate'),
+                  'revenue'))
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Window top-k: 3 highest-value events per user (deterministic
+  tie-break on event_id)."""
+  ev = _t(spark, sf_dir, 'events')
+  w = Window.partitionBy('user_id').orderBy(
+      F.desc('value'), F.col('event_id'))
+  return (ev
+          .withColumn('rnk', F.row_number().over(w))
+          .where(F.col('rnk') <= 3)
+          .select('user_id', 'event_id', 'event_type', 'rnk')
+          .orderBy('user_id', 'rnk'))
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Grouping-sets rollup over order status x priority (counts only —
+  exact)."""
+  o = _t(spark, sf_dir, 'orders')
+  return (o
+          .rollup('o_orderstatus', 'o_orderpriority')
+          .agg(F.count(F.lit(1)).alias('n_orders'))
+          .orderBy(F.col('o_orderstatus').asc_nulls_first(),
+                   F.col('o_orderpriority').asc_nulls_first()))
+
+
+def supplier_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Star join through nation/region (both broadcast)."""
+  s = _t(spark, sf_dir, 'supplier')
+  n = _t(spark, sf_dir, 'nation')
+  r = _t(spark, sf_dir, 'region')
+  return (s
+          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .groupBy('r_name', 'n_name')
+          .agg(F.count(F.lit(1)).alias('n_suppliers'),
+               F.sum(F.col('s_acctbal').cast('decimal(18,2)'))
+               .cast('double').alias('total_acctbal'))
+          .orderBy('r_name', 'n_name'))

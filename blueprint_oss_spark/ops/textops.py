@@ -1,0 +1,173 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristics, fingerprinting,
+exact dedup.  All built from JVM-side pyspark.sql.functions — no Python
+UDFs — so they stay inside whole-stage codegen and push down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STOPWORDS_EN = ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for',
+                'on', 'with', 'as', 'at', 'by')
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+  return spark.read.parquet(f'{sf_dir}/documents.parquet')
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Whitespace token counts per document (exact ints)."""
+  d = _docs(spark, sf_dir)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  return (d.select(
+      'doc_id',
+      F.size(toks).alias('n_tokens'),
+      F.size(F.array_distinct(toks)).alias('n_uniq_tokens'),
+      F.length('text').alias('len_chars'))
+      .orderBy('doc_id'))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Quality-scoring signals: char-class counts + stopword hits (ints)."""
+  d = _docs(spark, sf_dir)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+  return (d.select(
+      'doc_id',
+      F.length('text').alias('n_chars'),
+      F.length(F.regexp_replace('text', '[^a-zA-Z]', ''))
+      .alias('n_alpha'),
+      F.length(F.regexp_replace('text', '[^0-9]', '')).alias('n_digit'),
+      F.length(F.regexp_replace('text', r'[^.,;:!?]', ''))
+      .alias('n_punct'),
+      F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+      .alias('n_stopwords'))
+      .orderBy('doc_id'))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Exact dedup via content hash: keeper id + duplicate count per
+  distinct text (hash-groupBy — the map-side-combinable exact-dedup
+  baseline)."""
+  d = _docs(spark, sf_dir)
+  return (d
+          .groupBy(F.md5(F.col('text')).alias('content_hash'))
+          .agg(F.min('doc_id').alias('keeper_doc_id'),
+               F.count(F.lit(1)).alias('n_copies'))
+          .orderBy('content_hash'))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Deterministic document fingerprints: md5 of full text + of the first
+  8 tokens (prefix fingerprinting for near-dup blocking)."""
+  d = _docs(spark, sf_dir)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  return (d.select(
+      'doc_id',
+      F.md5('text').alias('fp_full'),
+      F.md5(F.concat_ws(' ', F.slice(toks, 1, 8))).alias('fp_prefix8'))
+      .orderBy('doc_id'))
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """N-gram-free language-ID heuristic over the synthetic corpus:
+  stopword-list hit rates per candidate language; returns the argmax list
+  hits (ints, deterministic)."""
+  d = _docs(spark, sf_dir)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  lists = {
+      'en': STOPWORDS_EN,
+      'es': ('el', 'la', 'de', 'y', 'que', 'en', 'un', 'por', 'con'),
+      'de': ('der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein'),
+      'fr': ('le', 'la', 'les', 'et', 'est', 'une', 'pour', 'dans'),
+  }
+  def hits_col(lang, ws):
+    arr = F.array(*[F.lit(w) for w in ws])
+    return F.size(F.filter(
+        toks, lambda x: F.array_contains(arr, x))).alias(f'hits_{lang}')
+
+  cols = [hits_col(lang, ws) for lang, ws in lists.items()]
+  return d.select('doc_id', 'lang', *cols).orderBy('doc_id')
+
+
+def minhash_shingles(spark: SparkSession, sf_dir: str, *,
+                     n_hashes: int = 16, shingle: int = 3,
+                     bands: int = 4) -> DataFrame:
+  """MinHash + LSH banding near-dup candidates, entirely with built-ins:
+  token shingles → xxhash64 per permutation (hash-xor trick) → band
+  signature → group by band bucket → candidate pairs.
+
+  At 100 TB this shape holds: shingling and min-hashing are map-side,
+  the single shuffle is the band-bucket groupBy, and candidate pairs per
+  bucket stay tiny when bands/rows are tuned.
+  """
+  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  sh = d.select(
+      'doc_id',
+      F.explode(F.transform(
+          F.sequence(F.lit(0), F.size(toks) - shingle),
+          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle))))
+      .alias('shingle')).distinct()
+  seeds = list(range(1, n_hashes + 1))
+  hashed = sh.select(
+      'doc_id',
+      *[F.xxhash64(F.col('shingle'), F.lit(s)).alias(f'h{s}')
+        for s in seeds])
+  sig = hashed.groupBy('doc_id').agg(
+      *[F.min(f'h{s}').alias(f'm{s}') for s in seeds])
+  rows_per_band = n_hashes // bands
+  band_cols = []
+  for b in range(bands):
+    parts = [F.col(f'm{s}') for s in seeds[b * rows_per_band:
+                                           (b + 1) * rows_per_band]]
+    band_cols.append(F.xxhash64(*parts, F.lit(1000 + b)).alias(f'b{b}'))
+  banded = sig.select('doc_id', *band_cols)
+  stacked = banded.select(
+      'doc_id',
+      F.explode(F.array(*[F.col(f'b{b}') for b in range(bands)]))
+      .alias('bucket'))
+  a = stacked.alias('a')
+  b2 = stacked.alias('b')
+  return (a.join(b2, (F.col('a.bucket') == F.col('b.bucket'))
+                 & (F.col('a.doc_id') < F.col('b.doc_id')))
+          .select(F.col('a.doc_id').alias('doc_a'),
+                  F.col('b.doc_id').alias('doc_b'))
+          .distinct()
+          .orderBy('doc_a', 'doc_b'))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
+                        shingle: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+  """Exact n-gram Jaccard near-dup pairs above a threshold, via a
+  shingle-inverted-index join (prefix-blocked to avoid the full cross
+  product; exact because identical-text pairs share all shingles)."""
+  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  sh = d.select(
+      'doc_id',
+      F.explode(F.array_distinct(F.transform(
+          F.sequence(F.lit(0), F.size(toks) - shingle),
+          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle)))))
+      .alias('shingle'))
+  sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n'))
+  a = sh.alias('a')
+  b = sh.alias('b')
+  inter = (a.join(b, (F.col('a.shingle') == F.col('b.shingle'))
+                  & (F.col('a.doc_id') < F.col('b.doc_id')))
+           .groupBy(F.col('a.doc_id').alias('doc_a'),
+                    F.col('b.doc_id').alias('doc_b'))
+           .agg(F.count(F.lit(1)).alias('n_common')))
+  sa = sizes.select(F.col('doc_id').alias('doc_a'),
+                    F.col('n').alias('n_a'))
+  sb = sizes.select(F.col('doc_id').alias('doc_b'),
+                    F.col('n').alias('n_b'))
+  return (inter.join(sa, 'doc_a').join(sb, 'doc_b')
+          .withColumn('jaccard',
+                      F.col('n_common')
+                      / (F.col('n_a') + F.col('n_b') - F.col('n_common')))
+          .where(F.col('jaccard') >= threshold)
+          .select('doc_a', 'doc_b', 'n_common', 'n_a', 'n_b')
+          .orderBy('doc_a', 'doc_b'))

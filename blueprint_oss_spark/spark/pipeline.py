@@ -1,0 +1,244 @@
+"""The Spark pipeline: bulk blueprint extraction over interleaved-span
+document tables.
+
+Shape of the job (SURVEY.md §7):
+
+    scan (doc_id, spans)            -- Iceberg/parquet; one row per doc
+      → [optional salted repartition by size bucket]   -- only for skew
+      → mapInPandas(extract)        -- Arrow batches; entity-gen + CSP
+      → write, partitioned by bucket, with lineage     -- resumable
+
+Because the input is already one-row-per-document, the happy path has
+ZERO shuffles: Spark pipelines scan → Arrow batch → Python → write.
+Catalyst still provides column pruning / partition pruning on the scan;
+document skew is handled by (a) Arrow batch sizing, (b) the optional
+size-bucketed repartition for pathological span-count distributions,
+(c) per-document time/size budgets mirroring the reference's 45 s CLI
+timeout (bp/cli/run_model.py:32) — a doc over budget produces an `error`
+row instead of stalling an executor core.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from typing import Iterable, Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, MapType, StringType,
+    StructField, StructType,
+)
+
+from ..model.nodes import Node, optimize_rule_distribution
+from ..engine.runner import run_doc
+from ..engine import solver as solver_mod
+
+SPAN_STRUCT = StructType([
+    StructField('kind', StringType()),
+    StructField('text', StringType()),
+    StructField('media_ref', StringType()),
+    StructField('offset', IntegerType()),
+])
+
+SPANS_SCHEMA = StructType([
+    StructField('doc_id', StringType()),
+    StructField('spans', ArrayType(SPAN_STRUCT)),
+])
+
+OUT_SPAN_STRUCT = StructType([
+    StructField('kind', StringType()),
+    StructField('text', StringType()),
+    StructField('media_ref', StringType()),
+    StructField('order', IntegerType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField('doc_id', StringType()),
+    StructField('out_spans', ArrayType(OUT_SPAN_STRUCT)),
+    StructField('fields', MapType(StringType(), StringType())),
+    StructField('score', DoubleType()),
+    StructField('n_entities', IntegerType()),
+    StructField('n_words', IntegerType()),
+    StructField('error', StringType()),
+    StructField('elapsed_ms', DoubleType()),
+])
+
+
+def compile_blueprint(root: Node) -> bytes:
+  """Driver-side compile: rule pushdown (the reference's
+  optimize_rule_distribution, bp/tree.py:805-862) + validation, then
+  pickle for broadcast."""
+  optimized = optimize_rule_distribution(root)
+  optimized.validate()
+  return pickle.dumps(optimized)
+
+
+def extract_documents(df: DataFrame, root: Node, *,
+                      doc_time_budget_s: float = 45.0,
+                      max_spans_per_doc: int = 200_000,
+                      size_bucketed_repartition: bool = False,
+                      num_partitions: Optional[int] = None) -> DataFrame:
+  """Bulk extraction: (doc_id, spans) → OUTPUT_SCHEMA rows.
+
+  Args:
+    df: DataFrame with SPANS_SCHEMA columns.
+    root: blueprint tree (un-optimized; compiled here and broadcast).
+    doc_time_budget_s: per-document wall budget (reference default 45 s).
+    max_spans_per_doc: guard against pathological documents.
+    size_bucketed_repartition: opt-in shuffle that spreads documents by
+      (log2 span count, random salt) so heavy-tailed corpora don't
+      straggle single partitions.  Costs one shuffle — leave off unless
+      the input layout is known-skewed.
+  """
+  spark = df.sparkSession
+  payload = compile_blueprint(root)
+  bc = spark.sparkContext.broadcast(payload)
+
+  if size_bucketed_repartition:
+    n = num_partitions or spark.sparkContext.defaultParallelism * 4
+    df = (df
+          .withColumn('_sz', F.log2(F.size('spans') + F.lit(2)).cast('int'))
+          .withColumn('_salt', (F.rand(seed=42) * 1024).cast('int'))
+          .repartition(n, F.col('_sz'), F.col('_salt'))
+          .drop('_sz', '_salt'))
+
+  def run_batches(batches: Iterator[pd.DataFrame]) \
+      -> Iterator[pd.DataFrame]:
+    tree = pickle.loads(bc.value)
+    for pdf in batches:
+      out: List[dict] = []
+      for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+        t0 = time.monotonic()
+        row = {
+            'doc_id': doc_id, 'out_spans': [], 'fields': {},
+            'score': 0.0, 'n_entities': 0, 'n_words': 0, 'error': None,
+            'elapsed_ms': 0.0,
+        }
+        try:
+          if len(spans) > max_spans_per_doc:
+            raise solver_mod.SolverBudgetError(
+                f'{len(spans)} spans exceeds max_spans_per_doc')
+          solver_mod.set_deadline(t0 + doc_time_budget_s)
+          span_rows = [(s['kind'], s['text'], s['media_ref'],
+                        int(s['offset'])) for s in spans]
+          r = run_doc(str(doc_id), span_rows, tree)
+          row.update(
+              out_spans=[{'kind': k, 'text': t, 'media_ref': m,
+                          'order': o} for (k, t, m, o) in r['out_spans']],
+              fields=r['fields'], score=r['score'],
+              n_entities=r['n_entities'], n_words=r['n_words'])
+        except solver_mod.SolverBudgetError as e:
+          row['error'] = f'budget: {e}'
+        except solver_mod.SolverTimeoutError:
+          row['error'] = 'timeout'
+        finally:
+          solver_mod.set_deadline(None)
+        row['elapsed_ms'] = (time.monotonic() - t0) * 1000.0
+        out.append(row)
+      yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA])
+
+  return df.mapInPandas(run_batches, OUTPUT_SCHEMA)
+
+
+def spans_from_documents(docs: DataFrame, words_per_line: int = 8,
+                         page_lines: int = 64) -> DataFrame:
+  """Synthesize an interleaved spans table from a raw text corpus
+  (e.g. the driver's `documents` table) with pure Catalyst transforms —
+  tokenize, lay out on a fixed grid, pack offsets.
+
+  This is the bulk path for turning 100 TB of raw text into the engine's
+  input format: split → posexplode → window-free arithmetic layout (word
+  k goes to line k//words_per_line, column (k%words_per_line)*16), then
+  collect back per doc.  One shuffle (the groupBy doc_id).
+  """
+  col_width = 16
+  line_shift = 256
+  page_shift = 2 ** 20
+  toks = (docs
+          .select(F.col('doc_id').cast('string').alias('doc_id'),
+                  F.posexplode(F.split(F.col('text'), ' '))
+                  .alias('pos', 'word'))
+          .where(F.length('word') > 0)
+          .where(F.length('word') < col_width))
+  lines_per_page = page_lines
+  toks = toks.select(
+      'doc_id',
+      F.struct(
+          F.lit('text').alias('kind'),
+          F.col('word').alias('text'),
+          F.lit('').alias('media_ref'),
+          ((F.col('pos') / (words_per_line * lines_per_page))
+           .cast('int') * page_shift
+           + ((F.col('pos') / words_per_line).cast('int')
+              % lines_per_page) * line_shift
+           + (F.col('pos') % words_per_line) * col_width)
+          .cast('int').alias('offset'),
+      ).alias('span'))
+  return (toks.groupBy('doc_id')
+          .agg(F.collect_list('span').alias('raw'))
+          .select('doc_id',
+                  F.expr('array_sort(raw, (a, b) -> a.offset - b.offset)')
+                  .alias('spans')))
+
+
+def run_extraction_job(spark: SparkSession, input_df: DataFrame,
+                       output_path: str, root: Node, *,
+                       buckets: int = 64, groups: int = 4,
+                       resume: bool = True,
+                       **extract_kwargs) -> List[dict]:
+  """Resumable bulk job with per-partition lineage + metrics.
+
+  Documents hash into `buckets`; buckets are processed in `groups`
+  checkpoint groups.  Each completed group writes its output under
+  part_bucket=... plus a lineage row; on resume, completed groups are
+  skipped (per-partition checkpointing per the north rule).
+  Returns the lineage rows (one per group processed this run).
+  """
+  import json
+  import os
+
+  lineage_dir = os.path.join(output_path, '_lineage')
+  os.makedirs(lineage_dir, exist_ok=True)
+  done_groups = set()
+  if resume:
+    for fn in os.listdir(lineage_dir):
+      if fn.startswith('group-') and fn.endswith('.json'):
+        done_groups.add(int(fn[len('group-'):-len('.json')]))
+
+  df = input_df.withColumn(
+      'part_bucket', F.pmod(F.xxhash64('doc_id'), F.lit(buckets)))
+
+  lineage_rows = []
+  per_group = (buckets + groups - 1) // groups
+  for g in range(groups):
+    if g in done_groups:
+      continue
+    lo, hi = g * per_group, min((g + 1) * per_group, buckets)
+    part = df.where((F.col('part_bucket') >= lo)
+                    & (F.col('part_bucket') < hi))
+    out = extract_documents(part.drop('part_bucket'), root,
+                            **extract_kwargs)
+    out = out.withColumn(
+        'part_bucket', F.pmod(F.xxhash64('doc_id'), F.lit(buckets)))
+    from pyspark.sql import Observation
+    obs = Observation(f'bp_group_{g}')
+    observed = out.observe(
+        obs,
+        F.count(F.lit(1)).alias('docs'),
+        F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
+        .alias('errors'),
+        F.sum('score').alias('score_sum'),
+        F.sum('elapsed_ms').alias('elapsed_ms_sum'))
+    (observed.write.mode('append').partitionBy('part_bucket')
+     .parquet(output_path))
+    metrics = {k: (float(v) if v is not None else None)
+               for k, v in obs.get.items()}
+    row = {'group': g, 'bucket_lo': lo, 'bucket_hi': hi,
+           'ts': time.time(), 'metrics': metrics}
+    with open(os.path.join(lineage_dir, f'group-{g}.json'), 'w') as f:
+      json.dump(row, f)
+    lineage_rows.append(row)
+  return lineage_rows

@@ -1,0 +1,79 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin side-by-side (DuckDB), compare row count,
+column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = '/root/testdata/sf0.001'
+TABLES = ('region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings')
+
+
+def _norm(v):
+  if isinstance(v, float):
+    if math.isnan(v):
+      return 'nan'
+    return round(v, 6)
+  return v
+
+
+def _rows_to_multiset(rows, cols):
+  order = sorted(range(len(cols)), key=lambda i: cols[i])
+  return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope='module')
+def oracle_con():
+  con = duckdb.connect()
+  for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+  return con
+
+
+def test_queries_match_oracles(spark, oracle_con):
+  import __spark_entry__ as entry_mod
+  qs = entry_mod.queries()
+  oracles = entry_mod.oracle_sql()
+  assert set(oracles) <= set(qs)
+  failures = []
+  for name, sql in sorted(oracles.items()):
+    sdf = qs[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ores = oracle_con.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    if sorted(scols) != sorted(ocols):
+      failures.append((name, 'columns', scols, ocols))
+      continue
+    if len(srows) != len(orows):
+      failures.append((name, 'rowcount', len(srows), len(orows)))
+      continue
+    sm = _rows_to_multiset(srows, scols)
+    om = _rows_to_multiset(orows, ocols)
+    if sm != om:
+      diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+      failures.append((name, 'values', diff, None))
+  assert not failures, failures
+
+
+def test_entry_smoke(spark):
+  import __spark_entry__ as entry_mod
+  df = entry_mod.entry(spark)
+  rows = df.collect()
+  assert len(rows) > 0
+  assert 'doc_id' in df.columns
+
+
+def test_rows_only_queries_run(spark):
+  import __spark_entry__ as entry_mod
+  qs = entry_mod.queries()
+  oracles = set(entry_mod.oracle_sql())
+  for name in sorted(set(qs) - oracles):
+    df = qs[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0, name

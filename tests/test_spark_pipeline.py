@@ -1,0 +1,80 @@
+"""Spark-shell tests: the bulk pipeline must produce exactly what the
+single-doc engine produces, and the resumable job must checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blueprint_oss_spark.engine.runner import run_doc
+from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
+from blueprint_oss_spark.spark.pipeline import (
+    SPANS_SCHEMA, extract_documents, run_extraction_job,
+    spans_from_documents,
+)
+
+
+def _spans_df(spark, docs):
+  rows = [(doc_id,
+           [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in spans])
+          for doc_id, spans in docs]
+  return spark.createDataFrame(rows, SPANS_SCHEMA)
+
+
+def test_extract_documents_matches_local_engine(spark):
+  docs = readme_corpus(20, seed=77)
+  root = readme_blueprint()
+  df = _spans_df(spark, docs)
+  out = {r['doc_id']: r for r in
+         extract_documents(df, root).collect()}
+  assert len(out) == len(docs)
+  for doc_id, spans in docs:
+    local = run_doc(doc_id, spans, root)
+    got = out[doc_id]
+    assert got['error'] is None
+    assert got['fields'] == local['fields']
+    got_spans = [(s['kind'], s['text'], s['media_ref'], s['order'])
+                 for s in got['out_spans']]
+    assert got_spans == local['out_spans']
+    assert got['score'] == pytest.approx(local['score'], rel=1e-12)
+
+
+def test_extract_documents_plan_has_no_shuffle(spark):
+  docs = readme_corpus(4, seed=78)
+  df = _spans_df(spark, docs)
+  out = extract_documents(df, readme_blueprint())
+  plan = out._jdf.queryExecution().executedPlan().toString()
+  assert 'Exchange' not in plan  # scan → mapInPandas pipelines, no shuffle
+
+
+def test_spans_from_documents(spark):
+  docs = (spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+          .limit(20))
+  spans = spans_from_documents(docs)
+  rows = spans.collect()
+  assert rows
+  for r in rows:
+    offsets = [s['offset'] for s in r['spans']]
+    assert offsets == sorted(offsets)
+    assert all(s['kind'] == 'text' for s in r['spans'])
+
+
+def test_run_extraction_job_resume(spark, tmp_path):
+  docs = readme_corpus(16, seed=79)
+  root = readme_blueprint()
+  df = _spans_df(spark, docs)
+  out_path = str(tmp_path / 'out')
+
+  lineage = run_extraction_job(spark, df, out_path, root,
+                               buckets=8, groups=2)
+  assert len(lineage) == 2
+  assert sum(r['metrics']['docs'] for r in lineage) == 16
+  n1 = spark.read.parquet(out_path).count()
+  assert n1 == 16
+
+  # Resume: nothing left to do.
+  lineage2 = run_extraction_job(spark, df, out_path, root,
+                                buckets=8, groups=2)
+  assert lineage2 == []
+  assert spark.read.parquet(out_path).count() == 16
