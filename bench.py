@@ -60,7 +60,7 @@ def main() -> None:
     return out
 
   # --- extraction benchmark -------------------------------------------
-  n_docs = max(200, int(20000 * sf))
+  n_docs = max(400, int(40000 * sf))
   docs = readme_corpus(n_docs, seed=4242)
   rows = [(doc_id,
            [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
@@ -71,6 +71,9 @@ def main() -> None:
   df.count()  # materialize input outside the timed section
   root = readme_blueprint()
 
+  # Warmup: fork + import python workers, JIT whole-stage codegen.
+  extract_documents(df, root).count()
+
   t0 = time.monotonic()
   n_out = extract_documents(df, root).count()
   extract_sec = time.monotonic() - t0
@@ -78,17 +81,24 @@ def main() -> None:
   docs_per_sec = n_out / extract_sec if extract_sec > 0 else 0.0
   df.unpersist()
 
-  # --- relational + training-data ops ---------------------------------
-  timed('q1_pricing_summary',
-        lambda: R.q1_pricing_summary(spark, sf_dir).collect())
-  timed('q3_shipping_priority',
-        lambda: R.q3_shipping_priority(spark, sf_dir).collect())
-  timed('dedup_exact', lambda: T.dedup_exact(spark, sf_dir).count())
-  timed('doc_quality', lambda: T.doc_quality(spark, sf_dir).count())
-  timed('minhash_pairs',
-        lambda: T.minhash_shingles(spark, sf_dir).count())
-  timed('cosine_topk',
-        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect())
+  # --- relational + training-data ops (steady state: one warmup pass
+  # then the timed pass) -------------------------------------------------
+  suite = [
+      ('q1_pricing_summary',
+       lambda: R.q1_pricing_summary(spark, sf_dir).collect()),
+      ('q3_shipping_priority',
+       lambda: R.q3_shipping_priority(spark, sf_dir).collect()),
+      ('dedup_exact', lambda: T.dedup_exact(spark, sf_dir).count()),
+      ('doc_quality', lambda: T.doc_quality(spark, sf_dir).count()),
+      ('minhash_pairs',
+       lambda: T.minhash_shingles(spark, sf_dir).count()),
+      ('cosine_topk',
+       lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect()),
+  ]
+  for _, fn in suite:
+    fn()
+  for name, fn in suite:
+    timed(name, fn)
 
   total = round(sum(timings.values()), 4)
   print(json.dumps({

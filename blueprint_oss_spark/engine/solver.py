@@ -90,84 +90,136 @@ class SE:
     return True
 
 
-def _rule_score(rule: Rule, assign: Dict[Field, int], doc: DocPool) -> float:
+class _ScoreCache:
+  """Per-document (predicate, entity-ids) → score memo.  Scores are pure
+  functions of (predicate, entities, doc), so cross-merge caching cannot
+  change semantics — it only avoids recomputing e.g. impingement sweeps
+  for the same entity pair under different partial assignments."""
+
+  __slots__ = ('doc', 'memo')
+
+  def __init__(self, doc: DocPool):
+    self.doc = doc
+    self.memo: Dict = {}
+
+  def atom_score(self, atom: Atom, eids: Tuple[int, ...]) -> float:
+    key = (atom.predicate, eids)
+    got = self.memo.get(key)
+    if got is None:
+      got = score_predicate(atom.predicate, self.doc, eids)
+      self.memo[key] = got
+    return got
+
+
+class _RuleMeta:
+  """Bind-time metadata for one rule at one node."""
+
+  __slots__ = ('rule', 'fields', 'is_atom', 'atoms')
+
+  def __init__(self, rule: Rule):
+    self.rule = rule
+    self.fields = frozenset(rule.fields)
+    self.is_atom = isinstance(rule, Atom)
+    # (atom, fields_frozenset) pairs for the atom-cache pass
+    self.atoms = tuple((a, frozenset(a.fields)) for a in get_atoms(rule))
+
+
+def _rule_score(rule: Rule, assign: Dict[Field, int],
+                sc: _ScoreCache) -> float:
   """Score a rule against an assignment; atoms with missing fields score 1
   (bp/rule.py:249-256, conjunction/disjunction bp/rule.py:306-321)."""
   if isinstance(rule, Atom):
     if any(f not in assign for f in rule.fields):
       return 1.0
-    return score_predicate(rule.predicate, doc,
-                           tuple(assign[f] for f in rule.fields))
+    return sc.atom_score(rule, tuple(assign[f] for f in rule.fields))
   if isinstance(rule, Disjunction):
-    return max(_rule_score(r, assign, doc) for r in rule.rules)
+    return max(_rule_score(r, assign, sc) for r in rule.rules)
   # Conjunction
   s = 1.0
   for r in rule.rules:
-    s *= _rule_score(r, assign, doc)
+    s *= _rule_score(r, assign, sc)
   return s
 
 
-def _upper_bound(rule: Rule, assign: Dict[Field, int],
-                 cache: Dict[int, float], doc: DocPool) -> float:
-  """reference: bp/scoring.py:267-284."""
-  if rule.rid in cache:
-    return cache[rule.rid]
+def _upper_bound(rule: Rule, akeys, cache: Dict[int, float]) -> float:
+  """reference: bp/scoring.py:267-284.  All decidable atoms were already
+  cached by the merge atom pass, so no predicate evaluation happens here —
+  non-decidable atoms bound to 1."""
+  got = cache.get(rule.rid)
+  if got is not None:
+    return got
   if isinstance(rule, Atom):
-    if all(f in assign for f in rule.fields):
-      return score_predicate(rule.predicate, doc,
-                             tuple(assign[f] for f in rule.fields))
-    return 1.0
+    return 1.0  # decidable atoms are always in the cache
   if isinstance(rule, Disjunction):
-    subs = [_upper_bound(r, assign, cache, doc) for r in rule.rules]
+    subs = [_upper_bound(r, akeys, cache) for r in rule.rules]
     return max(subs) if subs else 1.0
   s = 1.0
   for r in rule.rules:
-    s *= _upper_bound(r, assign, cache, doc)
+    s *= _upper_bound(r, akeys, cache)
   return s
 
 
-def merge(ses: Sequence[SE], rules: Sequence[Rule], mass: int,
-          doc: DocPool) -> SE:
-  """Exact replica of bp/scoring.py:217-264."""
-  assign: Dict[Field, int] = {}
-  field_scores: Dict[Field, float] = {}
-  rule_scores: Dict[int, float] = {}
-  for se in ses:
-    assign.update(se.assign)
-    rule_scores.update(se.rule_scores)
-    field_scores.update(se.field_scores)
+def merge_fast(ses: Sequence[SE], meta: Sequence[_RuleMeta], mass: int,
+               sc: _ScoreCache) -> SE:
+  """Exact replica of bp/scoring.py:217-264 over precomputed rule
+  metadata."""
+  if len(ses) == 2:
+    a, b = ses
+    assign = {**a.assign, **b.assign}
+    rule_scores = {**a.rule_scores, **b.rule_scores}
+    field_scores = {**a.field_scores, **b.field_scores}
+  else:
+    assign = {}
+    field_scores = {}
+    rule_scores = {}
+    for se in ses:
+      assign.update(se.assign)
+      rule_scores.update(se.rule_scores)
+      field_scores.update(se.field_scores)
+  akeys = frozenset(assign)
 
   # Cache all decidable atoms of all rules (bp/scoring.py:234-237).
-  for rule in rules:
-    for atom in get_atoms(rule):
-      if all(f in assign for f in atom.fields):
-        if atom.rid not in rule_scores:
-          rule_scores[atom.rid] = score_predicate(
-              atom.predicate, doc, tuple(assign[f] for f in atom.fields))
+  for m in meta:
+    for atom, afields in m.atoms:
+      if afields <= akeys and atom.rid not in rule_scores:
+        rule_scores[atom.rid] = sc.atom_score(
+            atom, tuple(assign[f] for f in atom.fields))
 
-  decidable = [r for r in rules if all(f in assign for f in r.fields)]
-  non_decidable = [r for r in rules
-                   if not all(f in assign for f in r.fields)]
+  decidable = []
+  early_exits = []
+  for m in meta:
+    if m.fields <= akeys:
+      decidable.append(m)
+    elif not m.is_atom:
+      # Early exits BEFORE multiplication (bp/scoring.py:249-251); a
+      # non-decidable Atom always has upper bound 1, so only
+      # connectives can early-exit.
+      if _upper_bound(m.rule, akeys, rule_scores) == 0:
+        early_exits.append(m)
 
-  # Early exits BEFORE multiplication (bp/scoring.py:249-251).
-  early_exits = [r for r in non_decidable
-                 if _upper_bound(r, assign, rule_scores, doc) == 0]
-
-  for rule in decidable:
-    s = rule_scores[rule.rid] if rule.rid in rule_scores \
-        else _rule_score(rule, assign, doc)
-    for f in rule.fields:
+  for m in decidable:
+    rid = m.rule.rid
+    s = rule_scores[rid] if rid in rule_scores \
+        else _rule_score(m.rule, assign, sc)
+    for f in m.rule.fields:
       if f in assign:
         field_scores[f] *= s
-    rule_scores[rule.rid] = s
+    rule_scores[rid] = s
 
-  for rule in early_exits:
-    for f in rule.fields:
+  for m in early_exits:
+    for f in m.rule.fields:
       if f in assign:
         field_scores[f] = 0.0
 
   score = sum(field_scores.values()) / mass
   return SE(assign, field_scores, rule_scores, mass, score)
+
+
+def merge(ses: Sequence[SE], rules: Sequence[Rule], mass: int,
+          doc: DocPool) -> SE:
+  """Back-compat wrapper building metadata on the fly."""
+  return merge_fast(ses, [_RuleMeta(r) for r in rules], mass,
+                    _ScoreCache(doc))
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +277,27 @@ def _empty_se(fields: FrozenSet[Field], atom_rules: Sequence[Atom],
 def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
   if isinstance(node, EmptyNode):
     return Bound(frozenset(), 1, [])
+  return _continue_bind(node, doc, memo)
+
+def _score_cache(doc: DocPool, memo: Dict) -> _ScoreCache:
+  sc = memo.get('_score_cache')
+  if sc is None:
+    sc = _ScoreCache(doc)
+    memo['_score_cache'] = sc
+  return sc
+
+
+def _rule_meta(rules: Sequence[Rule], memo: Dict) -> List[_RuleMeta]:
+  key = ('_meta', tuple(id(r) for r in rules))
+  got = memo.get(key)
+  if got is None:
+    got = [_RuleMeta(r) for r in rules]
+    memo[key] = got
+  return got
+
+
+def _continue_bind(node: Node, doc: DocPool, memo: Dict) -> Bound:
+  sc = _score_cache(doc, memo)
 
   if isinstance(node, LeafNode):
     atoms = [r for r in node.rules if isinstance(r, Atom)]
@@ -237,7 +310,7 @@ def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
         # (bp/bound_tree.py:112-129).
         v = score
         for r in others:
-          v *= _rule_score(r, {node.field: e}, doc)
+          v *= _rule_score(r, {node.field: e}, sc)
         if not v > MINIMUM_FIELD_SCORE:
           continue
       cands.append(SE({node.field: e}, {node.field: score}, dict(scores),
@@ -248,7 +321,8 @@ def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
   if isinstance(node, CombineNode):
     b1 = bind_node(node.node1, doc, memo)
     b2 = bind_node(node.node2, doc, memo)
-    return _bind_combine(b1, b2, node.rules, node.all_or_nothing, doc)
+    return _bind_combine(b1, b2, _rule_meta(node.rules, memo),
+                         node.all_or_nothing, sc)
 
   if isinstance(node, MergeNode):
     # MergeNode executes as a fresh combine chain; its own spanning rules
@@ -259,10 +333,11 @@ def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
     children = [bind_node(c, doc, memo) for c in node.children]
     mass = max(c.mass for c in children)
     legal = frozenset().union(*(c.legal_fields for c in children))
+    meta = _rule_meta(node.rules, memo)
     out: List[SE] = []
     for c in children:
       for se in c.cands:
-        m = merge([se], node.rules, mass, doc)
+        m = merge_fast([se], meta, mass, sc)
         if m.valid():
           out.append(m)
     out.sort(key=lambda s: -s.score)
@@ -274,8 +349,8 @@ def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
   raise TypeError(f'unknown node type {type(node)}')
 
 
-def _bind_combine(b1: Bound, b2: Bound, rules: Sequence[Rule],
-                  all_or_nothing: bool, doc: DocPool) -> Bound:
+def _bind_combine(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
+                  all_or_nothing: bool, sc: _ScoreCache) -> Bound:
   legal = b1.legal_fields | b2.legal_fields
   mass = b1.mass + b2.mass
   if len(b1.cands) * len(b2.cands) > MAX_PAIRS_PER_COMBINE:
@@ -285,7 +360,7 @@ def _bind_combine(b1: Bound, b2: Bound, rules: Sequence[Rule],
   for a in b1.cands:
     _check_deadline()
     for b in b2.cands:
-      m = merge([a, b], rules, mass, doc)
+      m = merge_fast([a, b], meta, mass, sc)
       if all_or_nothing and not m.is_empty \
           and frozenset(m.assign) != legal:
         continue

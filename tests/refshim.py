@@ -57,6 +57,46 @@ from blueprint_oss_spark.engine.runner import (  # noqa: E402
     canonical_out_spans, spans_to_pages)
 
 
+def load_reference_example(path: str):
+  """Exec a reference example program (e.g. examples/paystubs/paystubs.py)
+  against the shimmed bp package and return its module namespace.
+
+  The real bp/__init__ star-imports the rule modules and the CLI; we
+  populate the shim package the same way minus the CLI (bp_cli_main is a
+  no-op so the trailing `if __name__` block is inert)."""
+  import importlib
+  pkg = sys.modules['bp']
+  if not getattr(pkg, '__bp_star_ready__', False):
+    for sub in ('rules.impingement', 'rules.label', 'rules.logical',
+                'rules.numeric', 'rules.semantic', 'rules.spatial',
+                'rules.tabular', 'rules.textual'):
+      mod = importlib.import_module(f'bp.{sub}')
+      for name in dir(mod):
+        if not name.startswith('_'):
+          setattr(pkg, name, getattr(mod, name))
+    from bp.config import Config as _Config
+    from bp.tree import Node as _Node, combine as _combine, \
+        extract as _extract, pick_best as _pick_best
+    from bp.extraction import Field as _Field
+    from bp.rule import Predicate as _Predicate, \
+        all_rules_hold as _arh, any_rule_holds as _anyrh
+    pkg.Config = _Config
+    pkg.Node = _Node
+    pkg.combine = _combine
+    pkg.extract = _extract
+    pkg.pick_best = _pick_best
+    pkg.Field = _Field
+    pkg.Predicate = _Predicate
+    pkg.all_rules_hold = _arh
+    pkg.any_rule_holds = _anyrh
+    pkg.bp_cli_main = lambda *a, **k: None
+    pkg.__bp_star_ready__ = True
+  src = pathlib.Path(path).read_text()
+  ns = {'__name__': 'reference_example'}
+  exec(compile(src, path, 'exec'), ns)
+  return ns
+
+
 def reference_doc_from_spans(doc_id: str, spans: Sequence[Span]):
   """Build a reference Document from span rows via the SAME page/word
   derivation our engine uses (engine/runner.spans_to_pages), so both
