@@ -1,0 +1,164 @@
+"""OCR source loaders: Google Cloud Vision JSON, IBOCR JSON, hOCR → the
+engine's page/word structure, plus Spark readers that fan extraction out
+over OCR file collections.
+
+Semantics mirror the reference loaders:
+  Google Vision  bp/google_ocr_file.py:16-59 (blocks→paragraphs→words,
+                 vertices[0].x/[1].x and [0].y/[2].y span the bbox)
+  IBOCR          bp/ibocr_file.py:16-57 (first blob's lines + metadata
+                 layouts)
+  hOCR           bp/hocr_file.py (via the hocr_parser lib there; here a
+                 minimal stdlib parser of ocr_page / ocrx_word nodes)
+
+Pages are emitted with page-local word coordinates; vertical stacking
+happens in the engine (bp/build_document.py:49-69 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from itertools import chain
+from typing import Any, Dict, Iterator, List, Optional
+
+import pandas as pd
+
+
+def parse_google_ocr(raw: Dict[str, Any]) -> List[dict]:
+  pages = []
+  for page_number, page in enumerate(raw['fullTextAnnotation']['pages']):
+    words = []
+    for block in page['blocks']:
+      for paragraph in block['paragraphs']:
+        for word in paragraph['words']:
+          v = word['boundingBox']['vertices']
+          if len(v) != 4:
+            raise ValueError(f'invalid vertices {v}, must be length 4')
+          x0, x1 = sorted([v[0]['x'], v[1]['x']])
+          y0, y1 = sorted([v[0]['y'], v[2]['y']])
+          text = ''.join(s['text'] for s in word['symbols'])
+          words.append((text, float(x0), float(x1), float(y0),
+                        float(y1)))
+    pages.append({'page_number': page_number + 1,
+                  'width': float(page['width']),
+                  'height': float(page['height']),
+                  'words': words})
+  return pages
+
+
+def parse_ibocr(raw: Any) -> List[dict]:
+  blob = raw[0]
+  layouts = blob['metadata_list']
+  all_words = list(chain.from_iterable(blob['lines']))
+  pages = []
+  for page_number in range(len(layouts)):
+    layout = layouts[page_number]['layout']
+    words = [(w['word'],
+              float(min(w['start_x'], w['end_x'])),
+              float(max(w['start_x'], w['end_x'])),
+              float(min(w['start_y'], w['end_y'])),
+              float(max(w['start_y'], w['end_y'])))
+             for w in all_words if w['page'] == page_number]
+    pages.append({'page_number': page_number + 1,
+                  'width': float(layout['width']),
+                  'height': float(layout['height']),
+                  'words': words})
+  return pages
+
+
+_HOCR_BBOX = re.compile(r'bbox (\d+) (\d+) (\d+) (\d+)')
+
+
+def parse_hocr(text: str) -> List[dict]:
+  """Minimal hOCR parser: ocr_page divs + ocrx_word spans."""
+  from html.parser import HTMLParser
+
+  class P(HTMLParser):
+    def __init__(self):
+      super().__init__()
+      self.pages: List[dict] = []
+      self._in_word: Optional[tuple] = None
+
+    def handle_starttag(self, tag, attrs):
+      a = dict(attrs)
+      cls = a.get('class', '')
+      title = a.get('title', '')
+      m = _HOCR_BBOX.search(title)
+      if cls == 'ocr_page' and m:
+        x0, y0, x1, y1 = map(int, m.groups())
+        self.pages.append({'page_number': len(self.pages) + 1,
+                           'width': float(x1 - x0),
+                           'height': float(y1 - y0), 'words': []})
+      elif cls == 'ocrx_word' and m and self.pages:
+        self._in_word = tuple(map(int, m.groups()))
+
+    def handle_data(self, data):
+      if self._in_word is not None and data.strip():
+        x0, y0, x1, y1 = self._in_word
+        self.pages[-1]['words'].append(
+            (data.strip(), float(x0), float(x1), float(y0), float(y1)))
+
+    def handle_endtag(self, tag):
+      self._in_word = None
+
+  p = P()
+  p.feed(text)
+  return p.pages
+
+
+PARSERS = {
+    'google': lambda b: parse_google_ocr(
+        json.loads(b.decode('utf-8', errors='ignore'))),
+    'ibocr': lambda b: parse_ibocr(json.loads(b.decode('utf-8'))),
+    'hocr': lambda b: parse_hocr(b.decode('utf-8', errors='ignore')),
+}
+
+
+def extract_from_ocr_files(spark, path_glob: str, root, *,
+                           ocr_format: str = 'google'):
+  """Bulk extraction over a collection of OCR files: binaryFile scan →
+  mapInPandas(parse + solve).  Same zero-shuffle shape as the spans
+  pipeline; the `content` column stays inside Arrow buffers until the
+  parse call."""
+  import pickle
+
+  from .pipeline import OUTPUT_SCHEMA, compile_blueprint
+
+  parser = PARSERS[ocr_format]
+  payload = compile_blueprint(root)
+  bc = spark.sparkContext.broadcast(payload)
+
+  df = (spark.read.format('binaryFile').load(path_glob)
+        .select('path', 'content'))
+
+  def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..engine.entity_gen import build_doc_pool
+    from ..engine.solver import best_extraction
+    tree = pickle.loads(bc.value)
+    for pdf in batches:
+      rows = []
+      for path, content in zip(pdf['path'], pdf['content']):
+        import time as _time
+        t0 = _time.monotonic()
+        doc_id = path.rsplit('/', 1)[-1]
+        row = {'doc_id': doc_id, 'out_spans': [], 'fields': {},
+               'score': 0.0, 'n_entities': 0, 'n_words': 0,
+               'error': None, 'elapsed_ms': 0.0}
+        try:
+          pages = parser(bytes(content))
+          pool = build_doc_pool(doc_id, pages)
+          assign, _, score = best_extraction(tree, pool)
+          fields = {f: pool.etext[e] for f, e in assign.items()}
+          row.update(
+              out_spans=[{'kind': 'text', 'text': fields[f],
+                          'media_ref': '', 'order': i}
+                         for i, f in enumerate(sorted(fields))],
+              fields=fields, score=float(score),
+              n_entities=pool.n_entities, n_words=pool.n_words)
+        except Exception as e:  # noqa: BLE001 — per-doc isolation
+          row['error'] = f'{type(e).__name__}: {e}'
+        row['elapsed_ms'] = (_time.monotonic() - t0) * 1000.0
+        rows.append(row)
+      yield pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA])
+
+  return df.mapInPandas(run, OUTPUT_SCHEMA)
