@@ -81,6 +81,28 @@ def main() -> None:
   docs_per_sec = n_out / extract_sec if extract_sec > 0 else 0.0
   df.unpersist()
 
+  # Flagship-model benchmark: the full paystubs blueprint (5 vendor
+  # templates + long tail + business rules) over paystub-style docs.
+  from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+      paystub_corpus
+  from blueprint_oss_spark.bp_examples.paystubs import root as stub_root
+  n_stubs = max(100, int(10000 * sf))
+  stub_docs = paystub_corpus(n_stubs, seed=77)
+  stub_rows = [(doc_id,
+                [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                 for (k, t, m, o) in spans])
+               for doc_id, spans in stub_docs]
+  sdf = spark.createDataFrame(stub_rows, SPANS_SCHEMA) \
+      .repartition(int(cpus) * 2).cache()
+  sdf.count()
+  extract_documents(sdf, stub_root).count()  # warmup
+  t0 = time.monotonic()
+  n_stub_out = extract_documents(sdf, stub_root).count()
+  stub_sec = time.monotonic() - t0
+  timings['extraction_paystubs'] = round(stub_sec, 4)
+  stub_docs_per_sec = n_stub_out / stub_sec if stub_sec > 0 else 0.0
+  sdf.unpersist()
+
   # --- relational + training-data ops (steady state: one warmup pass
   # then the timed pass) -------------------------------------------------
   suite = [
@@ -110,6 +132,8 @@ def main() -> None:
       'sf': sf,
       'extraction_docs_per_sec': round(docs_per_sec, 2),
       'extraction_docs': n_out,
+      'paystubs_docs_per_sec': round(stub_docs_per_sec, 2),
+      'paystubs_docs': n_stub_out,
       'cpus': int(cpus),
   }))
   spark.stop()

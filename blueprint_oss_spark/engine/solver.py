@@ -103,7 +103,10 @@ class _ScoreCache:
     self.memo: Dict = {}
 
   def atom_score(self, atom: Atom, eids: Tuple[int, ...]) -> float:
-    key = (atom.predicate, eids)
+    # keyed by predicate object identity — the tree is fixed for the
+    # lifetime of the cache, and id() avoids re-hashing large predicate
+    # param tuples in the hot loop
+    key = (id(atom.predicate), eids)
     got = self.memo.get(key)
     if got is None:
       got = score_predicate(atom.predicate, self.doc, eids)
@@ -274,10 +277,11 @@ def _empty_se(fields: FrozenSet[Field], atom_rules: Sequence[Atom],
             {a.rid: 1.0 for a in atom_rules}, mass, 0.0)
 
 
-def bind_node(node: Node, doc: DocPool, memo: Dict) -> Bound:
+def bind_node(node: Node, doc: DocPool, memo: Dict,
+              need_all: bool = True) -> Bound:
   if isinstance(node, EmptyNode):
     return Bound(frozenset(), 1, [])
-  return _continue_bind(node, doc, memo)
+  return _continue_bind(node, doc, memo, need_all)
 
 def _score_cache(doc: DocPool, memo: Dict) -> _ScoreCache:
   sc = memo.get('_score_cache')
@@ -296,7 +300,8 @@ def _rule_meta(rules: Sequence[Rule], memo: Dict) -> List[_RuleMeta]:
   return got
 
 
-def _continue_bind(node: Node, doc: DocPool, memo: Dict) -> Bound:
+def _continue_bind(node: Node, doc: DocPool, memo: Dict,
+                   need_all: bool = True) -> Bound:
   sc = _score_cache(doc, memo)
 
   if isinstance(node, LeafNode):
@@ -321,20 +326,40 @@ def _continue_bind(node: Node, doc: DocPool, memo: Dict) -> Bound:
   if isinstance(node, CombineNode):
     b1 = bind_node(node.node1, doc, memo)
     b2 = bind_node(node.node2, doc, memo)
-    return _bind_combine(b1, b2, _rule_meta(node.rules, memo),
-                         node.all_or_nothing, sc)
+    meta = _rule_meta(node.rules, memo)
+    if not need_all:
+      return _bind_combine_best(b1, b2, meta, node.all_or_nothing, sc)
+    return _bind_combine(b1, b2, meta, node.all_or_nothing, sc)
 
   if isinstance(node, MergeNode):
     # MergeNode executes as a fresh combine chain; its own spanning rules
     # are never scored (bp/tree.py:455-461, bp/bound_tree.py:197-199).
-    return bind_node(combine(*node.children), doc, memo)
+    return bind_node(combine(*node.children), doc, memo, need_all)
 
   if isinstance(node, PickBestNode):
+    if not need_all and not node.rules:
+      # Only the best is needed and there are no node rules (rule
+      # pushdown always empties PickBest rules, bp/tree.py:854-858):
+      # renormalization sum(fs)/mass is order-preserving within each
+      # (sorted) child list, so the argmax over children's heads is the
+      # argmax over the whole union — and each child therefore only
+      # needs its own best (need=1 propagates).
+      children = [bind_node(c, doc, memo, need_all=False)
+                  for c in node.children]
+      mass = max(c.mass for c in children)
+      legal = frozenset().union(*(c.legal_fields for c in children))
+      meta = _rule_meta(node.rules, memo)
+      out = []
+      for c in children:
+        if c.cands:
+          out.append(merge_fast([c.cands[0]], meta, mass, sc))
+      out.sort(key=lambda s: -s.score)
+      return Bound(legal, mass, out)
     children = [bind_node(c, doc, memo) for c in node.children]
     mass = max(c.mass for c in children)
     legal = frozenset().union(*(c.legal_fields for c in children))
     meta = _rule_meta(node.rules, memo)
-    out: List[SE] = []
+    out = []
     for c in children:
       for se in c.cands:
         m = merge_fast([se], meta, mass, sc)
@@ -349,6 +374,186 @@ def _continue_bind(node: Node, doc: DocPool, memo: Dict) -> Bound:
   raise TypeError(f'unknown node type {type(node)}')
 
 
+def _merge_pair(a: SE, b: SE, meta: Sequence[_RuleMeta], mass: int,
+                sc: _ScoreCache) -> Optional[SE]:
+  """Fused 2-way merge: one metadata scan; the output dicts are built
+  only when the pair survives.  Exactly bp/scoring.py:217-264 for pairs
+  that survive; pairs returning None are exactly the ones merge would
+  produce as invalid (a decidable rule scored 0, a 0-upper-bound early
+  exit touched an assigned field, or a field score fell to ≤ 0.1)."""
+  a_assign = a.assign
+  b_assign = b.assign
+  a_rs = a.rule_scores
+  b_rs = b.rule_scores
+
+  decidable: List = []       # (_RuleMeta, score)
+  early_exit_meta: List = []
+  extra_atom_scores: List = []  # (rid, score) cached-atom pass results
+
+  for m in meta:
+    decid = True
+    for f in m.rule.fields:
+      if f not in a_assign and f not in b_assign:
+        decid = False
+        break
+    if decid:
+      rid = m.rule.rid
+      s = a_rs.get(rid)
+      if s is None:
+        s = b_rs.get(rid)
+      if s is None:
+        if m.is_atom:
+          atom = m.rule
+          s = sc.atom_score(atom, tuple(
+              a_assign[f] if f in a_assign else b_assign[f]
+              for f in atom.fields))
+          extra_atom_scores.append((rid, s))
+        else:
+          # connective: recompute from atoms (reference recomputes too,
+          # bp/scoring.py:243-247 TODO note)
+          s = _connective_score(m.rule, a_assign, b_assign, sc)
+          extra_atom_scores.append((rid, s))
+      if s == 0.0:
+        return None  # zeroes an assigned field → invalid
+      decidable.append((m, s))
+    else:
+      if not m.is_atom:
+        # early exit check (bp/scoring.py:249-261); cache decidable
+        # atoms of this rule first, as the reference's atom pass does
+        bound = 1.0
+        for atom, afields in m.atoms:
+          ok = True
+          for f in atom.fields:
+            if f not in a_assign and f not in b_assign:
+              ok = False
+              break
+          if ok:
+            rid = atom.rid
+            s = a_rs.get(rid)
+            if s is None:
+              s = b_rs.get(rid)
+            if s is None:
+              s = sc.atom_score(atom, tuple(
+                  a_assign[f] if f in a_assign else b_assign[f]
+                  for f in atom.fields))
+            extra_atom_scores.append((rid, s))
+        bound = _bound_fast(m.rule, a_assign, b_assign, a_rs, b_rs,
+                            dict(extra_atom_scores))
+        if bound == 0.0:
+          touches = any(f in a_assign or f in b_assign
+                        for f in m.rule.fields)
+          if touches:
+            return None
+          early_exit_meta.append(m)
+
+  field_scores = {**a.field_scores, **b.field_scores}
+  for (m, s) in decidable:
+    if s != 1.0:
+      for f in m.rule.fields:
+        if f in a_assign or f in b_assign:
+          field_scores[f] *= s
+
+  assign = {**a_assign, **b_assign}
+  for f in assign:
+    if not field_scores[f] > MINIMUM_FIELD_SCORE:
+      return None
+
+  rule_scores = {**a_rs, **b_rs}
+  for rid, s in extra_atom_scores:
+    if rid not in rule_scores:
+      rule_scores[rid] = s
+  for (m, s) in decidable:
+    rule_scores[m.rule.rid] = s
+
+  score = sum(field_scores.values()) / mass
+  return SE(assign, field_scores, rule_scores, mass, score)
+
+
+def _connective_score(rule: Rule, a_assign: Dict[Field, int],
+                      b_assign: Dict[Field, int], sc: _ScoreCache) \
+    -> float:
+  if isinstance(rule, Atom):
+    for f in rule.fields:
+      if f not in a_assign and f not in b_assign:
+        return 1.0
+    return sc.atom_score(rule, tuple(
+        a_assign[f] if f in a_assign else b_assign[f]
+        for f in rule.fields))
+  if isinstance(rule, Disjunction):
+    return max(_connective_score(r, a_assign, b_assign, sc)
+               for r in rule.rules)
+  s = 1.0
+  for r in rule.rules:
+    s *= _connective_score(r, a_assign, b_assign, sc)
+  return s
+
+
+def _bound_fast(rule: Rule, a_assign, b_assign, a_rs, b_rs,
+                extra: Dict[int, float]) -> float:
+  got = extra.get(rule.rid)
+  if got is None:
+    got = a_rs.get(rule.rid)
+  if got is None:
+    got = b_rs.get(rule.rid)
+  if got is not None:
+    return got
+  if isinstance(rule, Atom):
+    return 1.0  # decidable atoms were cached above
+  if isinstance(rule, Disjunction):
+    subs = [_bound_fast(r, a_assign, b_assign, a_rs, b_rs, extra)
+            for r in rule.rules]
+    return max(subs) if subs else 1.0
+  s = 1.0
+  for r in rule.rules:
+    s *= _bound_fast(r, a_assign, b_assign, a_rs, b_rs, extra)
+  return s
+
+
+def _bind_combine_best(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
+                       all_or_nothing: bool, sc: _ScoreCache) -> Bound:
+  """Exact best-only combine via branch-and-bound over the sorted child
+  lists.  The merged score is bounded by
+      (a.score·a.mass + b.score·b.mass) / mass
+  since node rules only multiply field scores by values ≤ 1, so pairs
+  whose bound cannot exceed the best-so-far are skipped.  Pairs are
+  visited in the materializing path's (i, j) order with strictly-better
+  replacement, so the tie-winner is identical to sorting the full list
+  and taking the head."""
+  legal = b1.legal_fields | b2.legal_fields
+  mass = b1.mass + b2.mass
+  gate_aon = all_or_nothing and b1.legal_fields and b2.legal_fields
+  n_legal = len(legal)
+  m1, m2 = b1.mass, b2.mass
+  best: Optional[SE] = None
+  for a in b1.cands:
+    _check_deadline()
+    a_sum = a.score * m1
+    if best is not None and b2.cands \
+        and (a_sum + b2.cands[0].score * m2) / mass <= best.score:
+      break  # b1 sorted desc → no later a can beat best either
+    a_assign = a.assign
+    a_empty = not a_assign
+    na = len(a_assign)
+    for b in b2.cands:
+      if best is not None \
+          and (a_sum + b.score * m2) / mass <= best.score:
+        break  # b2 sorted desc
+      if gate_aon:
+        if a_empty != (not b.assign):
+          continue
+        if not a_empty and na + len(b.assign) != n_legal:
+          continue
+      m = _merge_pair(a, b, meta, mass, sc)
+      if m is None:
+        continue
+      if all_or_nothing and not m.is_empty \
+          and len(m.assign) != n_legal:
+        continue
+      if best is None or m.score > best.score:
+        best = m
+  return Bound(legal, mass, [best] if best is not None else [])
+
+
 def _bind_combine(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
                   all_or_nothing: bool, sc: _ScoreCache) -> Bound:
   legal = b1.legal_fields | b2.legal_fields
@@ -356,16 +561,28 @@ def _bind_combine(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
   if len(b1.cands) * len(b2.cands) > MAX_PAIRS_PER_COMBINE:
     raise SolverBudgetError(
         f'combine product {len(b1.cands)}x{len(b2.cands)} exceeds budget')
+  gate_aon = all_or_nothing and b1.legal_fields and b2.legal_fields
+  n_legal = len(legal)
   out: List[SE] = []
   for a in b1.cands:
     _check_deadline()
+    a_assign = a.assign
+    a_empty = not a_assign
+    na = len(a_assign)
     for b in b2.cands:
-      m = merge_fast([a, b], meta, mass, sc)
-      if all_or_nothing and not m.is_empty \
-          and frozenset(m.assign) != legal:
+      if gate_aon:
+        # full-or-empty gate before any scoring work
+        if a_empty != (not b.assign):
+          continue
+        if not a_empty and na + len(b.assign) != n_legal:
+          continue
+      m = _merge_pair(a, b, meta, mass, sc)
+      if m is None:
         continue
-      if m.valid():
-        out.append(m)
+      if all_or_nothing and not m.is_empty \
+          and len(m.assign) != n_legal:
+        continue
+      out.append(m)
   out.sort(key=lambda s: -s.score)  # stable; ties keep (i, j) order
   return Bound(legal, mass, out)
 
@@ -540,7 +757,7 @@ def best_extraction(root: Node, doc: DocPool) \
   optimized = optimize_rule_distribution(root)
   optimized.validate()
   memo: Dict = {}
-  bound = bind_node(optimized, doc, memo)
+  bound = bind_node(optimized, doc, memo, need_all=False)
   if not bound.cands:
     return {}, {}, 0.0
   best = bound.cands[0]  # lists are sorted desc, stable

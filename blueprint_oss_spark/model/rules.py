@@ -106,6 +106,15 @@ class Predicate:
           f'predicate {self.kind}')
     return Atom(fields=tuple(fields), predicate=self)
 
+  def __hash__(self) -> int:
+    # value hash, computed once (params tuples can be large — e.g.
+    # text_equals vocabularies — and predicates are hashed in hot loops)
+    h = self.__dict__.get('_hash')
+    if h is None:
+      h = hash((self.kind, self.degree, self.params))
+      object.__setattr__(self, '_hash', h)
+    return h
+
   def __str__(self) -> str:
     return self.name or self.kind
 
