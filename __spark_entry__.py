@@ -79,6 +79,24 @@ def entry(spark: SparkSession) -> DataFrame:
                   'score', 'n_entities', 'n_words', 'error'))
 
 
+def _bp_extract_paystubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Flagship model (5 vendor templates + long tail + business rules)
+  over the paystub fixture corpus."""
+  from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+      paystub_corpus
+  from blueprint_oss_spark.bp_examples.paystubs import root
+  docs = paystub_corpus(max(30, _n_docs_for(sf_dir, base=120)))
+  rows = [(doc_id,
+           [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in spans])
+          for doc_id, spans in docs]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = extract_documents(df, root)
+  return out.select(
+      'doc_id', F.to_json('fields').alias('fields_json'),
+      F.round('score', 9).alias('score'), 'n_entities', 'n_words')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
   from blueprint_oss_spark.ops import relational as R
   from blueprint_oss_spark.ops import textops as T
@@ -101,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'bp_extract_table': _bp_extract('table'),
       'bp_extract_multipage': _bp_extract('multipage'),
       'bp_extract_adversarial': _bp_extract('adversarial'),
+      'bp_extract_paystubs': _bp_extract_paystubs,
       # --- relational shell (DuckDB-oracled) ---
       'q1_pricing_summary': R.q1_pricing_summary,
       'q3_shipping_priority': R.q3_shipping_priority,

@@ -1,0 +1,78 @@
+"""CLI: run blueprint extraction jobs from the command line.
+
+Mirrors the reference CLI surface (bp/cli/cli_main.py run_model) but
+Spark-first: the document set is a spans parquet table or a directory of
+OCR files, and execution is the bulk pipeline.
+
+Examples:
+  python -m blueprint_oss_spark run_model \
+      --model model.json --input spans.parquet --output out/
+
+  spark-submit --py-files blueprint_oss_spark.zip \
+      -m blueprint_oss_spark run_model --model model.json \
+      --input s3://bucket/docs --output s3://bucket/out \
+      --ocr-format google
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+  ap = argparse.ArgumentParser(prog='blueprint_oss_spark')
+  sub = ap.add_subparsers(dest='cmd', required=True)
+
+  rm = sub.add_parser('run_model', help='bulk extraction job')
+  rm.add_argument('--model', required=True,
+                  help='blueprint model JSON (reference-compatible)')
+  rm.add_argument('--input', required=True,
+                  help='spans parquet path, or OCR file glob with '
+                       '--ocr-format')
+  rm.add_argument('--output', required=True, help='output parquet path')
+  rm.add_argument('--ocr-format', choices=['google', 'ibocr', 'hocr'],
+                  default=None)
+  rm.add_argument('--master', default='local[*]')
+  rm.add_argument('--timeout', type=float, default=45.0,
+                  help='per-document budget in seconds (reference '
+                       'default 45, bp/cli/run_model.py:32)')
+  rm.add_argument('--buckets', type=int, default=64)
+  rm.add_argument('--groups', type=int, default=4)
+  rm.add_argument('--no-resume', action='store_true')
+
+  args = ap.parse_args(argv)
+
+  from pyspark.sql import SparkSession
+
+  from .model.json_io import load_model
+  from .spark.pipeline import run_extraction_job
+  from .spark.sources import extract_from_ocr_files
+
+  spark = (SparkSession.builder.master(args.master)
+           .appName('blueprint-oss-spark')
+           .config('spark.sql.adaptive.enabled', 'true')
+           .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+           .getOrCreate())
+  root = load_model(args.model)
+
+  if args.ocr_format:
+    out = extract_from_ocr_files(spark, args.input, root,
+                                 ocr_format=args.ocr_format)
+    out.write.mode('overwrite').parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({'docs': n, 'output': args.output}))
+  else:
+    lineage = run_extraction_job(
+        spark, spark.read.parquet(args.input), args.output, root,
+        buckets=args.buckets, groups=args.groups,
+        resume=not args.no_resume, doc_time_budget_s=args.timeout)
+    print(json.dumps({'groups_processed': len(lineage),
+                      'output': args.output}))
+  spark.stop()
+  return 0
+
+
+if __name__ == '__main__':
+  sys.exit(main())

@@ -18,11 +18,17 @@ from __future__ import annotations
 
 import re
 from bisect import bisect
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..model.rules import Predicate
 from .docmodel import DocPool, TYPE_DATE, TYPE_DOLLAR, TYPE_TEXT
-from .entity_gen import edit_distance
+from .entity_gen import edit_distance as _edit_distance_raw
+
+# Hot kernels memoized: blueprints compare fixed label vocabularies
+# against recurring entity texts, so (s1, s2) pairs repeat heavily both
+# within and across documents in a worker.
+edit_distance = lru_cache(maxsize=200_000)(_edit_distance_raw)
 
 _DIGITS = '0123456789'
 
@@ -73,6 +79,7 @@ _F_ALPHA = 4
 _F_NUM = 8
 
 
+@lru_cache(maxsize=200_000)
 def massage(flags: int, s: str) -> str:
   if not (flags & _F_CASE):
     s = s.upper()

@@ -115,12 +115,13 @@ def canonical_out_spans(
 
 def run_doc(doc_id: str,
             spans: Sequence[Tuple[str, str, str, int]],
-            root: Node) -> dict:
+            root: Node, pre_optimized: bool = False) -> dict:
   """Run one document end-to-end: spans → entity pool → solve → canonical
   output rows."""
   pages = spans_to_pages(spans)
   pool = build_doc_pool(doc_id, pages)
-  assign, field_scores, score = best_extraction(root, pool)
+  assign, field_scores, score = best_extraction(root, pool,
+                                                pre_optimized)
   fields_to_text = {f: pool.etext[e] for f, e in assign.items()}
   return {
       'doc_id': doc_id,

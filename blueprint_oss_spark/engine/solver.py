@@ -39,6 +39,9 @@ from .kernels import score_predicate
 
 MINIMUM_FIELD_SCORE = 0.1  # strict lower bound (bp/scoring.py:196-200)
 
+# (pattern id, candidate-count signature) → per-doc ordered combine tree.
+_ORDERED_TREE_CACHE: Dict = {}
+
 # Safety valve for candidate-list materialization (the reference has a 45 s
 # per-doc SIGALRM instead, bp/cli/run_model.py:32).
 MAX_PAIRS_PER_COMBINE = 4_000_000
@@ -675,6 +678,15 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
 
   graphs.sort(key=lambda g: (estimated_valid(*g), tuple(sorted(g[0]))))
 
+  # The ordered tree depends on the pattern and the per-field candidate
+  # counts only; documents with identical counts share it (worker-global
+  # cache — the tree objects are immutable).
+  cache_key = (id(node), tuple(sorted(counts.items())))
+  cached = _ORDERED_TREE_CACHE.get(cache_key)
+  if cached is not None:
+    child = bind_node(cached, doc, memo)
+    return _pattern_public(node, child)
+
   def build_tree(comp: FrozenSet[Field],
                  edges: Dict[Tuple[Field, Field], List[float]]) -> Node:
     """Greedy min-cost pairing (bp/tree.py:761-802)."""
@@ -730,8 +742,16 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
                  [SE({}, {}, {}, 1, 0.0)])
   root = reduce(lambda a, b: combine(a, b, all_or_nothing=True), trees)
   root = optimize_rule_distribution(root, tuple(flat))
+  if len(_ORDERED_TREE_CACHE) > 4096:
+    _ORDERED_TREE_CACHE.clear()
+  _ORDERED_TREE_CACHE[cache_key] = root
   child = bind_node(root, doc, memo)
+  return _pattern_public(node, child)
 
+
+def _pattern_public(node: PatternNode, child: Bound) -> Bound:
+  """Filter the pattern child's extractions to public fields
+  (bp/bound_tree.py:150-175)."""
   public = node.public_fields
   mass = len(public)
   out: List[SE] = []
@@ -747,18 +767,34 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
 # Entry point.
 # ---------------------------------------------------------------------------
 
-def best_extraction(root: Node, doc: DocPool) \
+def best_extraction(root: Node, doc: DocPool,
+                    pre_optimized: bool = False) \
     -> Tuple[Dict[Field, int], Dict[Field, float], float]:
   """Best extraction of the optimized tree on one document — matches the
   reference pumped to exhaustion (first strictly-better kept,
   bp/bound_tree.py:61-65).
 
   Returns (assignment field→entity id, field scores, score)."""
-  optimized = optimize_rule_distribution(root)
-  optimized.validate()
+  if pre_optimized:
+    optimized = root
+  else:
+    optimized = optimize_rule_distribution(root)
+    optimized.validate()
   memo: Dict = {}
   bound = bind_node(optimized, doc, memo, need_all=False)
   if not bound.cands:
     return {}, {}, 0.0
   best = bound.cands[0]  # lists are sorted desc, stable
   return dict(best.assign), dict(best.field_scores), best.score
+
+
+def top_extractions(root: Node, doc: DocPool, k: int = 20) \
+    -> List[Tuple[Dict[Field, int], float]]:
+  """Top-k extractions of the optimized tree (the reference results sink
+  records top-20 per node, bp/results.py:57-68).  Runs the full
+  materializing path (no need-1 pruning)."""
+  optimized = optimize_rule_distribution(root)
+  optimized.validate()
+  memo: Dict = {}
+  bound = bind_node(optimized, doc, memo, need_all=True)
+  return [(dict(se.assign), se.score) for se in bound.cands[:k]]

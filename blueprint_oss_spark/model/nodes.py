@@ -27,6 +27,15 @@ class Node:
 
   @property
   def legal_fields(self) -> FrozenSet[Field]:
+    """Cached per instance — recomputed recursively otherwise, and the
+    per-doc planner calls this in hot loops."""
+    got = self.__dict__.get('_legal_fields')
+    if got is None:
+      got = self._legal_fields_impl()
+      object.__setattr__(self, '_legal_fields', got)
+    return got
+
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     raise NotImplementedError
 
   @property
@@ -58,8 +67,7 @@ class Node:
 class EmptyNode(Node):
   """reference: bp/tree.py:160-195."""
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     return frozenset()
 
 
@@ -69,8 +77,7 @@ class LeafNode(Node):
   field: Field = ''
   entity_type: str = 'Text'
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     return frozenset({self.field})
 
 
@@ -84,8 +91,7 @@ class PatternNode(Node):
   def field_types(self) -> Dict[Field, str]:
     return dict(self.fields)
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     return frozenset(f for f, _ in self.fields)
 
   @property
@@ -102,8 +108,7 @@ class CombineNode(Node):
   node2: Node = EmptyNode()
   all_or_nothing: bool = False
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     return self.node1.legal_fields | self.node2.legal_fields
 
   @property
@@ -122,8 +127,7 @@ class MergeNode(Node):
   """N-ary combine (reference: bp/tree.py:426-473)."""
   children: Tuple[Node, ...] = tuple()
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     return frozenset(itertools.chain.from_iterable(
         c.legal_fields for c in self.children))
 
@@ -138,8 +142,7 @@ class PickBestNode(Node):
   (reference: bp/tree.py:563-616)."""
   children: Tuple[Node, ...] = tuple()
 
-  @property
-  def legal_fields(self) -> FrozenSet[Field]:
+  def _legal_fields_impl(self) -> FrozenSet[Field]:
     if not self.children:
       return frozenset()
     return frozenset.union(*(c.legal_fields for c in self.children))

@@ -124,7 +124,7 @@ def extract_documents(df: DataFrame, root: Node, *,
           solver_mod.set_deadline(t0 + doc_time_budget_s)
           span_rows = [(s['kind'], s['text'], s['media_ref'],
                         int(s['offset'])) for s in spans]
-          r = run_doc(str(doc_id), span_rows, tree)
+          r = run_doc(str(doc_id), span_rows, tree, pre_optimized=True)
           row.update(
               out_spans=[{'kind': k, 'text': t, 'media_ref': m,
                           'order': o} for (k, t, m, o) in r['out_spans']],
