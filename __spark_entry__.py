@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'ann_topk_lsh': lambda s, d: V.ann_topk_lsh(s, d),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
+      'simhash64': T.simhash64,
+      'embedding_near_dup_pairs':
+          lambda s, d: V.embedding_near_dup_pairs(s, d),
       # --- multimodal plumbing (stubbed decode; deterministic) ---
       'media_features': media_features,
   }

@@ -103,6 +103,10 @@ def main() -> None:
   stub_docs_per_sec = n_stub_out / stub_sec if stub_sec > 0 else 0.0
   sdf.unpersist()
 
+  # Release extraction-phase memory before the relational suite so GC
+  # pressure from the cached corpora doesn't pollute those timings.
+  spark.catalog.clearCache()
+
   # --- relational + training-data ops (steady state: one warmup pass
   # then the timed pass) -------------------------------------------------
   suite = [

@@ -330,8 +330,12 @@ def _impingement_region(doc: DocPool, region: str, spanning: bool,
 def _score_box_unimpinged(pred: Predicate, doc: DocPool,
                           eids: Tuple[int, ...]) -> float:
   """reference: bp/rules/impingement.py:98-129."""
-  region = _impingement_region(
-      doc, pred.p('region'), bool(pred.p('spanning', False)), eids)
+  region_kind = pred.p('region')
+  if region_kind == 'custom':
+    region = pred.p('region_fn')(doc, eids)
+  else:
+    region = _impingement_region(
+        doc, region_kind, bool(pred.p('spanning', False)), eids)
   if region is None:
     return 1.0
   x0, x1, y0, y1 = region
@@ -647,5 +651,8 @@ def score_predicate(pred: Predicate, doc: DocPool,
 
   if k == 'box_unimpinged':
     return _score_box_unimpinged(pred, doc, eids)
+
+  if k == 'custom':
+    return float(pred.p('fn')(doc, eids))
 
   raise ValueError(f'unknown predicate kind {k}')

@@ -93,6 +93,8 @@ class Predicate:
 
   def leniency(self) -> float:
     """Reference parity: bp/rule.py:140-147,176-190 and per-kind overrides."""
+    if self.kind == 'custom':
+      return self.p('leniency', LENIENCE_MEDIUM)
     if self.kind in _LENIENCY_BY_KIND:
       return _LENIENCY_BY_KIND[self.kind]
     if self.kind in _DEGREE1_KINDS:
@@ -691,6 +693,41 @@ immediate_header_box_unimpinged = _unimpinged(
 tabular_entry_box_unimpinged = _unimpinged(
     'tabular_entry', Orientation.HORIZONTAL, 2,
     name='tabular_entry_box_unimpinged')
+
+
+# ---------------------------------------------------------------------------
+# Custom predicates — the user-defined-rule surface (reference:
+# bp/rule.py:99-173, users subclass Predicate and override score();
+# real examples: examples/checks/checks.py:27-90).
+# ---------------------------------------------------------------------------
+
+def custom_predicate(score_fn, degree: Union[int, str],
+                     name: str = 'custom',
+                     leniency: float = LENIENCE_MEDIUM) -> Predicate:
+  """Wrap a scoring callable as a predicate.
+
+  score_fn(doc, eids) -> float in [0, 1], where doc is the engine's
+  DocPool (bbox arrays ex0/ex1/ey0/ey1, etext, median_line_height,
+  pages_of_entity, wordset) and eids the assigned entity ids in field
+  order.  The callable must be importable/picklable (module level) so it
+  broadcasts to executors.
+  """
+  return _pred('custom', degree, name=name, fn=score_fn,
+               leniency=leniency)
+
+
+def custom_unimpinged(region_fn, direction: str, degree: int = 1,
+                      illegal_characters: Optional[str] = None,
+                      maximum_impingement: float = 1.0,
+                      name: str = 'custom_unimpinged') -> Predicate:
+  """Custom BoxUnimpinged: region_fn(doc, eids) -> (x0, x1, y0, y1) or
+  None; the standard impingement sweep applies (reference:
+  bp/rules/impingement.py:30-129 subclassing, e.g. EmptyLineAbove in
+  examples/checks/checks.py:27-46)."""
+  return _pred('box_unimpinged', degree, name=name, region='custom',
+               region_fn=region_fn, direction=direction,
+               illegal_characters=illegal_characters,
+               maximum_impingement=maximum_impingement)
 
 
 # ---------------------------------------------------------------------------

@@ -138,6 +138,36 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_a', 'doc_b'))
 
 
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """64-bit SimHash per document, fully Catalyst-side: per-token
+  xxhash64 → per-bit ±1 votes aggregated over tokens → packed sign
+  bits.  Near-dups differ in few bits (hamming-ball blocking joins on
+  bit-band prefixes, same shape as minhash banding)."""
+  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  votes = F.aggregate(
+      toks,
+      F.expr('array_repeat(0L, 64)'),
+      lambda acc, t: F.zip_with(
+          acc,
+          F.array(*[
+              F.when(F.shiftright(F.xxhash64(t), i)
+                     .bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1)).cast('long')
+              for i in range(64)]),
+          lambda a, b: a + b))
+  d = d.withColumn('_v', votes)
+  sim = None
+  for i in range(64):
+    bit_val = (1 << i) if i < 63 else -(1 << 63)
+    term = F.when(F.element_at('_v', i + 1) > 0,
+                  F.lit(bit_val).cast('long')) \
+        .otherwise(F.lit(0).cast('long'))
+    sim = term if sim is None else sim + term
+  return (d.select('doc_id', sim.alias('simhash'))
+          .orderBy('doc_id'))
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                         shingle: int = 3,
                         threshold: float = 0.8) -> DataFrame:

@@ -88,6 +88,32 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str, *,
           .orderBy('vec_id'))
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
+                             threshold: float = 0.95,
+                             block_planes: int = 4) -> DataFrame:
+  """Embedding-cosine near-dup pairs above a threshold, LSH-blocked:
+  candidate pairs share a sign-LSH bucket (block_planes bits), exact
+  cosine inside the block.  The bucket id is the shuffle key — at scale
+  this is one groupBy instead of a cross join."""
+  buckets = ann_lsh_buckets(spark, sf_dir, n_planes=block_planes) \
+      .select('vec_id', 'bucket')
+  e = _emb(spark, sf_dir).join(buckets, 'vec_id')
+  a = e.alias('a')
+  b = e.alias('b')
+  vec = lambda side: F.transform(F.col(f'{side}.embedding'),
+                                 lambda x: x.cast('double'))
+  pairs = (a.join(b, (F.col('a.bucket') == F.col('b.bucket'))
+                  & (F.col('a.vec_id') < F.col('b.vec_id')))
+           .select(F.col('a.vec_id').alias('vec_a'),
+                   F.col('b.vec_id').alias('vec_b'),
+                   (_dot(vec('a'), vec('b'))
+                    / (_norm(vec('a')) * _norm(vec('b'))))
+                   .alias('cosine')))
+  return (pairs.where(F.col('cosine') >= threshold)
+          .select('vec_a', 'vec_b', F.round('cosine', 4).alias('cos_r'))
+          .orderBy('vec_a', 'vec_b'))
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, *,
                  query_vec_id: int = 0, k: int = 10,
                  n_planes: int = 6) -> DataFrame:
