@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Regenerate the raw .explain('formatted') dumps behind PLANS.md."""
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+  spark = (SparkSession.builder.master('local[4]')
+           .config('spark.sql.shuffle.partitions', '8')
+           .config('spark.sql.adaptive.enabled', 'true')
+           .config('spark.ui.enabled', 'false').getOrCreate())
+  spark.sparkContext.setLogLevel('ERROR')
+  from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
+  from blueprint_oss_spark.spark.pipeline import (
+      SPANS_SCHEMA, extract_documents)
+  from blueprint_oss_spark.ops import relational as R, textops as T
+
+  docs = readme_corpus(8, seed=1)
+  rows = [(d, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+               for (k, t, m, o) in s]) for d, s in docs]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  print('=== EXTRACTION PIPELINE ===')
+  extract_documents(df, readme_blueprint()).explain('formatted')
+  print('=== Q1 ===')
+  R.q1_pricing_summary(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== Q3 ===')
+  R.q3_shipping_priority(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== MINHASH ===')
+  T.minhash_shingles(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  spark.stop()
+
+
+if __name__ == '__main__':
+  main()
