@@ -135,6 +135,16 @@ class MergeNode(Node):
   def child_nodes(self) -> Tuple[Node, ...]:
     return self.children
 
+  def validate(self) -> None:
+    super().validate()
+    seen: set = set()
+    for c in self.children:
+      overlap = seen & c.legal_fields
+      if overlap:
+        raise ValueError(
+            f'fields {overlap} appear in multiple merge children')
+      seen |= c.legal_fields
+
 
 @dataclass(frozen=True)
 class PickBestNode(Node):
