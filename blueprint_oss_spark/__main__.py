@@ -32,8 +32,12 @@ def main(argv=None) -> int:
                   help='spans parquet path, or OCR file glob with '
                        '--ocr-format')
   rm.add_argument('--output', required=True, help='output parquet path')
-  rm.add_argument('--ocr-format', choices=['google', 'ibocr', 'hocr'],
-                  default=None)
+  rm.add_argument('--ocr-format',
+                  choices=['google', 'ibocr', 'hocr', 'docjson'],
+                  default=None,
+                  help='treat --input as a file glob in this format '
+                       '(docjson = reference Document JSON, '
+                       'bp/document.py:188-207) instead of spans parquet')
   rm.add_argument('--master', default='local[*]')
   rm.add_argument('--timeout', type=float, default=45.0,
                   help='per-document budget in seconds (reference '
@@ -48,7 +52,8 @@ def main(argv=None) -> int:
 
   from .model.json_io import load_model
   from .spark.pipeline import run_extraction_job
-  from .spark.sources import extract_from_ocr_files
+  from .spark.sources import (
+      extract_from_doc_json_files, extract_from_ocr_files)
 
   spark = (SparkSession.builder.master(args.master)
            .appName('blueprint-oss-spark')
@@ -58,8 +63,11 @@ def main(argv=None) -> int:
   root = load_model(args.model)
 
   if args.ocr_format:
-    out = extract_from_ocr_files(spark, args.input, root,
-                                 ocr_format=args.ocr_format)
+    if args.ocr_format == 'docjson':
+      out = extract_from_doc_json_files(spark, args.input, root)
+    else:
+      out = extract_from_ocr_files(spark, args.input, root,
+                                   ocr_format=args.ocr_format)
     out.write.mode('overwrite').parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(json.dumps({'docs': n, 'output': args.output}))

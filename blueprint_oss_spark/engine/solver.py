@@ -682,9 +682,12 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
   # counts only; documents with identical counts share it (worker-global
   # cache — the tree objects are immutable).
   cache_key = (id(node), tuple(sorted(counts.items())))
-  cached = _ORDERED_TREE_CACHE.get(cache_key)
-  if cached is not None:
-    child = bind_node(cached, doc, memo)
+  entry = _ORDERED_TREE_CACHE.get(cache_key)
+  # The entry pins `node` so its id() cannot be recycled by a later
+  # unpickle; the identity check guards against a stale entry whose node
+  # address was freed before this cache was last cleared.
+  if entry is not None and entry[0] is node:
+    child = bind_node(entry[1], doc, memo)
     return _pattern_public(node, child)
 
   def build_tree(comp: FrozenSet[Field],
@@ -744,7 +747,7 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
   root = optimize_rule_distribution(root, tuple(flat))
   if len(_ORDERED_TREE_CACHE) > 4096:
     _ORDERED_TREE_CACHE.clear()
-  _ORDERED_TREE_CACHE[cache_key] = root
+  _ORDERED_TREE_CACHE[cache_key] = (node, root)
   child = bind_node(root, doc, memo)
   return _pattern_public(node, child)
 

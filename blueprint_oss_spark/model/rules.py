@@ -147,6 +147,20 @@ class Atom:
   predicate: Predicate
   rid: int = dc_field(default_factory=_next_rule_id)
 
+  def __setstate__(self, state) -> None:
+    # rids must be unique within a PROCESS, not within a pickle: rules
+    # created after unpickling (e.g. AreDisjoint atoms injected during
+    # per-document binding) draw from this process's counter, which
+    # restarts at 1 in a fresh executor — colliding rids cross-wire the
+    # rid-keyed rule-score caches and mis-score extractions.  Re-draw the
+    # rid at unpickle time; intra-pickle sharing is preserved because
+    # pickle memoizes shared objects.
+    if isinstance(state, tuple):  # (dict_state, slots_state)
+      state = {**(state[0] or {}), **(state[1] or {})}
+    for k, v in state.items():
+      object.__setattr__(self, k, v)
+    object.__setattr__(self, 'rid', _next_rule_id())
+
   def __hash__(self) -> int:
     return hash((self.fields, self.predicate))
 
@@ -164,6 +178,14 @@ class Connective:
   rules: Tuple['Rule', ...]
   name: Optional[str] = None
   rid: int = dc_field(default_factory=_next_rule_id)
+
+  def __setstate__(self, state) -> None:
+    # See Atom.__setstate__ — rids are process-unique, not pickle-unique.
+    if isinstance(state, tuple):  # (dict_state, slots_state)
+      state = {**(state[0] or {}), **(state[1] or {})}
+    for k, v in state.items():
+      object.__setattr__(self, k, v)
+    object.__setattr__(self, 'rid', _next_rule_id())
 
   @property
   def fields(self) -> Tuple[Field, ...]:

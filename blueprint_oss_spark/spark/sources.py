@@ -120,11 +120,34 @@ def extract_from_ocr_files(spark, path_glob: str, root, *,
   mapInPandas(parse + solve).  Same zero-shuffle shape as the spans
   pipeline; the `content` column stays inside Arrow buffers until the
   parse call."""
+  parser = PARSERS[ocr_format]
+
+  def pool_builder(doc_id: str, content: bytes):
+    from ..engine.entity_gen import build_doc_pool
+    return build_doc_pool(doc_id, parser(content))
+
+  return _extract_files(spark, path_glob, root, pool_builder)
+
+
+def extract_from_doc_json_files(spark, path_glob: str, root):
+  """Bulk extraction over reference-format Document JSON files
+  (bp/document.py:188-207 round-trip format): binaryFile scan →
+  mapInPandas(load pool + solve), zero-shuffle."""
+
+  def pool_builder(doc_id: str, content: bytes):
+    from ..engine.doc_json import pool_from_doc_json
+    pool = pool_from_doc_json(json.loads(content.decode('utf-8')))
+    pool.name = doc_id
+    return pool
+
+  return _extract_files(spark, path_glob, root, pool_builder)
+
+
+def _extract_files(spark, path_glob: str, root, pool_builder):
   import pickle
 
   from .pipeline import OUTPUT_SCHEMA, compile_blueprint
 
-  parser = PARSERS[ocr_format]
   payload = compile_blueprint(root)
   bc = spark.sparkContext.broadcast(payload)
 
@@ -132,7 +155,6 @@ def extract_from_ocr_files(spark, path_glob: str, root, *,
         .select('path', 'content'))
 
   def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..engine.entity_gen import build_doc_pool
     from ..engine.solver import best_extraction
     tree = pickle.loads(bc.value)
     for pdf in batches:
@@ -145,8 +167,7 @@ def extract_from_ocr_files(spark, path_glob: str, root, *,
                'score': 0.0, 'n_entities': 0, 'n_words': 0,
                'error': None, 'elapsed_ms': 0.0}
         try:
-          pages = parser(bytes(content))
-          pool = build_doc_pool(doc_id, pages)
+          pool = pool_builder(doc_id, bytes(content))
           assign, _, score = best_extraction(tree, pool)
           fields = {f: pool.etext[e] for f, e in assign.items()}
           row.update(

@@ -40,7 +40,11 @@ def _ensure_reference_loaded() -> None:
   mod.__package__ = 'bp'
   mod.__file__ = REF + '/bp/targets.py'
   sys.modules['bp.targets'] = mod
-  exec(compile(src, mod.__file__, 'exec'), mod.__dict__)
+  # dont_inherit: this module's `from __future__ import annotations`
+  # must not leak into the compiled copy — PEP 563 string annotations
+  # break bp.instantiate's type-driven loader.
+  exec(compile(src, mod.__file__, 'exec', dont_inherit=True),
+       mod.__dict__)
   logging.disable(logging.CRITICAL)
 
 
