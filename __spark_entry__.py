@@ -269,4 +269,47 @@ def oracle_sql() -> dict[str, str]:
                  'sum'), 2) AS norm_sq
         FROM embeddings ORDER BY vec_id
       """,
+      'cosine_topk': """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+        SELECT vec_id, ROUND(cos, 4) AS cosine_r FROM (
+          SELECT v.vec_id,
+                 list_dot_product(v.e, q.qe)
+                 / (sqrt(list_dot_product(v.e, v.e))
+                    * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+          FROM v, q WHERE v.vec_id != 0)
+        ORDER BY ROUND(cos, 6) DESC, vec_id
+        LIMIT 10
+      """,
+      'ngram_jaccard_pairs': """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.n + sb.n - n_common) >= 0.8
+        ORDER BY doc_a, doc_b
+      """,
   }
