@@ -476,17 +476,26 @@ def score_predicate(pred: Predicate, doc: DocPool,
 
   if k == 'text_equals':
     (e,) = eids
-    texts = pred.p('texts')
-    if not texts:
+    # Per-predicate compiled form, cached on the instance: the massaged
+    # vocabulary and constants never change, and text_equals dominates
+    # the call profile (label vocabularies scored per entity).
+    te = pred.__dict__.get('_te')
+    if te is None:
+      texts = pred.p('texts')
+      flags = pred.p('flags')
+      tol, tap = pred.p('tolerance'), pred.p('taper')
+      mtexts = tuple((massage(flags, t), len(massage(flags, t)))
+                     for t in texts or ())
+      te = (mtexts, flags, tol, tap, tol + tap)
+      object.__setattr__(pred, '_te', te)
+    mtexts, flags, tol, tap, cutoff = te
+    if not mtexts:
       return 1.0
-    etext = doc.etext[e]
-    flags = pred.p('flags')
-    tol, tap = pred.p('tolerance'), pred.p('taper')
-    etext = massage(flags, etext)
+    etext = massage(flags, doc.etext[e])
+    le = len(etext)
     best = None
-    for t in texts:
-      t = massage(flags, t)
-      if abs(len(t) - len(etext)) > tol + tap:
+    for (t, lt) in mtexts:
+      if abs(lt - le) > cutoff:
         ms = 0.0
       else:
         ms = taper_error_int(edit_distance(t, etext), tol, tap)

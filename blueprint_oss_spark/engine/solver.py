@@ -377,6 +377,100 @@ def _continue_bind(node: Node, doc: DocPool, memo: Dict,
   raise TypeError(f'unknown node type {type(node)}')
 
 
+def _merge_plan(meta: Sequence[_RuleMeta], akeys: FrozenSet[Field],
+                bkeys: FrozenSet[Field]) -> List[tuple]:
+  """Precompute, for one (assigned-fields-of-a, assigned-fields-of-b)
+  bucket, exactly the work _merge_pair does per pair: which rules are
+  decidable, which side supplies each atom field, which undecidable
+  connectives get their decidable atoms cached + an upper-bound check.
+  Candidate lists contain only a handful of distinct assigned-field sets
+  (full or empty under all_or_nothing), so this hoists the per-pair
+  field-membership scans out of the O(|a|·|b|) loop.  Semantics are
+  byte-identical to the original fused merge (bp/scoring.py:217-264):
+  ops execute in meta order, preserving the extra-atom-cache
+  accumulation the upper bound sees."""
+  union = akeys | bkeys
+  plan: List[tuple] = []
+  for m in meta:
+    if m.fields <= union:
+      rule = m.rule
+      src = tuple((f in akeys, f) for f in rule.fields) if m.is_atom \
+          else None
+      plan.append(('d', m, rule.rid, m.is_atom, rule, src))
+    elif not m.is_atom:
+      cached_atoms = tuple(
+          (atom, atom.rid, tuple((f in akeys, f) for f in atom.fields))
+          for (atom, afields) in m.atoms if afields <= union)
+      touches = bool(m.fields & union)
+      plan.append(('p', m, cached_atoms, touches))
+  return plan
+
+
+def _merge_pair_planned(a: SE, b: SE, plan: Sequence[tuple], mass: int,
+                        sc: _ScoreCache) -> Optional[SE]:
+  """_merge_pair with the bucket-invariant work precomputed by
+  _merge_plan.  See _merge_pair for the semantics contract."""
+  a_assign = a.assign
+  b_assign = b.assign
+  a_rs = a.rule_scores
+  b_rs = b.rule_scores
+
+  decidable: List = []
+  extra_atom_scores: List = []
+
+  for op in plan:
+    if op[0] == 'd':
+      _, m, rid, is_atom, rule, src = op
+      s = a_rs.get(rid)
+      if s is None:
+        s = b_rs.get(rid)
+      if s is None:
+        if is_atom:
+          s = sc.atom_score(rule, tuple(
+              a_assign[f] if fa else b_assign[f] for fa, f in src))
+        else:
+          s = _connective_score(rule, a_assign, b_assign, sc)
+        extra_atom_scores.append((rid, s))
+      if s == 0.0:
+        return None
+      decidable.append((m, s))
+    else:
+      _, m, cached_atoms, touches = op
+      for (atom, rid, src) in cached_atoms:
+        s = a_rs.get(rid)
+        if s is None:
+          s = b_rs.get(rid)
+        if s is None:
+          s = sc.atom_score(atom, tuple(
+              a_assign[f] if fa else b_assign[f] for fa, f in src))
+        extra_atom_scores.append((rid, s))
+      bound = _bound_fast(m.rule, a_assign, b_assign, a_rs, b_rs,
+                          dict(extra_atom_scores))
+      if bound == 0.0 and touches:
+        return None
+
+  field_scores = {**a.field_scores, **b.field_scores}
+  for (m, s) in decidable:
+    if s != 1.0:
+      for f in m.rule.fields:
+        field_scores[f] *= s
+
+  assign = {**a_assign, **b_assign}
+  for f in assign:
+    if not field_scores[f] > MINIMUM_FIELD_SCORE:
+      return None
+
+  rule_scores = {**a_rs, **b_rs}
+  for rid, s in extra_atom_scores:
+    if rid not in rule_scores:
+      rule_scores[rid] = s
+  for (m, s) in decidable:
+    rule_scores[m.rule.rid] = s
+
+  score = sum(field_scores.values()) / mass
+  return SE(assign, field_scores, rule_scores, mass, score)
+
+
 def _merge_pair(a: SE, b: SE, meta: Sequence[_RuleMeta], mass: int,
                 sc: _ScoreCache) -> Optional[SE]:
   """Fused 2-way merge: one metadata scan; the output dicts are built
@@ -527,6 +621,8 @@ def _bind_combine_best(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
   gate_aon = all_or_nothing and b1.legal_fields and b2.legal_fields
   n_legal = len(legal)
   m1, m2 = b1.mass, b2.mass
+  bkeys_of = [frozenset(b.assign) for b in b2.cands]
+  plans: Dict[Tuple[FrozenSet[Field], FrozenSet[Field]], List[tuple]] = {}
   best: Optional[SE] = None
   for a in b1.cands:
     _check_deadline()
@@ -537,7 +633,8 @@ def _bind_combine_best(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
     a_assign = a.assign
     a_empty = not a_assign
     na = len(a_assign)
-    for b in b2.cands:
+    akeys = frozenset(a_assign)
+    for j, b in enumerate(b2.cands):
       if best is not None \
           and (a_sum + b.score * m2) / mass <= best.score:
         break  # b2 sorted desc
@@ -546,7 +643,12 @@ def _bind_combine_best(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
           continue
         if not a_empty and na + len(b.assign) != n_legal:
           continue
-      m = _merge_pair(a, b, meta, mass, sc)
+      pkey = (akeys, bkeys_of[j])
+      plan = plans.get(pkey)
+      if plan is None:
+        plan = _merge_plan(meta, akeys, bkeys_of[j])
+        plans[pkey] = plan
+      m = _merge_pair_planned(a, b, plan, mass, sc)
       if m is None:
         continue
       if all_or_nothing and not m.is_empty \
@@ -566,20 +668,28 @@ def _bind_combine(b1: Bound, b2: Bound, meta: Sequence[_RuleMeta],
         f'combine product {len(b1.cands)}x{len(b2.cands)} exceeds budget')
   gate_aon = all_or_nothing and b1.legal_fields and b2.legal_fields
   n_legal = len(legal)
+  bkeys_of = [frozenset(b.assign) for b in b2.cands]
+  plans: Dict[Tuple[FrozenSet[Field], FrozenSet[Field]], List[tuple]] = {}
   out: List[SE] = []
   for a in b1.cands:
     _check_deadline()
     a_assign = a.assign
     a_empty = not a_assign
     na = len(a_assign)
-    for b in b2.cands:
+    akeys = frozenset(a_assign)
+    for j, b in enumerate(b2.cands):
       if gate_aon:
         # full-or-empty gate before any scoring work
         if a_empty != (not b.assign):
           continue
         if not a_empty and na + len(b.assign) != n_legal:
           continue
-      m = _merge_pair(a, b, meta, mass, sc)
+      pkey = (akeys, bkeys_of[j])
+      plan = plans.get(pkey)
+      if plan is None:
+        plan = _merge_plan(meta, akeys, bkeys_of[j])
+        plans[pkey] = plan
+      m = _merge_pair_planned(a, b, plan, mass, sc)
       if m is None:
         continue
       if all_or_nothing and not m.is_empty \
@@ -690,23 +800,28 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
     child = bind_node(entry[1], doc, memo)
     return _pattern_public(node, child)
 
-  def build_tree(comp: FrozenSet[Field],
-                 edges: Dict[Tuple[Field, Field], List[float]]) -> Node:
-    """Greedy min-cost pairing (bp/tree.py:761-802)."""
+  def plan_tree(comp: FrozenSet[Field],
+                edges: Dict[Tuple[Field, Field], List[float]]) \
+      -> Tuple[Tuple[Field, Field], ...]:
+    """Greedy min-cost pairing (bp/tree.py:761-802), scalar phase only:
+    returns the (survivor, absorbed) merge steps.  The (cheap) pairing
+    depends on the per-doc candidate counts; the (expensive) Node
+    construction + rule pushdown depend only on these steps, so they are
+    cached by step signature across documents whose counts differ but
+    pair identically."""
     def prod_weight(ws: List[float]) -> float:
       p = 1.0
       for w in ws:
         p *= w
       return p
 
-    nodes: Dict[Field, Node] = {
-        f: LeafNode(field=f, entity_type=field_types[f]) for f in comp}
     vertex_w: Dict[Field, float] = {
         f: counts[f] * (prod_weight(edges[(f, f)]) if (f, f) in edges
                         else 1.0)
         for f in comp}
     cur_edges = dict(edges)
     vertices = set(comp)
+    steps: List[Tuple[Field, Field]] = []
 
     def edge_key(e: Tuple[Field, Field]) -> float:
       return vertex_w[e[0]] * vertex_w[e[1]] * prod_weight(cur_edges[e])
@@ -718,9 +833,7 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
             f'component {sorted(vertices)} has no pairable edges')
       best = min(nonself, key=edge_key)
       w = edge_key(best)
-      new_node = combine(nodes[best[0]], nodes[best[1]],
-                         all_or_nothing=True)
-      nodes[best[0]] = new_node
+      steps.append(best)
       vertex_w[best[0]] = w
       # collapse best[1] into best[0] (bp/graphs.py:144-162)
       u, old = best[0], best[1]
@@ -736,17 +849,39 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
       cur_edges = new_edges
       vertices.discard(old)
 
-    return nodes[next(iter(vertices))]
+    return tuple(steps)
 
-  trees = [build_tree(comp, edges) for comp, edges in graphs]
-  if not trees:
+  if not graphs:
     # A pattern with no rules yields only the empty extraction.
     return Bound(node.public_fields, max(1, len(node.public_fields)),
                  [SE({}, {}, {}, 1, 0.0)])
-  root = reduce(lambda a, b: combine(a, b, all_or_nothing=True), trees)
-  root = optimize_rule_distribution(root, tuple(flat))
-  if len(_ORDERED_TREE_CACHE) > 4096:
-    _ORDERED_TREE_CACHE.clear()
+
+  plans = [(comp, plan_tree(comp, edges)) for comp, edges in graphs]
+
+  # Second-level cache: counts differ across documents far more often
+  # than the pairing they induce does, so the realized + rule-pushed
+  # tree is keyed by the merge-step signature.
+  sig_key = (id(node), tuple((tuple(sorted(comp)), steps)
+                             for comp, steps in plans))
+  entry = _ORDERED_TREE_CACHE.get(sig_key)
+  if entry is not None and entry[0] is node:
+    root = entry[1]
+  else:
+    def realize(comp: FrozenSet[Field],
+                steps: Tuple[Tuple[Field, Field], ...]) -> Node:
+      nodes: Dict[Field, Node] = {
+          f: LeafNode(field=f, entity_type=field_types[f]) for f in comp}
+      for (u, old) in steps:
+        nodes[u] = combine(nodes[u], nodes[old], all_or_nothing=True)
+      remaining = set(comp) - {old for _, old in steps}
+      return nodes[next(iter(remaining))]
+
+    trees = [realize(comp, steps) for comp, steps in plans]
+    root = reduce(lambda a, b: combine(a, b, all_or_nothing=True), trees)
+    root = optimize_rule_distribution(root, tuple(flat))
+    if len(_ORDERED_TREE_CACHE) > 4096:
+      _ORDERED_TREE_CACHE.clear()
+    _ORDERED_TREE_CACHE[sig_key] = (node, root)
   _ORDERED_TREE_CACHE[cache_key] = (node, root)
   child = bind_node(root, doc, memo)
   return _pattern_public(node, child)

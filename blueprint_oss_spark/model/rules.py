@@ -82,10 +82,13 @@ class Predicate:
   name: str = ''
 
   def p(self, key: str, default: Any = None) -> Any:
-    for k, v in self.params:
-      if k == key:
-        return v
-    return default
+    # params-dict cached on the instance: p() runs in the solver's
+    # hottest loops (hundreds of thousands of calls per document batch)
+    d = self.__dict__.get('_pd')
+    if d is None:
+      d = dict(self.params)
+      object.__setattr__(self, '_pd', d)
+    return d.get(key, default)
 
   @property
   def pdict(self) -> Dict[str, Any]:
