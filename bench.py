@@ -67,7 +67,7 @@ def main() -> None:
             for (k, t, m, o) in spans])
           for doc_id, spans in docs]
   df = spark.createDataFrame(rows, SPANS_SCHEMA) \
-      .repartition(int(cpus) * 2).cache()
+      .repartition(int(cpus)).cache()
   df.count()  # materialize input outside the timed section
   root = readme_blueprint()
 
@@ -93,7 +93,7 @@ def main() -> None:
                  for (k, t, m, o) in spans])
                for doc_id, spans in stub_docs]
   sdf = spark.createDataFrame(stub_rows, SPANS_SCHEMA) \
-      .repartition(int(cpus) * 2).cache()
+      .repartition(int(cpus)).cache()
   sdf.count()
   extract_documents(sdf, stub_root).count()  # warmup
   t0 = time.monotonic()

@@ -76,6 +76,26 @@ def compile_blueprint(root: Node) -> bytes:
   return pickle.dumps(optimized)
 
 
+# payload digest → unpickled tree, per worker process.  mapInPandas
+# invokes the batch fn once per PARTITION; unpickling there yields a new
+# tree object each time, which leaves every id()-keyed solver cache
+# (ordered-tree realizations per pattern) cold for each partition.  One
+# shared tree per worker keeps those caches warm across partitions.
+_TREE_BY_DIGEST: dict = {}
+
+
+def tree_from_payload(payload: bytes) -> Node:
+  import hashlib
+  key = hashlib.md5(payload).digest()
+  tree = _TREE_BY_DIGEST.get(key)
+  if tree is None:
+    if len(_TREE_BY_DIGEST) > 64:
+      _TREE_BY_DIGEST.clear()
+    tree = pickle.loads(payload)
+    _TREE_BY_DIGEST[key] = tree
+  return tree
+
+
 def extract_documents(df: DataFrame, root: Node, *,
                       doc_time_budget_s: float = 45.0,
                       max_spans_per_doc: int = 200_000,
@@ -107,7 +127,7 @@ def extract_documents(df: DataFrame, root: Node, *,
 
   def run_batches(batches: Iterator[pd.DataFrame]) \
       -> Iterator[pd.DataFrame]:
-    tree = pickle.loads(bc.value)
+    tree = tree_from_payload(bc.value)
     for pdf in batches:
       out: List[dict] = []
       for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):

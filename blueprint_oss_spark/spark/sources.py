@@ -156,7 +156,8 @@ def _extract_files(spark, path_glob: str, root, pool_builder):
 
   def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..engine.solver import best_extraction
-    tree = pickle.loads(bc.value)
+    from .pipeline import tree_from_payload
+    tree = tree_from_payload(bc.value)
     for pdf in batches:
       rows = []
       for path, content in zip(pdf['path'], pdf['content']):
