@@ -46,7 +46,51 @@ def main(argv=None) -> int:
   rm.add_argument('--groups', type=int, default=4)
   rm.add_argument('--no-resume', action='store_true')
 
+  gd = sub.add_parser(
+      'gen_bp_doc',
+      help='OCR file(s) → reference-format Document JSON '
+           '(bp/cli/gen_bp_doc.py parity, extended to all parsers '
+           'and file globs)')
+  gd.add_argument('-g', '--google-ocr-json', default=None,
+                  help='input Google OCR JSON file (reference flag)')
+  gd.add_argument('--input', default=None,
+                  help='input OCR file or glob (any --ocr-format)')
+  gd.add_argument('-o', '--output-path', required=True,
+                  help='output doc-JSON file (single input) or '
+                       'directory (glob)')
+  gd.add_argument('--ocr-format', choices=['google', 'ibocr', 'hocr'],
+                  default='google')
+
   args = ap.parse_args(argv)
+
+  if args.cmd == 'gen_bp_doc':
+    import glob as globmod
+    import os
+
+    from .engine.doc_json import save_doc
+    from .engine.entity_gen import build_doc_pool
+    from .spark.sources import PARSERS
+
+    pattern = args.google_ocr_json or args.input
+    if not pattern:
+      ap.error('gen_bp_doc needs --google-ocr-json or --input')
+    parser = PARSERS[args.ocr_format]
+    paths = sorted(globmod.glob(pattern)) or [pattern]
+    many = len(paths) > 1 or os.path.isdir(args.output_path)
+    if many:
+      os.makedirs(args.output_path, exist_ok=True)
+    written = []
+    for p in paths:
+      with open(p, 'rb') as f:
+        pages = parser(f.read())
+      name = os.path.basename(p)
+      pool = build_doc_pool(name, pages)
+      out = (os.path.join(args.output_path, name + '.bpdoc.json')
+             if many else args.output_path)
+      save_doc(pool, out)
+      written.append(out)
+    print(json.dumps({'docs': len(written), 'outputs': written[:5]}))
+    return 0
 
   from pyspark.sql import SparkSession
 
