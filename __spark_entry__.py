@@ -143,7 +143,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           lambda s, d: V.embedding_near_dup_pairs(s, d),
       # --- multimodal plumbing (stubbed decode; deterministic) ---
       'media_features': media_features,
+      # --- labeled-accuracy scoring over extraction output (targets
+      # format; rows-only check — the blueprint engine itself is the
+      # oracle via pytest) ---
+      'extraction_accuracy': _extraction_accuracy,
   }
+
+
+def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Per-field accuracy of the labelvalue extraction against a targets
+  file derived from its own output with one deterministic corruption per
+  3 docs — exercises model/targets.accuracy_dataframe (JVM-side
+  null-safe join + groupBy) end-to-end."""
+  from blueprint_oss_spark.model.targets import (
+      Entry, accuracy_dataframe, targets_dataframe,
+      targets_from_extractions)
+
+  df, root = _fixture_spans_df(spark, 'labelvalue', _n_docs_for(sf_dir))
+  out = extract_documents(df, root)
+  collected = sorted(
+      ((r['doc_id'], dict(r['fields'])) for r in out.collect()))
+  labelled = []
+  for i, (d, fields) in enumerate(collected):
+    fields = dict(fields)
+    if i % 3 == 0 and fields:
+      k = sorted(fields)[0]
+      fields[k] = 'CORRUPTED'
+    labelled.append((d, fields))
+  schema = tuple(Entry(f, 'Text', False)
+                 for f in sorted({f for _, fs in labelled for f in fs}))
+  targets = targets_from_extractions(labelled, schema)
+  return accuracy_dataframe(out, targets_dataframe(spark, targets))
 
 
 _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \

@@ -377,6 +377,10 @@ def _score_box_unimpinged(pred: Predicate, doc: DocPool,
 # Main dispatch.
 # ---------------------------------------------------------------------------
 
+# (predicate, raw entity text) → score; see the text_equals branch.
+_TEXT_EQUALS_MEMO: Dict = {}
+
+
 def score_predicate(pred: Predicate, doc: DocPool,
                     eids: Tuple[int, ...]) -> float:
   """Score one predicate against concrete entity ids.  All entity ids are
@@ -491,7 +495,16 @@ def score_predicate(pred: Predicate, doc: DocPool,
     mtexts, flags, tol, tap, cutoff = te
     if not mtexts:
       return 1.0
-    etext = massage(flags, doc.etext[e])
+    # The score depends only on the entity TEXT, which repeats heavily
+    # (sub-phrases across documents, label words) — memoize globally per
+    # (predicate, raw text).  Keyed by the predicate OBJECT (value-hash
+    # cached on it), not id(), so unpickled copies can never alias.
+    raw = doc.etext[e]
+    tkey = (pred, raw)
+    got = _TEXT_EQUALS_MEMO.get(tkey)
+    if got is not None:
+      return got
+    etext = massage(flags, raw)
     le = len(etext)
     best = None
     for (t, lt) in mtexts:
@@ -502,8 +515,13 @@ def score_predicate(pred: Predicate, doc: DocPool,
       if best is None or best < ms:
         best = ms
       if best == 1:
-        return 1.0
-    return best or 0.0
+        best = 1.0
+        break
+    best = best or 0.0
+    if len(_TEXT_EQUALS_MEMO) > 1_000_000:
+      _TEXT_EQUALS_MEMO.clear()
+    _TEXT_EQUALS_MEMO[tkey] = best
+    return best
 
   if k == 'text_has_substring':
     (e,) = eids
