@@ -252,7 +252,13 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
         .alias('errors'),
         F.sum('score').alias('score_sum'),
         F.sum('elapsed_ms').alias('elapsed_ms_sum'))
-    (observed.write.mode('append').partitionBy('part_bucket')
+    # Dynamic partition overwrite: a re-run of this group replaces
+    # exactly its own part_bucket partitions, so resuming after a
+    # partially-written group (crash between data write and lineage
+    # write) cannot leave duplicate rows behind.
+    (observed.write.mode('overwrite')
+     .option('partitionOverwriteMode', 'dynamic')
+     .partitionBy('part_bucket')
      .parquet(output_path))
     metrics = {k: (float(v) if v is not None else None)
                for k, v in obs.get.items()}

@@ -78,3 +78,17 @@ def test_run_extraction_job_resume(spark, tmp_path):
                                 buckets=8, groups=2)
   assert lineage2 == []
   assert spark.read.parquet(out_path).count() == 16
+
+  # Crash-replay: lineage for group 1 lost AFTER its data was written
+  # (crash between data write and lineage write).  The re-run must
+  # replace that group's partitions, not append duplicates.
+  import os
+  os.remove(str(tmp_path / 'out' / '_lineage' / 'group-1.json'))
+  before = {r['doc_id']: r['score']
+            for r in spark.read.parquet(out_path).collect()}
+  lineage3 = run_extraction_job(spark, df, out_path, root,
+                                buckets=8, groups=2)
+  assert [r['group'] for r in lineage3] == [1]
+  after_rows = spark.read.parquet(out_path).collect()
+  assert len(after_rows) == 16  # no duplicates
+  assert {r['doc_id']: r['score'] for r in after_rows} == before
