@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'top_events_per_user': R.top_events_per_user,
       'orders_rollup': R.orders_rollup,
       'supplier_nation_join': R.supplier_nation_join,
+      'q5_local_supplier_volume': R.q5_local_supplier_volume,
+      'q6_forecast_revenue': R.q6_forecast_revenue,
       # --- training-data text ops (DuckDB-oracled) ---
       'doc_token_stats': T.doc_token_stats,
       'doc_quality': T.doc_quality,
@@ -239,6 +241,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
+      """,
+      'q5_local_supplier_volume': """
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """,
+      'q6_forecast_revenue': """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))
+                    AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
       """,
       'doc_token_stats': """
         SELECT doc_id,

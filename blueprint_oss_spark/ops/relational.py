@@ -99,3 +99,56 @@ def supplier_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum(F.col('s_acctbal').cast('decimal(18,2)'))
                .cast('double').alias('total_acctbal'))
           .orderBy('r_name', 'n_name'))
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) \
+    -> DataFrame:
+  """TPC-H Q5-style: revenue by nation for one region-year where the
+  supplier is local to the customer.  Dimension chain
+  (region→nation→supplier/customer) broadcasts; only the lineitem fact
+  shuffles on the group key."""
+  region = _t(spark, sf_dir, 'region').where(F.col('r_name') == 'ASIA')
+  nation = _t(spark, sf_dir, 'nation')
+  supp = _t(spark, sf_dir, 'supplier')
+  cust = _t(spark, sf_dir, 'customer')
+  orders = _t(spark, sf_dir, 'orders').where(
+      (F.col('o_orderdate') >= F.lit('1996-01-01'))
+      & (F.col('o_orderdate') < F.lit('1997-01-01')))
+  li = _t(spark, sf_dir, 'lineitem')
+  dec = lambda c: F.col(c).cast('decimal(18,2)')
+  dims = (supp
+          .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .select('s_suppkey', 's_nationkey', 'n_name'))
+  return (li
+          .join(F.broadcast(orders.select('o_orderkey', 'o_custkey')),
+                li.l_orderkey == F.col('o_orderkey'))
+          .join(F.broadcast(cust.select('c_custkey', 'c_nationkey')),
+                F.col('o_custkey') == F.col('c_custkey'))
+          .join(F.broadcast(dims),
+                (li.l_suppkey == dims.s_suppkey)
+                & (F.col('c_nationkey') == dims.s_nationkey))
+          .groupBy('n_name')
+          .agg(F.sum((dec('l_extendedprice')
+                      * (F.lit(1).cast('decimal(18,2)')
+                         - dec('l_discount'))).cast('decimal(28,4)'))
+               .cast('double').alias('revenue'))
+          .orderBy(F.desc('revenue'), 'n_name'))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q6-style: pure scan + filter + global aggregate — the
+  pushdown stress test (no joins, no grouping shuffle beyond the final
+  partial-agg exchange)."""
+  li = _t(spark, sf_dir, 'lineitem')
+  dec = lambda c: F.col(c).cast('decimal(18,2)')
+  return (li
+          .where((F.col('l_shipdate') >= F.lit('1996-01-01'))
+                 & (F.col('l_shipdate') < F.lit('1997-01-01'))
+                 & (F.col('l_discount') >= 0.05)
+                 & (F.col('l_discount') <= 0.07)
+                 & (F.col('l_quantity') < 24))
+          .agg(F.sum((dec('l_extendedprice') * dec('l_discount'))
+                     .cast('decimal(28,4)'))
+               .cast('double').alias('revenue'),
+               F.count(F.lit(1)).alias('n_items')))
