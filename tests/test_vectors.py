@@ -1,0 +1,80 @@
+"""Similarity-search recall on planted near-duplicates.
+
+The driver's synthetic embeddings contain no near-dups (max pairwise
+cosine ≈ 0.51), so the rows-only contract check cannot exercise recall.
+Here a corpus with planted duplicate clusters validates, against
+brute-force numpy ground truth:
+  * embedding_near_dup_pairs — the LSH-blocked pair finder must not
+    lose same-cluster pairs (sign-LSH assigns near-identical vectors to
+    the same bucket with overwhelming probability);
+  * cosine_topk_bruteforce / ann_topk_lsh — top-k neighbour sets.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def planted_dir(spark, tmp_path_factory):
+  rng = np.random.default_rng(20260817)
+  base = rng.normal(size=(40, 16))
+  rows = []
+  vid = 0
+  for i in range(40):
+    # 3 near-copies per base vector (tiny perturbation → cosine ≈ 1)
+    for _ in range(3):
+      v = base[i] + rng.normal(scale=0.002, size=16)
+      rows.append((vid, f'cluster-{i}', [float(x) for x in v]))
+      vid += 1
+  # plus 80 isolated vectors
+  for _ in range(80):
+    rows.append((vid, 'noise', [float(x) for x in rng.normal(size=16)]))
+    vid += 1
+  d = tmp_path_factory.mktemp('emb')
+  spark.createDataFrame(
+      rows, 'vec_id long, label string, embedding array<float>') \
+      .write.mode('overwrite').parquet(str(d / 'embeddings.parquet'))
+  M = np.array([r[2] for r in rows], dtype=np.float64)
+  return str(d), M, [r[1] for r in rows]
+
+
+def _true_pairs(M, threshold):
+  N = M / np.linalg.norm(M, axis=1, keepdims=True)
+  S = N @ N.T
+  iu = np.triu_indices_from(S, 1)
+  return {(int(a), int(b)) for a, b in zip(*iu) if S[a, b] >= threshold}
+
+
+def test_near_dup_pairs_recall(spark, planted_dir):
+  from blueprint_oss_spark.ops.vectors import embedding_near_dup_pairs
+  d, M, labels = planted_dir
+  truth = _true_pairs(M, 0.95)
+  assert len(truth) >= 40 * 3  # the planted clusters
+  got = {(r['vec_a'], r['vec_b'])
+         for r in embedding_near_dup_pairs(spark, d).collect()}
+  # LSH blocking may drop cross-bucket borderline pairs but must keep
+  # near-identical ones; on this corpus near-identical = all of truth
+  recall = len(got & truth) / len(truth)
+  assert recall >= 0.95, f'recall {recall:.3f}'
+  assert got <= truth  # no false positives (exact cosine inside block)
+
+
+def test_topk_exact_vs_ann(spark, planted_dir):
+  from blueprint_oss_spark.ops.vectors import (
+      ann_topk_lsh, cosine_topk_bruteforce)
+  d, M, labels = planted_dir
+  N = M / np.linalg.norm(M, axis=1, keepdims=True)
+  sims = N @ N[0]
+  sims[0] = -1
+  true_top = set(np.argsort(-np.round(sims, 6))[:3])
+
+  exact = [r['vec_id'] for r in
+           cosine_topk_bruteforce(spark, d, query_vec_id=0, k=3)
+           .collect()]
+  assert set(exact) == {int(x) for x in true_top}
+
+  # ANN probes only the query's bucket: its siblings (vec 1, 2) are
+  # near-identical so they share the bucket — the top near-dups survive
+  ann = [r['vec_id'] for r in
+         ann_topk_lsh(spark, d, query_vec_id=0, k=3).collect()]
+  assert {1, 2} <= set(ann)
