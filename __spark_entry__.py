@@ -153,29 +153,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Per-field accuracy of the labelvalue extraction against a targets
-  file derived from its own output with one deterministic corruption per
-  3 docs — exercises model/targets.accuracy_dataframe (JVM-side
-  null-safe join + groupBy) end-to-end."""
-  from blueprint_oss_spark.model.targets import (
-      Entry, accuracy_dataframe, targets_dataframe,
-      targets_from_extractions)
+  """Per-field accuracy of the labelvalue extraction against targets
+  derived from its own output with one deterministic corruption per ~3
+  docs — exercises model/targets.accuracy_dataframe (JVM-side null-safe
+  join + groupBy) end-to-end.  The corrupted targets are derived with
+  DataFrame ops only (hash-of-doc_id selects the corrupted docs), so
+  there is no driver-side collect() and the shape scales."""
+  from blueprint_oss_spark.model.targets import accuracy_dataframe
 
   df, root = _fixture_spans_df(spark, 'labelvalue', _n_docs_for(sf_dir))
   out = extract_documents(df, root)
-  collected = sorted(
-      ((r['doc_id'], dict(r['fields'])) for r in out.collect()))
-  labelled = []
-  for i, (d, fields) in enumerate(collected):
-    fields = dict(fields)
-    if i % 3 == 0 and fields:
-      k = sorted(fields)[0]
-      fields[k] = 'CORRUPTED'
-    labelled.append((d, fields))
-  schema = tuple(Entry(f, 'Text', False)
-                 for f in sorted({f for _, fs in labelled for f in fs}))
-  targets = targets_from_extractions(labelled, schema)
-  return accuracy_dataframe(out, targets_dataframe(spark, targets))
+  corrupt_doc = F.pmod(F.xxhash64('doc_id'), F.lit(3)) == 0
+  tgt = (out
+         .select('doc_id',
+                 F.array_min(F.map_keys('fields')).alias('_first_f'),
+                 F.explode('fields').alias('field', 'target_text'))
+         .select('doc_id', 'field',
+                 F.when(corrupt_doc & (F.col('field') == F.col('_first_f')),
+                        F.lit('CORRUPTED'))
+                 .otherwise(F.col('target_text')).alias('target_text')))
+  return accuracy_dataframe(out, tgt)
 
 
 _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \

@@ -75,17 +75,28 @@ def main(argv=None) -> int:
     if not pattern:
       ap.error('gen_bp_doc needs --google-ocr-json or --input')
     parser = PARSERS[args.ocr_format]
-    paths = sorted(globmod.glob(pattern)) or [pattern]
+    paths = sorted(globmod.glob(pattern))
+    if not paths:
+      if os.path.exists(pattern):
+        paths = [pattern]
+      else:
+        ap.error(f'no input files match {pattern!r}')
     many = len(paths) > 1 or os.path.isdir(args.output_path)
     if many:
       os.makedirs(args.output_path, exist_ok=True)
     written = []
+    seen_names: dict = {}
     for p in paths:
       with open(p, 'rb') as f:
         pages = parser(f.read())
       name = os.path.basename(p)
+      # Two inputs sharing a basename (glob across directories) must not
+      # overwrite each other's output — suffix repeats with a counter.
+      n_prior = seen_names.get(name, 0)
+      seen_names[name] = n_prior + 1
+      out_name = f'{name}.{n_prior}' if n_prior else name
       pool = build_doc_pool(name, pages)
-      out = (os.path.join(args.output_path, name + '.bpdoc.json')
+      out = (os.path.join(args.output_path, out_name + '.bpdoc.json')
              if many else args.output_path)
       save_doc(pool, out)
       written.append(out)

@@ -22,6 +22,10 @@ import numpy as np
 
 from .docmodel import DocPool, median_word_height
 
+# The full set of word-bearing entity types both directions of the
+# round-trip support (load in pool_from_doc_json, save in
+# doc_json_from_pool).  Number/Integer/Time/NamedEntity re-save with
+# value=None — DocPool keeps text + scores, not parsed values.
 _WORDY_TYPES = {'Text', 'Date', 'DollarAmount', 'Number', 'Integer',
                 'Time', 'PersonName', 'Address', 'NamedEntity'}
 
@@ -42,7 +46,8 @@ def _leaf_words(ent: Dict[str, Any]) -> List[Dict[str, Any]]:
   if t == 'Word':
     return [ent]
   out: List[Dict[str, Any]] = []
-  for child_key in ('words', 'lines', 'content', 'rows', 'cells'):
+  for child_key in ('words', 'lines', 'name_parts', 'content', 'rows',
+                    'cells'):
     for child in ent.get(child_key) or []:
       out.extend(_leaf_words(child))
   return out
@@ -169,6 +174,21 @@ def doc_json_from_pool(pool: DocPool) -> Dict[str, Any]:
         'type': t,
     }
     words = [word_dict(w) for w in pool.ewords[i]]
+
+    def text_blob() -> Dict[str, Any]:
+      # A Text phrase spanning this entity's leaf words — used where the
+      # reference declares Tuple[Text, ...] children (PersonName
+      # name_parts, Address lines; bp/entity.py:424-460).
+      return {
+          'bbox': base['bbox'], 'type': 'Text', 'text': pool.etext[i],
+          'words': words, 'maximality_score': None, 'ocr_score': None,
+      }
+
+    # Every branch emits exactly the declared dataclass fields of the
+    # reference type (bp/entity.py) so `instantiate` round-trips it.
+    # Parsed `value`s are not retained by DocPool (only text + scores
+    # are), so Number/Integer/Time/NamedEntity save with value=None —
+    # lossy on that one field, symmetric on everything the engine reads.
     if t == 'Word':
       base.update(text=pool.etext[i], origin=None)
     elif t == 'Text':
@@ -178,8 +198,23 @@ def doc_json_from_pool(pool: DocPool) -> Dict[str, Any]:
     elif t == 'DollarAmount':
       base.update(text=pool.etext[i], words=words, units=None,
                   likeness_score=_opt(pool.likeness[i]))
-    elif t in ('Date', 'PersonName', 'Address'):
+    elif t == 'Date':
       base.update(text=pool.etext[i], words=words,
+                  likeness_score=_opt(pool.likeness[i]))
+    elif t in ('Number', 'Integer'):
+      base.update(words=words, value=None)
+    elif t == 'Time':
+      base.update(words=words, value=None,
+                  likeness_score=_opt(pool.likeness[i]))
+    elif t == 'NamedEntity':
+      base.update(text=pool.etext[i], words=words, value=None,
+                  label=None)
+    elif t == 'PersonName':
+      base.update(text=pool.etext[i], name_parts=[text_blob()],
+                  likeness_score=_opt(pool.likeness[i]))
+    elif t == 'Address':
+      base.update(text=pool.etext[i], lines=[text_blob()],
+                  address_parts=[],
                   likeness_score=_opt(pool.likeness[i]))
     else:
       raise ValueError(

@@ -57,19 +57,23 @@ class SolverTimeoutError(RuntimeError):
 
 # Per-document wall-clock deadline (reference: 45 s SIGALRM per doc,
 # bp/cli/run_model.py:32 + bp/timeout.py — executors can't use signals, so
-# the hot loops poll time.monotonic() instead).
-_DEADLINE: Optional[float] = None
+# the hot loops poll time.monotonic() instead).  Thread-local, not a
+# module global: the threaded Studio server solves concurrent requests
+# in one process, and one request's deadline must not cancel another's.
+import threading as _threading
+
+_DEADLINE_TLS = _threading.local()
 
 
 def set_deadline(t: Optional[float]) -> None:
-  global _DEADLINE
-  _DEADLINE = t
+  _DEADLINE_TLS.t = t
 
 
 def _check_deadline() -> None:
-  if _DEADLINE is not None:
+  t = getattr(_DEADLINE_TLS, 't', None)
+  if t is not None:
     import time
-    if time.monotonic() > _DEADLINE:
+    if time.monotonic() > t:
       raise SolverTimeoutError()
 
 
@@ -882,6 +886,10 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
     if len(_ORDERED_TREE_CACHE) > 4096:
       _ORDERED_TREE_CACHE.clear()
     _ORDERED_TREE_CACHE[sig_key] = (node, root)
+  # The sig_key-hit path inserts here too, so the cap must also guard
+  # this insert — many distinct count profiles can map to few pairings.
+  if len(_ORDERED_TREE_CACHE) > 4096:
+    _ORDERED_TREE_CACHE.clear()
   _ORDERED_TREE_CACHE[cache_key] = (node, root)
   child = bind_node(root, doc, memo)
   return _pattern_public(node, child)

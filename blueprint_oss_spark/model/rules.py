@@ -120,6 +120,17 @@ class Predicate:
       object.__setattr__(self, '_hash', h)
     return h
 
+  def __getstate__(self) -> Dict[str, Any]:
+    # Per-process caches must not ship in pickles: _hash depends on
+    # PYTHONHASHSEED, so an unpickled value would disagree with hash()
+    # of an equal predicate built in the receiving process, breaking the
+    # hash/eq contract for value-keyed containers; _pd/_te rebuild
+    # lazily.
+    state = dict(self.__dict__)
+    for k in ('_hash', '_pd', '_te'):
+      state.pop(k, None)
+    return state
+
   def __str__(self) -> str:
     return self.name or self.kind
 

@@ -37,8 +37,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """TPC-H Q3-style: revenue of unshipped orders for a segment; the small
-  dimension side broadcasts."""
+  """TPC-H Q3-style: revenue of unshipped orders for a segment.
+
+  No forced broadcast on orders/customer: both scale with the fact table
+  (a date filter keeps ~half of orders), so a hint would force an OOM at
+  100 TB.  AQE picks broadcast at small SF from runtime stats and falls
+  back to shuffle joins at scale — verified in PLANS.md."""
   cust = _t(spark, sf_dir, 'customer').where(
       F.col('c_mktsegment') == 'BUILDING')
   orders = _t(spark, sf_dir, 'orders').where(
@@ -47,8 +51,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.col('l_shipdate') > F.lit('1995-03-15'))
   dec = lambda c: F.col(c).cast('decimal(18,2)')
   return (li
-          .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy('l_orderkey', 'o_orderdate')
           .agg(F.sum((dec('l_extendedprice')
                       * (F.lit(1).cast('decimal(18,2)')
@@ -104,9 +108,10 @@ def supplier_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) \
     -> DataFrame:
   """TPC-H Q5-style: revenue by nation for one region-year where the
-  supplier is local to the customer.  Dimension chain
-  (region→nation→supplier/customer) broadcasts; only the lineitem fact
-  shuffles on the group key."""
+  supplier is local to the customer.  The true dimension chain
+  (region→nation→supplier) broadcasts explicitly; orders/customer scale
+  with the fact table, so they carry no hint — AQE broadcasts them at
+  small SF and switches to shuffle joins at 100 TB (PLANS.md)."""
   region = _t(spark, sf_dir, 'region').where(F.col('r_name') == 'ASIA')
   nation = _t(spark, sf_dir, 'nation')
   supp = _t(spark, sf_dir, 'supplier')
@@ -121,9 +126,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) \
           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
           .select('s_suppkey', 's_nationkey', 'n_name'))
   return (li
-          .join(F.broadcast(orders.select('o_orderkey', 'o_custkey')),
+          .join(orders.select('o_orderkey', 'o_custkey'),
                 li.l_orderkey == F.col('o_orderkey'))
-          .join(F.broadcast(cust.select('c_custkey', 'c_nationkey')),
+          .join(cust.select('c_custkey', 'c_nationkey'),
                 F.col('o_custkey') == F.col('c_custkey'))
           .join(F.broadcast(dims),
                 (li.l_suppkey == dims.s_suppkey)

@@ -103,20 +103,40 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   bucket stay tiny when bands/rows are tuned.
   """
   d = _docs(spark, sf_dir).select('doc_id', 'text')
+  # A small corpus arrives as one parquet split, which would starve the
+  # map side; spread it across cores first.  Guarded by the partition
+  # count: at 100 TB the scan already has thousands of splits and no
+  # repartition (= no shuffle) happens.
+  target = spark.sparkContext.defaultParallelism
+  if d.rdd.getNumPartitions() < target:
+    d = d.repartition(target)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
-  sh = d.select(
-      'doc_id',
-      F.explode(F.transform(
+  # Map-side signatures: build the shingle array per row and take the
+  # per-permutation min with array_min(transform(...)) — no explode, no
+  # distinct, no groupBy.  min over a multiset equals min over the
+  # distinct set, so the signature is identical to the exploded+distinct
+  # formulation while deferring the FIRST shuffle all the way to the
+  # band-bucket grouping.  (Guard: docs shorter than the shingle width
+  # have no signature and are dropped, same as explode-of-empty before.)
+  shingles = F.when(
+      F.size(toks) >= shingle,
+      F.transform(
           F.sequence(F.lit(0), F.size(toks) - shingle),
-          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle))))
-      .alias('shingle')).distinct()
+          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle)))
+  ).otherwise(F.array().cast('array<string>'))
   seeds = list(range(1, n_hashes + 1))
-  hashed = sh.select(
-      'doc_id',
-      *[F.xxhash64(F.col('shingle'), F.lit(s)).alias(f'h{s}')
-        for s in seeds])
-  sig = hashed.groupBy('doc_id').agg(
-      *[F.min(f'h{s}').alias(f'm{s}') for s in seeds])
+
+  def min_hash(s):
+    # NB: the inner lambda must stay unary — transform() passes the
+    # array index to binary lambdas, which would silently replace the
+    # seed.
+    return F.array_min(
+        F.transform(F.col('sh'), lambda x: F.xxhash64(x, F.lit(s))))
+
+  sig = (d.select('doc_id', shingles.alias('sh'))
+         .where(F.size('sh') > 0)
+         .select('doc_id',
+                 *[min_hash(s).alias(f'm{s}') for s in seeds]))
   rows_per_band = n_hashes // bands
   band_cols = []
   for b in range(bands):
@@ -128,12 +148,21 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
       'doc_id',
       F.explode(F.array(*[F.col(f'b{b}') for b in range(bands)]))
       .alias('bucket'))
-  a = stacked.alias('a')
-  b2 = stacked.alias('b')
-  return (a.join(b2, (F.col('a.bucket') == F.col('b.bucket'))
-                 & (F.col('a.doc_id') < F.col('b.doc_id')))
-          .select(F.col('a.doc_id').alias('doc_a'),
-                  F.col('b.doc_id').alias('doc_b'))
+  # Candidate pairs per bucket via ONE shuffle (groupBy bucket) and an
+  # in-bucket JVM-side pair expansion — a self-join here would scan and
+  # re-hash the whole corpus twice.  Near-dup buckets are tiny by
+  # construction (they hold only banded-signature collisions), so the
+  # collected id arrays stay small; a degenerate corpus where everything
+  # collides is quadratic under ANY pairing strategy.
+  grouped = (stacked
+             .groupBy('bucket')
+             .agg(F.sort_array(F.collect_set('doc_id')).alias('ids'))
+             .where(F.size('ids') >= 2))
+  pairs = grouped.select(F.explode(F.expr(
+      'flatten(transform(ids, (a, i) -> '
+      'transform(slice(ids, i + 2, size(ids)), '
+      'b -> struct(a AS doc_a, b AS doc_b))))')).alias('p'))
+  return (pairs.select('p.doc_a', 'p.doc_b')
           .distinct()
           .orderBy('doc_a', 'doc_b'))
 

@@ -79,9 +79,20 @@ def _handle(route: str, payload: Dict[str, Any]) -> Dict[str, Any]:
     return {'doc': doc_json_from_pool(pool)}
 
   if route == '/run_bp_model':
+    import time
+
+    from .engine.solver import set_deadline
     pool = pool_from_doc_json(payload['doc'])
     root = load_model_from_json(payload['model'])
-    tops = top_extractions(root, pool, k=20)  # Studio NUM_SAMPLES=20
+    # Per-request solve budget (the Spark pipeline's per-doc default):
+    # one pathological request must not pin a server thread forever.
+    # set_deadline is thread-local, so concurrent requests don't
+    # interfere under ThreadingHTTPServer.
+    set_deadline(time.monotonic() + 45.0)
+    try:
+      tops = top_extractions(root, pool, k=20)  # Studio NUM_SAMPLES=20
+    finally:
+      set_deadline(None)
     return {'results': {
         'doc_name': pool.name,
         'top_extractions': [
@@ -141,15 +152,17 @@ class _Handler(BaseHTTPRequestHandler):
       })
 
 
-def make_server(host: str = '0.0.0.0',
+def make_server(host: str = '127.0.0.1',
                 port: int = 5000) -> ThreadingHTTPServer:
+  # Loopback by default: the server has CORS * and no auth (mirroring
+  # the reference dev server) — exposing it needs an explicit --host.
   return ThreadingHTTPServer((host, port), _Handler)
 
 
 def main(argv: Optional[Tuple[str, ...]] = None) -> int:
   import argparse
   ap = argparse.ArgumentParser(prog='blueprint_oss_spark.server')
-  ap.add_argument('--host', default='0.0.0.0')
+  ap.add_argument('--host', default='127.0.0.1')
   ap.add_argument('--port', type=int, default=5000)
   args = ap.parse_args(argv)
   srv = make_server(args.host, args.port)

@@ -173,6 +173,11 @@ def spans_from_documents(docs: DataFrame, words_per_line: int = 8,
   input format: split → posexplode → window-free arithmetic layout (word
   k goes to line k//words_per_line, column (k%words_per_line)*16), then
   collect back per doc.  One shuffle (the groupBy doc_id).
+
+  Words longer than a grid cell are TRUNCATED to col_width-1 chars, not
+  dropped — silent row loss on the bulk ingest path would delete content
+  at 100 TB scale.  Every nonempty input token round-trips to exactly
+  one span.
   """
   col_width = 16
   line_shift = 256
@@ -182,7 +187,7 @@ def spans_from_documents(docs: DataFrame, words_per_line: int = 8,
                   F.posexplode(F.split(F.col('text'), ' '))
                   .alias('pos', 'word'))
           .where(F.length('word') > 0)
-          .where(F.length('word') < col_width))
+          .withColumn('word', F.substring('word', 1, col_width - 1)))
   lines_per_page = page_lines
   toks = toks.select(
       'doc_id',
