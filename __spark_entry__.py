@@ -51,7 +51,8 @@ def _bp_extract(corpus: str):
         F.to_json('fields').alias('fields_json'),
         F.round('score', 9).alias('score'),
         'n_entities', 'n_words',
-        F.to_json('out_spans').alias('out_spans_json'))
+        F.to_json('out_spans').alias('out_spans_json')) \
+        .orderBy('doc_id')
   return run
 
 
@@ -94,7 +95,8 @@ def _bp_extract_paystubs(spark: SparkSession, sf_dir: str) -> DataFrame:
   out = extract_documents(df, root)
   return out.select(
       'doc_id', F.to_json('fields').alias('fields_json'),
-      F.round('score', 9).alias('score'), 'n_entities', 'n_words')
+      F.round('score', 9).alias('score'), 'n_entities', 'n_words') \
+      .orderBy('doc_id')
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -179,8 +181,45 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
            "'as','at','by'"
 
 
+#: Queries whose semantics DuckDB cannot recompute from scratch
+#: (blueprint extraction; xxhash64-based ops).  Their oracles are
+#: committed snapshot parquet files built and VERIFIED by
+#: scripts/build_oracles.py:
+#:   * bp_extract_* — verified per-document against the reference engine
+#:     itself (exhaustive solve for the 5 fixture corpora; best-of-100
+#:     dominance + tie-set membership for the paystubs flagship);
+#:   * minhash/simhash — verified by duplicate-closure + cross-op
+#:     consistency properties (exact dups collide, reported pairs have
+#:     independently-recomputed high Jaccard);
+#:   * ann_topk_lsh — reported cosines verified against exact numpy;
+#:   * media_features / extraction_accuracy — verified against
+#:     independent pure-Python recomputation.
+#: See oracles/MANIFEST.json for the per-query verification record.
+_SNAPSHOT_ORACLES = {
+    'bp_extract_readme': 'doc_id',
+    'bp_extract_labelvalue': 'doc_id',
+    'bp_extract_table': 'doc_id',
+    'bp_extract_multipage': 'doc_id',
+    'bp_extract_adversarial': 'doc_id',
+    'bp_extract_paystubs': 'doc_id',
+    'minhash_pairs': 'doc_a, doc_b',
+    'simhash64': 'doc_id',
+    'ann_topk_lsh': 'cosine_r DESC, vec_id',
+    'media_features': 'media_ref',
+    'extraction_accuracy': 'field',
+}
+
+
 def oracle_sql() -> dict[str, str]:
-  return {
+  import os
+  snap = {
+      name: f"""
+        SELECT * FROM read_parquet('/root/repo/oracles/{name}.parquet')
+        ORDER BY {order}
+      """
+      for name, order in _SNAPSHOT_ORACLES.items()
+      if os.path.exists(f'/root/repo/oracles/{name}.parquet')}
+  return snap | {
       'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -370,5 +409,29 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE)
               / (sa.n + sb.n - n_common) >= 0.8
         ORDER BY doc_a, doc_b
+      """,
+      # Exact brute-force O(n²) recomputation of the LSH-blocked
+      # operator, planting included — equality means banded-LSH recall
+      # is 1.0 on this corpus (asserted in tests/test_vectors.py).
+      'embedding_near_dup_pairs': """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), u AS (
+          SELECT vec_id, e FROM v
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(e, x -> x + 0.01)
+          FROM v WHERE vec_id < 40
+        )
+        SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS cos
+          FROM u a JOIN u b ON a.vec_id < b.vec_id) t
+        WHERE cos >= 0.9
+        ORDER BY vec_a, vec_b
       """,
   }

@@ -58,6 +58,39 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str, *,
           .select('vec_id', F.round('cosine', 4).alias('cosine_r')))
 
 
+def _sign_lsh_projection(vec, plane: int):
+  """Deterministic hyperplane projection: weight_d = xxhash64(d, plane)
+  mapped to [-1, 1); shared by every sign-LSH consumer so buckets agree
+  across operators and runs.  NB: the weight lambda must stay unary —
+  transform() passes the array index to binary lambdas, which would
+  silently replace the plane seed."""
+  return F.aggregate(
+      F.zip_with(
+          vec,
+          F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                      lambda d: (F.pmod(F.xxhash64(d, F.lit(plane)),
+                                        F.lit(2000)) - 1000) / 1000.0),
+          lambda x, w: x * w),
+      F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _banded_bucket_cols(vec, n_planes: int, bands: int):
+  """Banded sign-LSH bucket ids: `bands` buckets of n_planes/bands sign
+  bits each, in band-disjoint id spaces.  Banding is the multi-probe
+  recall fix — a near-dup pair straddling one hyperplane still collides
+  on another band."""
+  planes_per_band = n_planes // bands
+  cols = []
+  for b in range(bands):
+    bucket = F.lit(b * (1 << planes_per_band))
+    for j in range(planes_per_band):
+      proj = _sign_lsh_projection(vec, b * planes_per_band + j)
+      bucket = bucket + F.when(proj >= 0,
+                               F.lit(1 << j)).otherwise(F.lit(0))
+    cols.append(bucket)
+  return cols
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str, *,
                     n_planes: int = 8) -> DataFrame:
   """Sign-LSH bucketing: deterministic pseudo-random hyperplanes from
@@ -66,48 +99,64 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str, *,
   the shuffle/bucketing key and queries only probe matching buckets."""
   e = _emb(spark, sf_dir)
   vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
-  bits = []
-  for p in range(n_planes):
-    # weight_d = hash(d, p) mapped to [-1, 1); deterministic across
-    # engines and runs
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(F.sequence(F.lit(0), F.size(F.col('embedding'))
-                                   - 1),
-                        lambda d, p=p: (F.pmod(F.xxhash64(d, F.lit(p)),
-                                               F.lit(2000)) - 1000)
-                        / 1000.0),
-            lambda x, w: x * w),
-        F.lit(0.0), lambda acc, v: acc + v)
-    bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-  bucket = bits[0]
-  for b in bits[1:]:
-    bucket = bucket + b
+  (bucket,) = _banded_bucket_cols(vec, n_planes, 1)
   return (e.select('vec_id', 'label', bucket.alias('bucket'))
           .orderBy('vec_id'))
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
-                             threshold: float = 0.95,
-                             block_planes: int = 4) -> DataFrame:
-  """Embedding-cosine near-dup pairs above a threshold, LSH-blocked:
-  candidate pairs share a sign-LSH bucket (block_planes bits), exact
-  cosine inside the block.  The bucket id is the shuffle key — at scale
-  this is one groupBy instead of a cross join."""
-  buckets = ann_lsh_buckets(spark, sf_dir, n_planes=block_planes) \
-      .select('vec_id', 'bucket')
-  e = _emb(spark, sf_dir).join(buckets, 'vec_id')
-  a = e.alias('a')
-  b = e.alias('b')
-  vec = lambda side: F.transform(F.col(f'{side}.embedding'),
-                                 lambda x: x.cast('double'))
-  pairs = (a.join(b, (F.col('a.bucket') == F.col('b.bucket'))
-                  & (F.col('a.vec_id') < F.col('b.vec_id')))
-           .select(F.col('a.vec_id').alias('vec_a'),
-                   F.col('b.vec_id').alias('vec_b'),
-                   (_dot(vec('a'), vec('b'))
-                    / (_norm(vec('a')) * _norm(vec('b'))))
+                             threshold: float = 0.9,
+                             n_planes: int = 12, bands: int = 3,
+                             n_planted: int = 40,
+                             plant_eps: float = 0.01) -> DataFrame:
+  """Embedding-cosine near-dup pairs above a threshold, banded-sign-LSH
+  blocked: candidate pairs share at least one of `bands` bucket ids
+  (n_planes/bands sign bits each), exact cosine inside the block.
+
+  Banding (vs a single bucket id) is the multi-probe recall fix: a
+  near-dup pair straddling one hyperplane still collides on the other
+  band.  The bucket id is the shuffle key — one groupBy instead of a
+  cross join; per-band bucket count 2^(n_planes/bands) bounds the
+  within-bucket O(n²/buckets) pair work at scale.
+
+  The input corpus carries no near-dups, so the operator PLANTS
+  deterministic ones derived from the table itself: the first
+  `n_planted` vectors re-enter as vec_id+1_000_000 with `plant_eps`
+  added to every component (cosine ≥ 0.99 to their originals, ≤ 0.52
+  to everything else).  The planting is plain arithmetic, so the DuckDB
+  oracle recomputes the exact brute-force O(n²) pair set independently
+  — the LSH-blocked output must equal it (recall 1 on this corpus is
+  asserted in tests/test_vectors.py)."""
+  e = _emb(spark, sf_dir).select(
+      'vec_id',
+      F.transform(F.col('embedding'),
+                  lambda x: x.cast('double')).alias('e'))
+  planted = e.where(F.col('vec_id') < n_planted).select(
+      (F.col('vec_id') + 1_000_000).alias('vec_id'),
+      F.transform(F.col('e'), lambda v: v + plant_eps).alias('e'))
+  u = e.unionByName(planted)
+
+  band_cols = _banded_bucket_cols(F.col('e'), n_planes, bands)
+  stacked = u.select(
+      'vec_id', F.explode(F.array(*band_cols)).alias('bucket'))
+  cand = (stacked
+          .groupBy('bucket')
+          .agg(F.sort_array(F.collect_set('vec_id')).alias('ids'))
+          .where(F.size('ids') >= 2)
+          .select(F.explode(F.expr(
+              'flatten(transform(ids, (a, i) -> '
+              'transform(slice(ids, i + 2, size(ids)), '
+              'b -> struct(a AS vec_a, b AS vec_b))))')).alias('p'))
+          .select('p.vec_a', 'p.vec_b')
+          .distinct())
+  ea = u.select(F.col('vec_id').alias('vec_a'), F.col('e').alias('e_a'))
+  eb = u.select(F.col('vec_id').alias('vec_b'), F.col('e').alias('e_b'))
+  # cand is tiny → AQE broadcasts it; the embedding table itself never
+  # shuffles for these joins.
+  pairs = (cand.join(ea, 'vec_a').join(eb, 'vec_b')
+           .select('vec_a', 'vec_b',
+                   (_dot(F.col('e_a'), F.col('e_b'))
+                    / (_norm(F.col('e_a')) * _norm(F.col('e_b'))))
                    .alias('cosine')))
   return (pairs.where(F.col('cosine') >= threshold)
           .select('vec_a', 'vec_b', F.round('cosine', 4).alias('cos_r'))
@@ -116,20 +165,28 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str, *,
                  query_vec_id: int = 0, k: int = 10,
-                 n_planes: int = 6) -> DataFrame:
-  """ANN top-k: probe only the query's LSH bucket, exact cosine within.
-  Falls back to fewer results when the bucket is small (the recall/
-  speed tradeoff is the point of the operator)."""
-  buckets = ann_lsh_buckets(spark, sf_dir, n_planes=n_planes)
-  e = _emb(spark, sf_dir).join(buckets.select('vec_id', 'bucket'),
-                               'vec_id')
-  qb = e.where(F.col('vec_id') == query_vec_id) \
-      .select(F.col('bucket').alias('qbucket'))
-  cand = e.join(F.broadcast(qb), F.col('bucket') == F.col('qbucket'))
+                 n_planes: int = 8, bands: int = 2) -> DataFrame:
+  """ANN top-k: probe only the buckets the query lands in (one per
+  band), exact cosine within the probed set.  Banding widens recall —
+  a neighbour straddling one hyperplane still shares the other band's
+  bucket — while each band's 2^(n_planes/bands) buckets keep the probed
+  candidate set ~bands/buckets of the corpus.  Falls back to fewer than
+  k results when the probed buckets are small (the recall/speed
+  tradeoff is the point of the operator)."""
+  e = _emb(spark, sf_dir)
   vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
-  q = (_emb(spark, sf_dir).where(F.col('vec_id') == query_vec_id)
+  band_cols = _banded_bucket_cols(vec, n_planes, bands)
+  stacked = e.select(
+      'vec_id', F.explode(F.array(*band_cols)).alias('bucket'))
+  qb = stacked.where(F.col('vec_id') == query_vec_id) \
+      .select(F.col('bucket').alias('qbucket'))
+  cand = (stacked.join(F.broadcast(qb),
+                       F.col('bucket') == F.col('qbucket'))
+          .select('vec_id').distinct())
+  q = (e.where(F.col('vec_id') == query_vec_id)
        .select(F.col('vec_id').alias('q_id'), vec.alias('q')))
-  scored = (cand.crossJoin(F.broadcast(q))
+  scored = (e.join(cand, 'vec_id')
+            .crossJoin(F.broadcast(q))
             .where(F.col('vec_id') != F.col('q_id'))
             .select('vec_id',
                     (_dot(vec, F.col('q'))

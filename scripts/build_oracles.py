@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""Build + verify the committed snapshot oracles (oracles/*.parquet).
+
+The driver's hard correctness gate compares each queries() entry against
+DuckDB SQL.  Blueprint extraction and the xxhash64-based similarity ops
+have no from-scratch DuckDB formulation, so their oracles are SNAPSHOT
+parquet files — but a snapshot is only as good as its verification, so
+every file this script writes is checked against an INDEPENDENT source
+first:
+
+  bp_extract_{readme,labelvalue,table,multipage,adversarial}
+      per-document against the reference engine itself (exhaustive
+      num_samples=-1 solve via tests/refshim); score equality to 1e-9
+      and out-span membership in the reference's tied-best set.
+  bp_extract_paystubs
+      reference flagship model at its production config
+      (Config(num_samples=100), examples/paystubs/paystubs.py:790) on a
+      subset (the reference needs ~22 s/doc): our global best must
+      dominate the reference's best-of-100, with span equality on ties.
+      Full-model parity is additionally covered by
+      tests/test_paystubs_parity.py.
+  minhash_pairs
+      duplicate-closure (identical-text pairs MUST collide — identical
+      signatures band together) + independently recomputed pure-Python
+      3-gram Jaccard per reported pair + double-run determinism.
+  simhash64
+      identical-text docs must share a simhash; mean hamming distance
+      over random non-dup pairs must stay near 32 bits; determinism.
+  ann_topk_lsh
+      every reported cosine re-checked against exact numpy to 5e-5.
+  media_features
+      full pure-Python recomputation of the deterministic stub features.
+  extraction_accuracy
+      per-field accuracy recomputed in Python from the (reference-
+      verified) labelvalue extraction output.
+
+Usage: python scripts/build_oracles.py [--sf-dir /root/testdata/sf0.01]
+Writes oracles/<query>.parquet + oracles/MANIFEST.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_DIR = '/root/repo/oracles'
+
+
+def _spans_tuples(out_spans_json: str):
+  return [(s['kind'], s['text'], s['media_ref'], s['order'])
+          for s in json.loads(out_spans_json)]
+
+
+def verify_bp_extract(corpus: str, sf_dir: str, pdf) -> dict:
+  from __spark_entry__ import _n_docs_for
+  from blueprint_oss_spark.fixtures import ALL_CORPORA
+  from tests.refshim import REF_BLUEPRINTS, reference_best_set
+
+  docs = dict(ALL_CORPORA[corpus][0](_n_docs_for(sf_dir)))
+  root = REF_BLUEPRINTS[corpus]()
+  assert len(pdf) == len(docs), (len(pdf), len(docs))
+  ties = 0
+  for row in pdf.itertuples():
+    rf, rs, outs = reference_best_set(row.doc_id, docs[row.doc_id], root)
+    assert abs(row.score - round(rs, 9)) <= 1e-9, \
+        (corpus, row.doc_id, row.score, rs)
+    ours = _spans_tuples(row.out_spans_json)
+    ref_outs = [[tuple(s) for s in o] for o in outs]
+    assert ours in ref_outs, (corpus, row.doc_id)
+    ties += len(outs) > 1
+  return {'method': 'reference engine, exhaustive solve, per-doc',
+          'docs_verified': len(pdf), 'tied_docs': ties}
+
+
+def verify_bp_extract_paystubs(sf_dir: str, pdf, subset: int) -> dict:
+  from __spark_entry__ import _n_docs_for
+  from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+      paystub_corpus
+  from tests.refshim import load_reference_example, reference_best_set
+
+  n = max(30, _n_docs_for(sf_dir, base=120))
+  docs = dict(paystub_corpus(n))
+  assert len(pdf) == len(docs), (len(pdf), len(docs))
+  ns = load_reference_example(
+      '/root/reference/examples/paystubs/paystubs.py')
+  checked = agreed = 0
+  for row in pdf.itertuples():
+    if checked >= subset:
+      break
+    rf, rs, outs = reference_best_set(row.doc_id, docs[row.doc_id],
+                                      ns['root'], num_samples=100)
+    # Our solver returns the global argmax; the reference pumps 100
+    # samples best-first — our score must dominate, and when it agrees
+    # AND the reference's optimum is untied, the extraction must match.
+    assert row.score >= round(rs, 9) - 1e-9, (row.doc_id, row.score, rs)
+    if abs(row.score - round(rs, 9)) <= 1e-9:
+      agreed += 1
+      if len(outs) == 1:
+        assert dict(json.loads(row.fields_json)) == rf, \
+            (row.doc_id, row.fields_json, rf)
+    checked += 1
+  return {'method': 'reference flagship @ num_samples=100, dominance',
+          'docs_verified': checked, 'docs_total': len(pdf),
+          'score_agreed': agreed,
+          'note': 'full-model parity: tests/test_paystubs_parity.py'}
+
+
+def _tokens(text: str):
+  return [t for t in text.split(' ') if t]
+
+
+def _jaccard3(ta, tb) -> float:
+  sa = {' '.join(ta[i:i + 3]) for i in range(max(0, len(ta) - 2))}
+  sb = {' '.join(tb[i:i + 3]) for i in range(max(0, len(tb) - 2))}
+  return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
+  import pandas as pd
+  docs = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['doc_id', 'text']).to_pandas()
+  text = dict(zip(docs.doc_id, docs.text))
+  assert pdf.equals(pdf2), 'minhash_pairs not deterministic'
+  # duplicate closure: identical text => identical signature => banded
+  by_md5: dict = {}
+  for d, t in text.items():
+    by_md5.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+  pairs = {(a, b) for a, b in zip(pdf.doc_a, pdf.doc_b)}
+  dup_pairs = {(min(a, b), max(a, b))
+               for ds in by_md5.values() if len(ds) > 1
+               for i, a in enumerate(ds) for b in ds[i + 1:]}
+  missing = dup_pairs - pairs
+  assert not missing, f'exact dups missing from minhash pairs: {missing}'
+  jac = [_jaccard3(_tokens(text[a]), _tokens(text[b]))
+         for a, b in sorted(pairs)]
+  assert not jac or min(jac) >= 0.05, f'implausibly low jaccard {min(jac)}'
+  return {'method': 'dup-closure + python 3-gram jaccard + determinism',
+          'pairs': len(pairs), 'exact_dup_pairs': len(dup_pairs),
+          'jaccard_min': round(min(jac), 4) if jac else None,
+          'jaccard_median': round(float(np.median(jac)), 4) if jac
+          else None}
+
+
+def verify_simhash(sf_dir: str, pdf, pdf2) -> dict:
+  docs = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['doc_id', 'text']).to_pandas()
+  text = dict(zip(docs.doc_id, docs.text))
+  assert pdf.equals(pdf2), 'simhash64 not deterministic'
+  sim = dict(zip(pdf.doc_id, pdf.simhash))
+  by_md5: dict = {}
+  for d, t in text.items():
+    by_md5.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
+  for ds in by_md5.values():
+    assert len({sim[d] for d in ds}) == 1, f'dup docs w/ diff simhash {ds}'
+  ids = sorted(sim)
+  rng = np.random.default_rng(7)
+  ham = []
+  for _ in range(500):
+    a, b = rng.choice(len(ids), size=2, replace=False)
+    if text[ids[a]] != text[ids[b]]:
+      x = np.uint64(sim[ids[a]] & 0xFFFFFFFFFFFFFFFF) \
+          ^ np.uint64(sim[ids[b]] & 0xFFFFFFFFFFFFFFFF)
+      ham.append(bin(int(x)).count('1'))
+  mean_ham = float(np.mean(ham))
+  # Same-domain docs share vocabulary, so the mean sits below the 32-bit
+  # independence point (≈19 on this corpus); the check is against
+  # DEGENERACY (a collapsed/constant hash ≈ 0), not independence.
+  assert mean_ham > 10, f'random-pair hamming degenerate: {mean_ham}'
+  return {'method': 'dup-equality + random-pair hamming + determinism',
+          'rows': len(pdf), 'mean_random_hamming': round(mean_ham, 2)}
+
+
+def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
+  t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  E = {int(v): np.asarray(e, dtype=np.float64)
+       for v, e in zip(t.vec_id, t.embedding)}
+  q = E[query_vec_id]
+  for row in pdf.itertuples():
+    v = E[int(row.vec_id)]
+    cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+    assert abs(row.cosine_r - round(cos, 4)) <= 5e-5, \
+        (row.vec_id, row.cosine_r, cos)
+  return {'method': 'exact numpy cosine per reported row',
+          'rows': len(pdf)}
+
+
+def verify_media(pdf) -> dict:
+  from blueprint_oss_spark.ops.multimodal import FEATURE_DIM
+  for row in pdf.itertuples():
+    i = int(row.media_ref.split('/')[-1])
+    kind = ('image', 'audio', 'video')[i % 3]
+    payload = hashlib.sha256(f'media-{i}'.encode()).digest() * 4
+    h = hashlib.sha256(kind.encode() + payload).digest()
+    assert row.kind == kind
+    assert row.dim == FEATURE_DIM
+    assert row.decode_status == 'ok-stub'
+    assert abs(row.f0 - round(h[0] / 255.0, 6)) <= 1e-9, row.media_ref
+  return {'method': 'pure-python stub-feature recomputation',
+          'rows': len(pdf)}
+
+
+def verify_accuracy(spark, sf_dir: str, pdf, extract_pdf) -> dict:
+  """Recompute per-field accuracy in Python from the (reference-
+  verified) labelvalue extraction output.  Only the corruption selector
+  (pmod(xxhash64(doc_id), 3) == 0) is taken from Spark — it is a hash,
+  not arithmetic."""
+  from pyspark.sql import functions as F
+  ids = [r.doc_id for r in extract_pdf.itertuples()]
+  flags = {
+      r['doc_id']: r['c'] for r in
+      spark.createDataFrame([(d,) for d in ids], 'doc_id string')
+      .select('doc_id',
+              (F.pmod(F.xxhash64('doc_id'), F.lit(3)) == 0).alias('c'))
+      .collect()}
+  n_docs: dict = {}
+  n_correct: dict = {}
+  for row in extract_pdf.itertuples():
+    fields = dict(json.loads(row.fields_json))
+    first = min(fields) if fields else None
+    for f, v in fields.items():
+      n_docs[f] = n_docs.get(f, 0) + 1
+      corrupted = flags[row.doc_id] and f == first
+      n_correct[f] = n_correct.get(f, 0) + (not corrupted)
+  for row in pdf.itertuples():
+    assert row.n_docs == n_docs[row.field], (row.field, row.n_docs)
+    assert row.n_correct == n_correct[row.field], \
+        (row.field, row.n_correct, n_correct[row.field])
+    assert abs(row.accuracy
+               - round(n_correct[row.field] / n_docs[row.field], 6)) \
+        <= 1e-9
+  return {'method': 'python recomputation from verified extraction',
+          'fields': len(pdf)}
+
+
+def main() -> None:
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--sf-dir', default='/root/testdata/sf0.01')
+  ap.add_argument('--paystub-subset', type=int, default=6)
+  ap.add_argument('--only', nargs='*', default=None)
+  args = ap.parse_args()
+
+  from pyspark.sql import SparkSession
+  spark = (SparkSession.builder.master('local[8]')
+           .appName('build-oracles')
+           .config('spark.sql.shuffle.partitions', '8')
+           .config('spark.sql.adaptive.enabled', 'true')
+           .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+           .config('spark.ui.enabled', 'false')
+           .getOrCreate())
+  spark.sparkContext.setLogLevel('ERROR')
+
+  import __spark_entry__ as entry
+  queries = entry.queries()
+  os.makedirs(ORACLE_DIR, exist_ok=True)
+  manifest_path = os.path.join(ORACLE_DIR, 'MANIFEST.json')
+  manifest = {}
+  if os.path.exists(manifest_path):
+    with open(manifest_path) as f:
+      manifest = json.load(f)
+
+  def run(name):
+    return queries[name](spark, args.sf_dir).toPandas()
+
+  jobs = list(entry._SNAPSHOT_ORACLES)
+  if args.only:
+    jobs = [j for j in jobs if j in args.only]
+
+  for name in jobs:
+    t0 = time.monotonic()
+    pdf = run(name)
+    if name.startswith('bp_extract_') and name != 'bp_extract_paystubs':
+      rec = verify_bp_extract(name[len('bp_extract_'):], args.sf_dir, pdf)
+    elif name == 'bp_extract_paystubs':
+      rec = verify_bp_extract_paystubs(args.sf_dir, pdf,
+                                       args.paystub_subset)
+    elif name == 'minhash_pairs':
+      rec = verify_minhash(args.sf_dir, pdf, run(name))
+    elif name == 'simhash64':
+      rec = verify_simhash(args.sf_dir, pdf, run(name))
+    elif name == 'ann_topk_lsh':
+      rec = verify_ann_topk(args.sf_dir, pdf)
+    elif name == 'media_features':
+      rec = verify_media(pdf)
+    elif name == 'extraction_accuracy':
+      rec = verify_accuracy(spark, args.sf_dir, pdf,
+                            run('bp_extract_labelvalue'))
+    else:
+      raise ValueError(name)
+    out = os.path.join(ORACLE_DIR, f'{name}.parquet')
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), out)
+    rec.update(rows=len(pdf), sf_dir=args.sf_dir,
+               build_sec=round(time.monotonic() - t0, 1))
+    manifest[name] = rec
+    print(f'{name}: {rec}')
+
+  with open(manifest_path, 'w') as f:
+    json.dump(manifest, f, indent=1, sort_keys=True)
+  print(f'wrote {len(jobs)} oracles + MANIFEST to {ORACLE_DIR}')
+  spark.stop()
+
+
+if __name__ == '__main__':
+  main()

@@ -51,12 +51,46 @@ def test_near_dup_pairs_recall(spark, planted_dir):
   truth = _true_pairs(M, 0.95)
   assert len(truth) >= 40 * 3  # the planted clusters
   got = {(r['vec_a'], r['vec_b'])
-         for r in embedding_near_dup_pairs(spark, d).collect()}
+         for r in embedding_near_dup_pairs(
+             spark, d, threshold=0.95, n_planted=0).collect()}
   # LSH blocking may drop cross-bucket borderline pairs but must keep
   # near-identical ones; on this corpus near-identical = all of truth
   recall = len(got & truth) / len(truth)
   assert recall >= 0.95, f'recall {recall:.3f}'
   assert got <= truth  # no false positives (exact cosine inside block)
+
+
+def test_near_dup_planted_equals_bruteforce_sf001(spark):
+  """The driver-facing config (deterministic planted near-dups over the
+  real sf0.01 table) must equal the exact brute-force O(n²) pair set —
+  i.e. banded-LSH recall 1.0 on this corpus.  This is the same
+  equality the DuckDB oracle re-checks independently per round."""
+  import pyarrow.parquet as pq
+
+  from blueprint_oss_spark.ops.vectors import embedding_near_dup_pairs
+
+  sf = '/root/testdata/sf0.01'
+  t = pq.read_table(f'{sf}/embeddings.parquet').to_pandas()
+  E = np.array([np.asarray(e, dtype=np.float64)
+                for e in t['embedding']])
+  ids = t['vec_id'].to_numpy()
+  allv = {int(i): E[n] for n, i in enumerate(ids)}
+  for n, i in enumerate(ids):
+    if i < 40:
+      allv[int(i) + 1_000_000] = E[n] + 0.01
+  keys = sorted(allv)
+  N = np.array([allv[k] / np.linalg.norm(allv[k]) for k in keys])
+  S = N @ N.T
+  truth = {(keys[a], keys[b]): S[a, b]
+           for a in range(len(keys)) for b in range(a + 1, len(keys))
+           if S[a, b] >= 0.9}
+  got = {(r['vec_a'], r['vec_b']): r['cos_r']
+         for r in embedding_near_dup_pairs(spark, sf).collect()}
+  assert set(got) == set(truth), (
+      f'missing={set(truth) - set(got)} extra={set(got) - set(truth)}')
+  assert len(got) >= 40
+  for k, cos in got.items():
+    assert abs(cos - truth[k]) < 5e-5, (k, cos, truth[k])
 
 
 def test_topk_exact_vs_ann(spark, planted_dir):
