@@ -99,6 +99,25 @@ def _bp_extract_paystubs(spark: SparkSession, sf_dir: str) -> DataFrame:
       .orderBy('doc_id')
 
 
+def _bp_extract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """The checks example model (custom-predicate showcase: pixel page
+  regions, empty-line-above impingement, string disjointness) over the
+  synthesized check corpus."""
+  from blueprint_oss_spark.bp_examples.check_fixtures import check_corpus
+  from blueprint_oss_spark.bp_examples.checks import root
+  docs = check_corpus(max(30, _n_docs_for(sf_dir, base=120)))
+  rows = [(doc_id,
+           [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in spans])
+          for doc_id, spans in docs]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = extract_documents(df, root)
+  return out.select(
+      'doc_id', F.to_json('fields').alias('fields_json'),
+      F.round('score', 9).alias('score'), 'n_entities', 'n_words') \
+      .orderBy('doc_id')
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
   from blueprint_oss_spark.ops import relational as R
   from blueprint_oss_spark.ops import textops as T
@@ -122,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'bp_extract_multipage': _bp_extract('multipage'),
       'bp_extract_adversarial': _bp_extract('adversarial'),
       'bp_extract_paystubs': _bp_extract_paystubs,
+      'bp_extract_checks': _bp_extract_checks,
       # --- relational shell (DuckDB-oracled) ---
       'q1_pricing_summary': R.q1_pricing_summary,
       'q3_shipping_priority': R.q3_shipping_priority,
@@ -202,6 +222,7 @@ _SNAPSHOT_ORACLES = {
     'bp_extract_multipage': 'doc_id',
     'bp_extract_adversarial': 'doc_id',
     'bp_extract_paystubs': 'doc_id',
+    'bp_extract_checks': 'doc_id',
     'minhash_pairs': 'doc_a, doc_b',
     'simhash64': 'doc_id',
     'ann_topk_lsh': 'cosine_r DESC, vec_id',

@@ -4,7 +4,12 @@ Reference: examples/passports/aze_passports.py:1-53 — seven
 label-value sub-extractions (surname, given name, place/date of birth,
 date of expiry/issue, sex) combined with auto-injected disjointness.
 Sample inputs: examples/passports/hocr/*.jpg.hocr (MIDV-2020 templates,
-vldb22.md:12-33)."""
+vldb22.md:12-33).
+
+Ported model definition: the rule constants and layout structure are
+the workload itself and match the MIT-licensed reference example by
+design (parity with that model is the goal); the engine executing it
+is this repo's own."""
 
 from ..model.nodes import combine, extract
 from ..model.rules import (

@@ -5,7 +5,12 @@ label-value sub-extractions (BOL/booking numbers, shipper/consignee/
 notify addresses, ports, vessel, country of origin, ship date) combined
 with auto-injected disjointness.  The reference ships no sample inputs
 for this model; parity runs on synthesized fixtures
-(tests/test_bill_of_lading.py)."""
+(tests/test_bill_of_lading.py).
+
+Ported model definition: the rule constants and layout structure are
+the workload itself and match the MIT-licensed reference example by
+design (parity with that model is the goal); the engine executing it
+is this repo's own."""
 
 from ..model.nodes import combine, extract
 from ..model.rules import (

@@ -3,6 +3,11 @@ the blueprint_oss_spark DSL (semantics mirror the reference program at
 /root/reference/examples/paystubs/paystubs.py; rule constants are part of
 the model definition, i.e. the user's query, not engine code).
 
+Ported model definition: the rule constants and layout structure are
+the workload itself and match the MIT-licensed reference example by
+design (parity with that model is the goal); the engine executing it
+is this repo's own.
+
 Structure: five vendor templates + a long-tail of label/value and tabular
 patterns, wrapped in pick_best, with business-logic inequality rules at
 the root.  Extracted fields: period/YTD gross and net pay, period begin /

@@ -82,17 +82,15 @@ def verify_bp_extract(corpus: str, sf_dir: str, pdf) -> dict:
           'docs_verified': len(pdf), 'tied_docs': ties}
 
 
-def verify_bp_extract_paystubs(sf_dir: str, pdf, subset: int) -> dict:
+def verify_bp_extract_flagship(sf_dir: str, pdf, subset: int,
+                               corpus_fn, example_path: str) -> dict:
   from __spark_entry__ import _n_docs_for
-  from blueprint_oss_spark.bp_examples.paystub_fixtures import \
-      paystub_corpus
   from tests.refshim import load_reference_example, reference_best_set
 
   n = max(30, _n_docs_for(sf_dir, base=120))
-  docs = dict(paystub_corpus(n))
+  docs = dict(corpus_fn(n))
   assert len(pdf) == len(docs), (len(pdf), len(docs))
-  ns = load_reference_example(
-      '/root/reference/examples/paystubs/paystubs.py')
+  ns = load_reference_example(example_path)
   checked = agreed = 0
   for row in pdf.itertuples():
     if checked >= subset:
@@ -112,7 +110,8 @@ def verify_bp_extract_paystubs(sf_dir: str, pdf, subset: int) -> dict:
   return {'method': 'reference flagship @ num_samples=100, dominance',
           'docs_verified': checked, 'docs_total': len(pdf),
           'score_agreed': agreed,
-          'note': 'full-model parity: tests/test_paystubs_parity.py'}
+          'note': 'full-model parity: tests/test_paystubs_parity.py / '
+                  'tests/test_checks.py'}
 
 
 def _tokens(text: str):
@@ -278,11 +277,21 @@ def main() -> None:
   for name in jobs:
     t0 = time.monotonic()
     pdf = run(name)
-    if name.startswith('bp_extract_') and name != 'bp_extract_paystubs':
+    if name.startswith('bp_extract_') and \
+        name not in ('bp_extract_paystubs', 'bp_extract_checks'):
       rec = verify_bp_extract(name[len('bp_extract_'):], args.sf_dir, pdf)
     elif name == 'bp_extract_paystubs':
-      rec = verify_bp_extract_paystubs(args.sf_dir, pdf,
-                                       args.paystub_subset)
+      from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+          paystub_corpus
+      rec = verify_bp_extract_flagship(
+          args.sf_dir, pdf, args.paystub_subset, paystub_corpus,
+          '/root/reference/examples/paystubs/paystubs.py')
+    elif name == 'bp_extract_checks':
+      from blueprint_oss_spark.bp_examples.check_fixtures import \
+          check_corpus
+      rec = verify_bp_extract_flagship(
+          args.sf_dir, pdf, args.paystub_subset, check_corpus,
+          '/root/reference/examples/checks/checks.py')
     elif name == 'minhash_pairs':
       rec = verify_minhash(args.sf_dir, pdf, run(name))
     elif name == 'simhash64':

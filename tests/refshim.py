@@ -96,9 +96,14 @@ def load_reference_example(path: str):
     pkg.bp_cli_main = lambda *a, **k: None
     pkg.__bp_star_ready__ = True
   src = pathlib.Path(path).read_text()
-  ns = {'__name__': 'reference_example'}
-  exec(compile(src, path, 'exec'), ns)
-  return ns
+  # exec into a REGISTERED module: examples defining @dataclass at
+  # module level (checks.py) need sys.modules[cls.__module__] to exist.
+  mod_name = 'reference_example_' + pathlib.Path(path).stem
+  mod = types.ModuleType(mod_name)
+  mod.__file__ = path
+  sys.modules[mod_name] = mod
+  exec(compile(src, path, 'exec'), mod.__dict__)
+  return mod.__dict__
 
 
 def reference_doc_from_spans(doc_id: str, spans: Sequence[Span]):
