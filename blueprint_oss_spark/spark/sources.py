@@ -70,39 +70,89 @@ _HOCR_BBOX = re.compile(r'bbox (\d+) (\d+) (\d+) (\d+)')
 
 
 def parse_hocr(text: str) -> List[dict]:
-  """Minimal hOCR parser: ocr_page divs + ocrx_word spans."""
+  """General-Tesseract hOCR parser (reference loader:
+  bp/hocr_file.py:38-80 via the hocr_parser lib).
+
+  Handles the full format, not just the MIDV-2020 subset:
+    * multi-class attributes (`class="ocrx_word highlight"`);
+    * arbitrary block nesting (ocr_carea / ocr_par / ocr_line wrappers
+      are transparent — only pages and words carry geometry we need);
+    * markup INSIDE a word (`<span class=ocrx_word>a<strong>b</strong>
+      c</span>` → one word "abc", tracked by tag depth);
+    * text split across parser chunks / entity references;
+    * a word with no bbox in its title is skipped (the reference
+      raises; for a bulk 100 TB ingest a malformed word must not kill
+      the file);
+    * a page with no bbox gets its extent from its words' hull.
+  """
   from html.parser import HTMLParser
 
   class P(HTMLParser):
     def __init__(self):
-      super().__init__()
+      super().__init__(convert_charrefs=True)
       self.pages: List[dict] = []
-      self._in_word: Optional[tuple] = None
+      self._word_bbox: Optional[tuple] = None
+      self._word_parts: List[str] = []
+      self._depth = 0
+
+    def _finish_word(self):
+      textv = ' '.join(''.join(self._word_parts).split())
+      if textv and self._word_bbox is not None:
+        x0, y0, x1, y1 = self._word_bbox
+        self.pages[-1]['words'].append(
+            (textv, float(x0), float(x1), float(y0), float(y1)))
+      self._word_bbox = None
+      self._word_parts = []
+      self._depth = 0
 
     def handle_starttag(self, tag, attrs):
       a = dict(attrs)
-      cls = a.get('class', '')
-      title = a.get('title', '')
-      m = _HOCR_BBOX.search(title)
-      if cls == 'ocr_page' and m:
-        x0, y0, x1, y1 = map(int, m.groups())
-        self.pages.append({'page_number': len(self.pages) + 1,
-                           'width': float(x1 - x0),
-                           'height': float(y1 - y0), 'words': []})
-      elif cls == 'ocrx_word' and m and self.pages:
-        self._in_word = tuple(map(int, m.groups()))
+      classes = (a.get('class') or '').split()
+      if self._word_bbox is not None:
+        self._depth += 1  # markup nested inside the word
+        return
+      m = _HOCR_BBOX.search(a.get('title') or '')
+      if 'ocr_page' in classes:
+        bbox = tuple(map(int, m.groups())) if m else None
+        self.pages.append({
+            'page_number': len(self.pages) + 1,
+            'width': float(bbox[2] - bbox[0]) if bbox else 0.0,
+            'height': float(bbox[3] - bbox[1]) if bbox else 0.0,
+            'words': []})
+      elif 'ocrx_word' in classes and m and self.pages:
+        self._word_bbox = tuple(map(int, m.groups()))
+        self._word_parts = []
+        self._depth = 0
+
+    def handle_startendtag(self, tag, attrs):
+      # self-closing tags inside a word must not pop the word; a <br/>
+      # is itself a word-internal break → one space
+      if tag == 'br' and self._word_bbox is not None:
+        self._word_parts.append(' ')
 
     def handle_data(self, data):
-      if self._in_word is not None and data.strip():
-        x0, y0, x1, y1 = self._in_word
-        self.pages[-1]['words'].append(
-            (data.strip(), float(x0), float(x1), float(y0), float(y1)))
+      if self._word_bbox is not None:
+        self._word_parts.append(data)
 
     def handle_endtag(self, tag):
-      self._in_word = None
+      if self._word_bbox is not None:
+        if self._depth:
+          self._depth -= 1
+        else:
+          self._finish_word()
+
+    def close(self):
+      super().close()
+      if self._word_bbox is not None and self.pages:
+        self._finish_word()  # truncated file: flush the open word
+      for pg in self.pages:
+        if (pg['width'] == 0.0 or pg['height'] == 0.0) and pg['words']:
+          pg['width'] = max(w[2] for w in pg['words'])
+          pg['height'] = max(w[4] for w in pg['words'])
 
   p = P()
   p.feed(text)
+  p.close()
   return p.pages
 
 
