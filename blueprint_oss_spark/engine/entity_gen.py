@@ -210,6 +210,35 @@ def relative_edit_distance(s1: str, s2: str) -> float:
   return edit_distance(s1, s2) / max(len(s1), len(s2))
 
 
+def edit_distance_capped(s1: str, s2: str, cap: int) -> int:
+  """min(edit_distance(s1, s2), cap) — EXACT below the cap.
+
+  Same DP as edit_distance, aborting as soon as a whole row is >= cap
+  (distances are non-decreasing down the rows' minimum), which makes
+  far-apart strings O(cap·m) instead of O(n·m).  Callers use it where
+  every distance >= cap maps to the same score (taper hits 0), so the
+  cap is lossless."""
+  if abs(len(s1) - len(s2)) >= cap:
+    return cap
+  if not s1 or not s2:
+    return min(max(len(s1), len(s2)), cap)
+  prev = list(range(len(s2) + 1))
+  for i in range(1, len(s1) + 1):
+    cur = [i] + [0] * len(s2)
+    c1 = s1[i - 1]
+    row_min = i
+    for j in range(1, len(s2) + 1):
+      cost = 0 if c1 == s2[j - 1] else 1
+      v = min(1 + prev[j], 1 + cur[j - 1], cost + prev[j - 1])
+      cur[j] = v
+      if v < row_min:
+        row_min = v
+    if row_min >= cap:
+      return cap
+    prev = cur
+  return min(prev[len(s2)], cap)
+
+
 def date_likeness(text: str) -> float:
   """reference: type_scoring.py:6-50.  Canonicalize then min relative edit
   distance against the six date patterns (iteration order preserved —
@@ -229,7 +258,24 @@ def date_likeness(text: str) -> float:
   text = text.replace(',', ' ')
   text = '99'.join(text.rsplit('9999', 1))
   text = '-'.join(text.split())
-  return max(1 - relative_edit_distance(p, text) for p in _DATE_PATTERNS)
+  # Capped distances are lossless here: a pattern capped at
+  # cap > 0.3·maxlen contributes likeness 1 - cap/maxlen < 0.7, which
+  # can neither cross the DATE_MIN_SCORE=0.7 keep-floor nor beat an
+  # exact >= 0.7 max — kept entities get the bit-exact reference value
+  # (asserted by tests/test_entity_gen.py's pool bit-equality).
+  best = 0.0
+  first = True
+  for p in _DATE_PATTERNS:
+    m = max(len(p), len(text))
+    if m == 0:
+      v = 1.0
+    else:
+      cap = int(0.3 * m) + 2
+      v = 1 - edit_distance_capped(p, text, cap) / m
+    if first or v > best:
+      best = v
+      first = False
+  return best
 
 
 # ---------------------------------------------------------------------------

@@ -21,14 +21,19 @@ from bisect import bisect
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..model.rules import Predicate
 from .docmodel import DocPool, TYPE_DATE, TYPE_DOLLAR, TYPE_TEXT
 from .entity_gen import edit_distance as _edit_distance_raw
+from .entity_gen import edit_distance_capped as _edit_distance_capped_raw
 
 # Hot kernels memoized: blueprints compare fixed label vocabularies
 # against recurring entity texts, so (s1, s2) pairs repeat heavily both
 # within and across documents in a worker.
 edit_distance = lru_cache(maxsize=200_000)(_edit_distance_raw)
+edit_distance_capped = lru_cache(maxsize=200_000)(
+    _edit_distance_capped_raw)
 
 _DIGITS = '0123456789'
 
@@ -377,8 +382,59 @@ def _score_box_unimpinged(pred: Predicate, doc: DocPool,
 # Main dispatch.
 # ---------------------------------------------------------------------------
 
-# (predicate, raw entity text) → score; see the text_equals branch.
+# (predicate, raw entity text) → score; see _text_equals_score.
 _TEXT_EQUALS_MEMO: Dict = {}
+
+
+def _text_equals_compiled(pred: Predicate):
+  # Per-predicate compiled form, cached on the instance: the massaged
+  # vocabulary and constants never change, and text_equals dominates
+  # the call profile (label vocabularies scored per entity).
+  te = pred.__dict__.get('_te')
+  if te is None:
+    texts = pred.p('texts')
+    flags = pred.p('flags')
+    tol, tap = pred.p('tolerance'), pred.p('taper')
+    mtexts = tuple((massage(flags, t), len(massage(flags, t)))
+                   for t in texts or ())
+    te = (mtexts, flags, tol, tap, tol + tap)
+    object.__setattr__(pred, '_te', te)
+  return te
+
+
+def _text_equals_score(pred: Predicate, raw: str) -> float:
+  mtexts, flags, tol, tap, cutoff = _text_equals_compiled(pred)
+  if not mtexts:
+    return 1.0
+  # The score depends only on the entity TEXT, which repeats heavily
+  # (sub-phrases across documents, label words) — memoize globally per
+  # (predicate, raw text).  Keyed by the predicate OBJECT (value-hash
+  # cached on it), not id(), so unpickled copies can never alias.
+  tkey = (pred, raw)
+  got = _TEXT_EQUALS_MEMO.get(tkey)
+  if got is not None:
+    return got
+  etext = massage(flags, raw)
+  le = len(etext)
+  best = None
+  for (t, lt) in mtexts:
+    if abs(lt - le) > cutoff:
+      ms = 0.0
+    else:
+      # any distance >= tol+tap+1 scores 0 under taper_error_int, so
+      # the cap is lossless and prunes the DP for far strings
+      ms = taper_error_int(
+          edit_distance_capped(t, etext, cutoff + 1), tol, tap)
+    if best is None or best < ms:
+      best = ms
+    if best == 1:
+      best = 1.0
+      break
+  best = best or 0.0
+  if len(_TEXT_EQUALS_MEMO) > 1_000_000:
+    _TEXT_EQUALS_MEMO.clear()
+  _TEXT_EQUALS_MEMO[tkey] = best
+  return best
 
 
 def score_predicate(pred: Predicate, doc: DocPool,
@@ -480,48 +536,7 @@ def score_predicate(pred: Predicate, doc: DocPool,
 
   if k == 'text_equals':
     (e,) = eids
-    # Per-predicate compiled form, cached on the instance: the massaged
-    # vocabulary and constants never change, and text_equals dominates
-    # the call profile (label vocabularies scored per entity).
-    te = pred.__dict__.get('_te')
-    if te is None:
-      texts = pred.p('texts')
-      flags = pred.p('flags')
-      tol, tap = pred.p('tolerance'), pred.p('taper')
-      mtexts = tuple((massage(flags, t), len(massage(flags, t)))
-                     for t in texts or ())
-      te = (mtexts, flags, tol, tap, tol + tap)
-      object.__setattr__(pred, '_te', te)
-    mtexts, flags, tol, tap, cutoff = te
-    if not mtexts:
-      return 1.0
-    # The score depends only on the entity TEXT, which repeats heavily
-    # (sub-phrases across documents, label words) — memoize globally per
-    # (predicate, raw text).  Keyed by the predicate OBJECT (value-hash
-    # cached on it), not id(), so unpickled copies can never alias.
-    raw = doc.etext[e]
-    tkey = (pred, raw)
-    got = _TEXT_EQUALS_MEMO.get(tkey)
-    if got is not None:
-      return got
-    etext = massage(flags, raw)
-    le = len(etext)
-    best = None
-    for (t, lt) in mtexts:
-      if abs(lt - le) > cutoff:
-        ms = 0.0
-      else:
-        ms = taper_error_int(edit_distance(t, etext), tol, tap)
-      if best is None or best < ms:
-        best = ms
-      if best == 1:
-        best = 1.0
-        break
-    best = best or 0.0
-    if len(_TEXT_EQUALS_MEMO) > 1_000_000:
-      _TEXT_EQUALS_MEMO.clear()
-    _TEXT_EQUALS_MEMO[tkey] = best
-    return best
+    return _text_equals_score(pred, doc.etext[e])
 
   if k == 'text_has_substring':
     (e,) = eids
@@ -683,3 +698,126 @@ def score_predicate(pred: Predicate, doc: DocPool,
     return float(pred.p('fn')(doc, eids))
 
   raise ValueError(f'unknown predicate kind {k}')
+
+
+# ---------------------------------------------------------------------------
+# Batched degree-1 scoring (SURVEY §7: leaf scoring vectorized across
+# the candidate entity arrays inside the Arrow-batch UDF).
+# ---------------------------------------------------------------------------
+
+def predicate_scores_bounded_01(pred: Predicate) -> bool:
+  """True when every score this predicate can produce is in [0, 1] —
+  the precondition for the solver's progressive leaf cutoff (a running
+  product of [0,1] factors is non-increasing).  Custom predicates are
+  user code and unbounded."""
+  k = pred.kind
+  if k == 'custom':
+    return False
+  if k in ('all_hold', 'any_holds'):
+    return all(predicate_scores_bounded_01(s)
+               for s in pred.p('predicates'))
+  if k in ('negate', 'penalize', 'non_fatal'):
+    return predicate_scores_bounded_01(pred.p('predicate'))
+  if k == 'box_unimpinged' and pred.p('region') == 'custom':
+    return False  # custom region_fn could misbehave; stay conservative
+  return True
+
+
+def score_predicate_batch(pred: Predicate, doc: DocPool,
+                          ents: np.ndarray) -> np.ndarray:
+  """Vectorized score_predicate over a HOMOGENEOUS-type entity-id array
+  (the shape leaf batches have: doc.entities_of_type output).
+
+  Bit-exactness contract: every fast path performs the same IEEE-754
+  operations in the same per-element order as the scalar kernel, so
+  parity suites see identical floats.  Kinds without a fast path fall
+  back to the scalar kernel per entity (never wrong, just slower)."""
+  n = len(ents)
+  if n == 0:
+    return np.zeros(0)
+  k = pred.kind
+  bt = doc.etype[int(ents[0])]  # homogeneous batch type
+
+  if k == 'is_date':
+    return doc.likeness[ents].copy() if bt == TYPE_DATE else np.zeros(n)
+
+  if k == 'is_dollar_amount':
+    return doc.likeness[ents].copy() if bt == TYPE_DOLLAR \
+        else np.zeros(n)
+
+  if k in ('is_address', 'is_person_name'):
+    return np.zeros(n)
+
+  if k == 'is_entire_phrase':
+    if bt != TYPE_TEXT:
+      return np.zeros(n)
+    m = doc.maximality[ents]
+    return np.where(np.isnan(m), 0.0, m)
+
+  if k == 'nop':
+    return np.ones(n)
+
+  if k == 'all_hold':
+    score = np.ones(n)
+    for sub in pred.p('predicates'):
+      score = score * score_predicate_batch(sub, doc, ents)
+    return score
+
+  if k == 'any_holds':
+    best = None
+    for sub in pred.p('predicates'):
+      s = score_predicate_batch(sub, doc, ents)
+      best = s if best is None else np.maximum(best, s)
+    return best if best is not None else np.zeros(n)
+
+  if k == 'negate':
+    return 1.0 - score_predicate_batch(pred.p('predicate'), doc, ents)
+
+  if k == 'penalize':
+    return np.minimum(
+        score_predicate_batch(pred.p('predicate'), doc, ents),
+        pred.p('max_score'))
+
+  if k == 'non_fatal':
+    return np.maximum(
+        score_predicate_batch(pred.p('predicate'), doc, ents),
+        pred.p('min_score'))
+
+  if k == 'is_in_region' and not pred.p('limit_to_page'):
+    bx0, bx1, by0, by1 = doc.dx0, doc.dx1, doc.dy0, doc.dy1
+    xr = pred.p('x_range')
+    yr = pred.p('y_range')
+
+    def contains_pct_vec(la: float, lb: float, a, b):
+      width = b - a
+      with np.errstate(divide='ignore', invalid='ignore'):
+        ia = np.maximum(la, a)
+        ib = np.minimum(lb, b)
+        pct = np.where(ia <= ib, (ib - ia) / width, 0.0)
+      return np.where(width == 0.0,
+                      np.where((la <= a) & (a <= lb), 1.0, 0.0), pct)
+
+    out = np.ones(n)
+    if xr:
+      la = bx0 + xr[0] * (bx1 - bx0)
+      lb = bx1 - (1 - xr[1]) * (bx1 - bx0)
+      out = out * contains_pct_vec(la, lb, doc.ex0[ents], doc.ex1[ents])
+    if yr:
+      la = by0 + yr[0] * (by1 - by0)
+      lb = by1 - (1 - yr[1]) * (by1 - by0)
+      out = out * contains_pct_vec(la, lb, doc.ey0[ents], doc.ey1[ents])
+    return out
+
+  if k == 'text_equals':
+    mtexts = _text_equals_compiled(pred)[0]
+    if not mtexts:
+      return np.ones(n)
+    etext = doc.etext
+    return np.fromiter(
+        (_text_equals_score(pred, etext[int(e)]) for e in ents),
+        np.float64, n)
+
+  # fallback: scalar kernel per entity — correct for every kind
+  return np.fromiter(
+      (score_predicate(pred, doc, (int(e),)) for e in ents),
+      np.float64, n)

@@ -248,17 +248,45 @@ def leaf_candidates(doc: DocPool, etype: str,
   key = (tuple(a.predicate for a in atom_rules), etype)
   got = memo.get(key)
   if got is None:
-    cands = []
-    for e in doc.entities_of_type(etype):
-      e = int(e)
-      score = 1.0
-      scores = {}
-      for a in atom_rules:
-        s = score_predicate(a.predicate, doc, (e,))
-        scores[a.rid] = s
-        score *= s
-      if score > MINIMUM_FIELD_SCORE:
-        cands.append((e, score, scores))
+    import numpy as np
+
+    from .kernels import predicate_scores_bounded_01, \
+        score_predicate_batch
+
+    cur = doc.entities_of_type(etype)
+    score = np.ones(len(cur))
+    per_atom: List[Tuple[int, np.ndarray]] = []
+    # Progressive cutoff: predicate scores live in [0,1] (unless a
+    # custom predicate is present), so the running product only shrinks
+    # — entities at or below MINIMUM_FIELD_SCORE after any atom can be
+    # dropped immediately.  The per-atom multiply order matches the
+    # reference exactly (1.0·s₁·s₂·…), so survivors' floats are
+    # bit-identical to the scalar path.
+    can_mask = all(predicate_scores_bounded_01(a.predicate)
+                   for a in atom_rules)
+    for a in atom_rules:
+      if len(cur) == 0:
+        per_atom.append((a.rid, np.zeros(0)))
+        continue
+      s = score_predicate_batch(a.predicate, doc, cur)
+      score = score * s
+      if can_mask:
+        keep = score > MINIMUM_FIELD_SCORE
+        if not keep.all():
+          cur = cur[keep]
+          score = score[keep]
+          s = s[keep]
+          per_atom = [(rid, arr[keep]) for rid, arr in per_atom]
+      per_atom.append((a.rid, s))
+    if not can_mask and len(cur):
+      keep = score > MINIMUM_FIELD_SCORE
+      cur = cur[keep]
+      score = score[keep]
+      per_atom = [(rid, arr[keep]) for rid, arr in per_atom]
+    cands = [
+        (int(cur[i]), float(score[i]),
+         {rid: float(arr[i]) for rid, arr in per_atom})
+        for i in range(len(cur))]
     cands.sort(key=lambda c: -c[1])  # stable
     memo[key] = cands
     got = cands

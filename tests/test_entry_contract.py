@@ -39,6 +39,13 @@ def test_queries_match_oracles(spark, oracle_con):
   qs = entry_mod.queries()
   oracles = entry_mod.oracle_sql()
   assert set(oracles) <= set(qs)
+  # Snapshot oracles (oracles/*.parquet) are pinned to the driver's
+  # sf0.01 comparison scale; they are built + verified by
+  # scripts/build_oracles.py and re-checked at sf0.01 by
+  # scripts/check_correctness.py.  Here (sf0.001) only the from-scratch
+  # SQL oracles apply; snapshot queries run via the rows-only test.
+  oracles = {k: v for k, v in oracles.items()
+             if k not in entry_mod._SNAPSHOT_ORACLES}
   failures = []
   for name, sql in sorted(oracles.items()):
     sdf = qs[name](spark, SF_DIR)
