@@ -512,3 +512,84 @@ def build_doc_pool(
     pool.dy0 = float(pool.py0.min()); pool.dy1 = float(pool.py1.max())
 
   return pool
+
+
+# ---------------------------------------------------------------------------
+# Line segmentation + multiline cluster scoring (reference:
+# clustering.py:82-123 `sort_word_cluster`, 332-391
+# `compute_multiline_cluster_score`, 394-416 baselines).
+#
+# The reference's LIVE path never calls these — multiline clusters are
+# disabled upstream (build_document.py:143-144) and sort_word_cluster
+# serves only synthesis — but they complete the SURVEY §2 operator
+# inventory and are parity-tested against the reference's own functions
+# (tests/test_entity_gen.py).  A word here is the flat tuple
+# (text, x0, x1, y0, y1).
+# ---------------------------------------------------------------------------
+
+WordBox = Tuple[str, float, float, float, float]
+
+
+def sort_word_cluster(boxes: Sequence[Tuple[float, float, float, float]],
+                      valid_eps: float = 0.1) -> List[List[int]]:
+  """Top-down, left-to-right line segmentation over (x0, x1, y0, y1)
+  boxes; returns index lines (reference: clustering.py:82-123 —
+  iteratively take the topmost box, form a ±valid_eps·height y-band,
+  sweep left-to-right)."""
+  remaining = sorted(range(len(boxes)), key=lambda i: boxes[i][0])
+  lines: List[List[int]] = []
+  while remaining:
+    tl = min(remaining, key=lambda i: boxes[i][2])
+    c = valid_eps * (boxes[tl][3] - boxes[tl][2])
+    ra, rb = boxes[tl][2] - c, boxes[tl][3] + c
+
+    def in_band(i: int) -> bool:
+      cy = (boxes[i][2] + boxes[i][3]) / 2
+      return ra <= cy <= rb
+
+    lines.append([i for i in remaining if in_band(i)])
+    remaining = [i for i in remaining if not in_band(i)]
+  return lines
+
+
+def entity_baseline(words: Sequence[WordBox]) -> float:
+  """Text-length-weighted mean of word baselines (bottom y)
+  (reference: clustering.py:399-409)."""
+  baselines = [w[4] for w in words]
+  if len(baselines) == 1:
+    return baselines[0]
+  lengths = [len(w[0]) for w in words]
+  return sum(n * b for n, b in zip(lengths, baselines)) / sum(lengths)
+
+
+def compute_multiline_cluster_score(words: Sequence[WordBox]) -> float:
+  """reference: clustering.py:332-391 (exact formulas, statistics.mean
+  included, 0.5 cutoff)."""
+  import statistics
+
+  if len(words) == 1:
+    return 1.0
+  assert len(words) >= 2
+
+  line_heights = [w[4] - w[3] for w in words]
+  baseline_separations = [
+      abs(entity_baseline([words[i]]) - entity_baseline([words[i + 1]]))
+      for i in range(len(words) - 1)]
+  average_x = statistics.mean([w[1] for w in words])
+  x_deviations = [abs(w[1] - average_x) for w in words]
+  average_char_widths = [(w[2] - w[1]) / len(w[0]) for w in words]
+
+  mu = statistics.mean(line_heights)
+
+  min_bs = 1.0 * mu
+  dev_from_min = [max(0, min_bs - bs) for bs in baseline_separations]
+  max_bs = 1.5 * mu
+  dev_from_max = [max(0, bs - max_bs) for bs in baseline_separations]
+
+  s = _score_consistency(line_heights, 0.1 * mu, 0.1 * mu) \
+      * _score_consistency(baseline_separations, 0.3 * mu, 0.3 * mu) \
+      * _score_deviation(max(x_deviations), 0.5 * mu, 0.5 * mu) \
+      * _score_consistency(average_char_widths, 0.4 * mu, 0.5 * mu) \
+      * _score_deviation(max(dev_from_max), 0.0 * mu, 0.5 * mu) \
+      * _score_deviation(max(dev_from_min), 0.0 * mu, 0.2 * mu)
+  return s if s > 0.5 else 0

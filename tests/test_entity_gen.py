@@ -75,3 +75,48 @@ def test_entity_pool_parity(name, docs):
     # median line height — the global spatial unit
     assert pool.median_line_height == pytest.approx(
         ref_doc.median_line_height(), abs=1e-12)
+
+
+def test_line_segmentation_and_multiline_score_parity():
+  """sort_word_cluster + compute_multiline_cluster_score vs the
+  reference's own functions (clustering.py:82-123, 332-391).  These are
+  the two SURVEY §2 rows the reference's live path never executes
+  (multiline clusters disabled at build_document.py:143-144;
+  sort_word_cluster serves only synthesis) — parity is asserted
+  directly at the function level on randomized word clusters."""
+  import random
+
+  from bp.entity import Text, Word
+  from bp.entity_gen import clustering as refc
+  from bp.geometry import BBox, Interval
+
+  from blueprint_oss_spark.engine.entity_gen import (
+      compute_multiline_cluster_score, sort_word_cluster)
+
+  rng = random.Random(991)
+  for _ in range(60):
+    n = rng.randrange(2, 9)
+    words = []
+    for i in range(n):
+      x0 = rng.uniform(0, 50)
+      width = rng.uniform(3, 20)
+      h = rng.uniform(0.8, 1.6)
+      if words and rng.random() < 0.5:
+        y0 = words[rng.randrange(len(words))][3]  # share a line
+      else:
+        y0 = rng.uniform(0, 30)
+      txt = 'x' * rng.randrange(1, 9)
+      words.append((txt, x0, x0 + width, y0, y0 + h))
+    ref_words = [Word(BBox(Interval(w[1], w[2]), Interval(w[3], w[4])),
+                      w[0]) for w in words]
+    by_id = {id(e): i for i, e in enumerate(ref_words)}
+
+    ref_lines = [[by_id[id(e)] for e in line]
+                 for line in refc.sort_word_cluster(ref_words)]
+    our_lines = sort_word_cluster([w[1:] for w in words])
+    assert our_lines == ref_lines, (words, our_lines, ref_lines)
+
+    cluster = Text.from_words(tuple(ref_words))
+    ref_score = refc.compute_multiline_cluster_score(cluster)
+    our_score = compute_multiline_cluster_score(words)
+    assert our_score == ref_score, (words, our_score, ref_score)
