@@ -103,6 +103,28 @@ def main() -> None:
   stub_docs_per_sec = n_stub_out / stub_sec if stub_sec > 0 else 0.0
   sdf.unpersist()
 
+  # Checks-model benchmark: the custom-predicate showcase (pixel page
+  # regions, empty-line-above impingement, string disjointness) over
+  # synthesized check documents.
+  from blueprint_oss_spark.bp_examples.check_fixtures import check_corpus
+  from blueprint_oss_spark.bp_examples.checks import root as checks_root
+  n_checks = max(100, int(5000 * sf))
+  chk_docs = check_corpus(n_checks, seed=91)
+  chk_rows = [(doc_id,
+               [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                for (k, t, m, o) in spans])
+              for doc_id, spans in chk_docs]
+  cdf = spark.createDataFrame(chk_rows, SPANS_SCHEMA) \
+      .repartition(int(cpus)).cache()
+  cdf.count()
+  extract_documents(cdf, checks_root).count()  # warmup
+  t0 = time.monotonic()
+  n_chk_out = extract_documents(cdf, checks_root).count()
+  chk_sec = time.monotonic() - t0
+  timings['extraction_checks'] = round(chk_sec, 4)
+  chk_docs_per_sec = n_chk_out / chk_sec if chk_sec > 0 else 0.0
+  cdf.unpersist()
+
   # Release extraction-phase memory before the relational suite so GC
   # pressure from the cached corpora doesn't pollute those timings.
   spark.catalog.clearCache()
@@ -138,6 +160,8 @@ def main() -> None:
       'extraction_docs': n_out,
       'paystubs_docs_per_sec': round(stub_docs_per_sec, 2),
       'paystubs_docs': n_stub_out,
+      'checks_docs_per_sec': round(chk_docs_per_sec, 2),
+      'checks_docs': n_chk_out,
       'cpus': int(cpus),
   }))
   spark.stop()

@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Regenerate the raw .explain('formatted') dumps behind PLANS.md."""
 
+import sys
+
+sys.path.insert(0, '/root/repo')
+
 from pyspark.sql import SparkSession
 
 
@@ -27,8 +31,15 @@ def main() -> None:
   print('=== Q3 ===')
   R.q3_shipping_priority(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== Q5 ===')
+  R.q5_local_supplier_volume(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   print('=== MINHASH ===')
   T.minhash_shingles(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== EMBEDDING NEAR-DUP (banded LSH) ===')
+  from blueprint_oss_spark.ops import vectors as V
+  V.embedding_near_dup_pairs(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
   spark.stop()
 
