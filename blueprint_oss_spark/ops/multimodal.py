@@ -1,18 +1,34 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata.
+"""Multimodal media columns: image/audio/video as opaque binary columns
+with typed metadata, decoded and feature-extracted in Arrow-batched
+mapInPandas stages.
 
-The decode/feature-extract kernels are STUBBED (no image/audio libraries
-in this container — see the clearly-marked points below); the Spark-side
-plumbing — schemas, Arrow batch shapes, mapInPandas signatures,
-partitioning — is real and tested.  Swap `_decode_stub` for a real
-decoder (PIL/torchaudio/ffmpeg) on a cluster with the libs installed.
+Decoding is REAL for the self-contained uncompressed formats this
+container can handle without external codec libraries:
+
+  * image — binary PPM (P6, the Netpbm format) parsed with numpy, and
+    24-bit uncompressed BMP;
+  * audio — PCM WAV via the stdlib `wave` module + numpy;
+  * video — a toy length-prefixed PPM-frame container ('PVID'), giving
+    the frame-sampling path real frames to sample.
+
+Compressed codecs (PNG/JPEG/MP4/...) are STUBBED honestly: they need
+libs this container doesn't ship, so `decode_media` raises
+UnsupportedMediaError for them and the pipeline emits an
+`unsupported:` status row instead of a feature — decode failures never
+kill the job.  Swap `decode_media`'s dispatch for PIL/pyav on a
+cluster with the libs installed; schemas, batch shapes, and the
+feature contract stay identical.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import struct
+import wave
+from typing import Iterator, List, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -40,29 +56,234 @@ FEATURE_SCHEMA = StructType([
 FEATURE_DIM = 16
 
 
+class UnsupportedMediaError(NotImplementedError):
+  """Raised for formats needing codec libs absent from this container."""
+
+
+# ---------------------------------------------------------------------------
+# Decoders (pure python/numpy — no codec libraries).
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+  """Binary PPM (P6) → HxWx3 uint8 array."""
+  if not payload.startswith(b'P6'):
+    raise ValueError('not a P6 PPM')
+  # header: magic, width, height, maxval — whitespace/comment separated
+  fields: List[bytes] = []
+  i = 2
+  while len(fields) < 3:
+    while i < len(payload) and payload[i:i + 1].isspace():
+      i += 1
+    if payload[i:i + 1] == b'#':
+      while i < len(payload) and payload[i] != 0x0A:
+        i += 1
+      continue
+    j = i
+    while j < len(payload) and not payload[j:j + 1].isspace():
+      j += 1
+    fields.append(payload[i:j])
+    i = j
+  i += 1  # single whitespace after maxval
+  w, h, maxval = (int(x) for x in fields)
+  if maxval > 255:
+    raise ValueError('16-bit PPM not supported')
+  n = w * h * 3
+  arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+  return arr.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+  """Uncompressed 24-bit BMP → HxWx3 uint8 array (RGB)."""
+  if not payload.startswith(b'BM'):
+    raise ValueError('not a BMP')
+  data_off = struct.unpack_from('<I', payload, 10)[0]
+  w, h = struct.unpack_from('<ii', payload, 18)
+  bpp = struct.unpack_from('<H', payload, 28)[0]
+  comp = struct.unpack_from('<I', payload, 30)[0]
+  if bpp != 24 or comp != 0:
+    raise UnsupportedMediaError(f'BMP bpp={bpp} compression={comp}')
+  row_bytes = (w * 3 + 3) & ~3
+  rows = []
+  for r in range(abs(h)):
+    off = data_off + r * row_bytes
+    row = np.frombuffer(payload, np.uint8, w * 3, off).reshape(w, 3)
+    rows.append(row[:, ::-1])  # BGR → RGB
+  img = np.stack(rows)
+  if h > 0:
+    img = img[::-1]  # bottom-up storage
+  return img
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+  """PCM WAV → (float samples in [-1, 1] of channel 0, sample rate)."""
+  with wave.open(io.BytesIO(payload)) as wf:
+    rate = wf.getframerate()
+    nch = wf.getnchannels()
+    width = wf.getsampwidth()
+    raw = wf.readframes(wf.getnframes())
+  if width == 2:
+    x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+  elif width == 1:
+    x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+  else:
+    raise UnsupportedMediaError(f'WAV sample width {width}')
+  return x[::nch], rate
+
+
+def split_video_frames(payload: bytes) -> List[bytes]:
+  """Toy video container: b'PVID' + u32 frame count + length-prefixed
+  PPM frames.  Real codecs (h264/vp9/...) raise UnsupportedMediaError."""
+  if not payload.startswith(b'PVID'):
+    raise UnsupportedMediaError('only the PVID toy container decodes '
+                                'without codec libs')
+  (n,) = struct.unpack_from('<I', payload, 4)
+  frames = []
+  off = 8
+  for _ in range(n):
+    (ln,) = struct.unpack_from('<I', payload, off)
+    off += 4
+    frames.append(payload[off:off + ln])
+    off += ln
+  return frames
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+  """Nearest-neighbour resize via index maps (pure numpy) — the
+  resize step of the image feature path."""
+  h, w = img.shape[:2]
+  ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+  xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+  return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray) -> List[float]:
+  """16-dim image feature: [w/1024, h/1024, meanRGB(3), stdRGB(3),
+  8-bin gray histogram of the 8x8 resize] — all in [0, 1]-ish range."""
+  h, w = img.shape[:2]
+  x = img.astype(np.float64) / 255.0
+  mean = x.mean(axis=(0, 1))
+  std = x.std(axis=(0, 1))
+  gray = resize_image(img, 8, 8).astype(np.float64).mean(axis=2) / 255.0
+  hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+  hist = hist / gray.size
+  return ([w / 1024.0, h / 1024.0] + mean.tolist() + std.tolist()
+          + hist.tolist())
+
+
+def audio_features(x: np.ndarray, rate: int) -> List[float]:
+  """16-dim audio feature: [dur_s/60, rate/48k, rms, zero-crossing
+  rate, 12-bin |amplitude| histogram]."""
+  dur = len(x) / rate if rate else 0.0
+  rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+  zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) \
+      if len(x) > 1 else 0.0
+  hist, _ = np.histogram(np.abs(x), bins=12, range=(0.0, 1.0))
+  hist = hist / max(1, len(x))
+  return [dur / 60.0, rate / 48000.0, rms, zcr] + hist.tolist()
+
+
+def video_features(payload: bytes, max_frames: int = 4) -> List[float]:
+  """Frame-sample up to max_frames evenly, mean of per-frame image
+  features."""
+  frames = split_video_frames(payload)
+  if not frames:
+    return [0.0] * FEATURE_DIM
+  idx = np.unique(np.linspace(0, len(frames) - 1, max_frames)
+                  .astype(int))
+  feats = np.array([image_features(decode_ppm(frames[i])) for i in idx])
+  return feats.mean(axis=0).tolist()
+
+
+def decode_media(kind: str, payload: bytes) -> List[float]:
+  """kind + payload → FEATURE_DIM floats; raises UnsupportedMediaError
+  for formats needing absent codec libraries."""
+  if kind == 'image':
+    if payload.startswith(b'P6'):
+      return image_features(decode_ppm(payload))
+    if payload.startswith(b'BM'):
+      return image_features(decode_bmp(payload))
+    raise UnsupportedMediaError(
+        'compressed image codecs (PNG/JPEG/...) need PIL — not in '
+        'this container')
+  if kind == 'audio':
+    if payload.startswith(b'RIFF'):
+      return audio_features(*decode_wav(payload))
+    raise UnsupportedMediaError(
+        'compressed audio codecs (mp3/ogg/...) need soundfile/ffmpeg')
+  if kind == 'video':
+    return video_features(payload)
+  raise UnsupportedMediaError(f'unknown media kind {kind!r}')
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic media (real encoded payloads).
+# ---------------------------------------------------------------------------
+
+def _make_ppm(i: int) -> Tuple[bytes, int, int]:
+  rng = np.random.default_rng(1000 + i)
+  w, h = 16 + i % 17, 12 + i % 13
+  if i % 5 == 0:
+    img = np.full((h, w, 3), (i * 37) % 256, dtype=np.uint8)  # constant
+  else:
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+  return (f'P6\n{w} {h}\n255\n'.encode() + img.tobytes(), w, h)
+
+
+def _make_wav(i: int) -> Tuple[bytes, int]:
+  rate = 8000
+  dur_ms = 100 + 10 * (i % 20)
+  t = np.arange(int(rate * dur_ms / 1000)) / rate
+  freq = 110.0 * (1 + i % 8)
+  amp = 0.1 + 0.05 * (i % 10)
+  x = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype(np.int16)
+  buf = io.BytesIO()
+  with wave.open(buf, 'wb') as wf:
+    wf.setnchannels(1)
+    wf.setsampwidth(2)
+    wf.setframerate(rate)
+    wf.writeframes(x.tobytes())
+  return buf.getvalue(), dur_ms
+
+
+def _make_pvid(i: int) -> Tuple[bytes, int, int, int]:
+  n_frames = 2 + i % 4
+  frames = [_make_ppm(i * 100 + k)[0] for k in range(n_frames)]
+  w, h = _make_ppm(i * 100)[1:]
+  blob = b'PVID' + struct.pack('<I', n_frames)
+  for fr in frames:
+    blob += struct.pack('<I', len(fr)) + fr
+  return blob, w, h, n_frames * 40  # 25 fps → 40 ms/frame
+
+
 def synthesize_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
-  """Deterministic fake media rows (payload = seeded bytes) for testing
-  the plumbing end-to-end without external data."""
+  """Deterministic REAL media rows — PPM images, PCM WAVs, PVID frame
+  containers — plus an intentionally-unsupported compressed payload
+  every 8th row, so the honest-stub path is exercised end-to-end."""
   rows = []
   for i in range(n):
     kind = ('image', 'audio', 'video')[i % 3]
-    payload = hashlib.sha256(f'media-{i}'.encode()).digest() * 4
-    rows.append((f'm/{i}', kind, bytearray(payload), 64 + i % 128,
-                 48 + i % 96, 1000 * (1 + i % 30)))
+    if i % 8 == 7:
+      # compressed formats this container cannot decode
+      payload = {
+          'image': b'\x89PNG\r\n\x1a\n' + hashlib.sha256(
+              f'png-{i}'.encode()).digest(),
+          'audio': b'ID3\x04' + hashlib.sha256(
+              f'mp3-{i}'.encode()).digest(),
+          'video': b'\x00\x00\x00\x18ftypmp42' + hashlib.sha256(
+              f'mp4-{i}'.encode()).digest(),
+      }[kind]
+      w = h = 0
+      dur = 0
+    elif kind == 'image':
+      payload, w, h = _make_ppm(i)
+      dur = 0
+    elif kind == 'audio':
+      payload, dur = _make_wav(i)
+      w = h = 0
+    else:
+      payload, w, h, dur = _make_pvid(i)
+    rows.append((f'm/{i}', kind, bytearray(payload), w, h, dur))
   return spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-
-def _decode_stub(kind: str, payload: bytes) -> list:
-  """STUB decode/feature-extract.
-
-  Real implementation would decode the payload (PIL.Image.open /
-  soundfile / pyav frame sampling) and emit a pooled feature vector.
-  Container has no media libs, so this produces a deterministic fake
-  feature from the payload bytes — keeping schema, batch shape, and
-  determinism contract identical to the real path.
-  """
-  h = hashlib.sha256(kind.encode() + payload).digest()
-  return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
 def extract_media_features(media: DataFrame, *,
@@ -80,8 +301,11 @@ def extract_media_features(media: DataFrame, *,
       status = []
       for kind, payload in zip(pdf['kind'], pdf['payload']):
         try:
-          feats.append(_decode_stub(kind, bytes(payload)))
-          status.append('ok-stub')
+          feats.append(decode_media(kind, bytes(payload)))
+          status.append('ok')
+        except UnsupportedMediaError as e:
+          feats.append([0.0] * FEATURE_DIM)
+          status.append(f'unsupported: {e}')
         except Exception as e:  # decode failures must not kill the job
           feats.append([0.0] * FEATURE_DIM)
           status.append(f'error: {e}')

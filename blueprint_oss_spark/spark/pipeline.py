@@ -223,13 +223,23 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
   Returns the lineage rows (one per group processed this run).
   """
   import json
-  import os
 
-  lineage_dir = os.path.join(output_path, '_lineage')
-  os.makedirs(lineage_dir, exist_ok=True)
+  # Lineage I/O goes through the Hadoop FileSystem API (via the JVM),
+  # not the local os module, so checkpoint/resume works unchanged when
+  # output_path is s3a://... or hdfs://... on a real cluster.
+  jvm = spark._jvm
+  hconf = spark._jsc.hadoopConfiguration()
+
+  def _hpath(p: str):
+    return jvm.org.apache.hadoop.fs.Path(p)
+
+  lineage_dir = output_path.rstrip('/') + '/_lineage'
+  fs = _hpath(lineage_dir).getFileSystem(hconf)
+  fs.mkdirs(_hpath(lineage_dir))
   done_groups = set()
   if resume:
-    for fn in os.listdir(lineage_dir):
+    for status in fs.listStatus(_hpath(lineage_dir)):
+      fn = status.getPath().getName()
       if fn.startswith('group-') and fn.endswith('.json'):
         done_groups.add(int(fn[len('group-'):-len('.json')]))
 
@@ -269,7 +279,8 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
                for k, v in obs.get.items()}
     row = {'group': g, 'bucket_lo': lo, 'bucket_hi': hi,
            'ts': time.time(), 'metrics': metrics}
-    with open(os.path.join(lineage_dir, f'group-{g}.json'), 'w') as f:
-      json.dump(row, f)
+    out_stream = fs.create(_hpath(f'{lineage_dir}/group-{g}.json'), True)
+    out_stream.write(bytearray(json.dumps(row).encode('utf-8')))
+    out_stream.close()
     lineage_rows.append(row)
   return lineage_rows

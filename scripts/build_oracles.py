@@ -194,18 +194,44 @@ def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
 
 
 def verify_media(pdf) -> dict:
+  """f0 recomputed ANALYTICALLY from the generator's seed formulas —
+  independent of the decoders: image f0 = width/1024 with width
+  16 + i%17; audio f0 = duration/60 with duration (100 + 10·(i%20))ms;
+  video f0 = mean over the ≤4 sampled frames of their widths/1024
+  (frame k of video i is image i·100+k); planted compressed payloads
+  (every 8th row) must come back `unsupported:` with a zero feature."""
   from blueprint_oss_spark.ops.multimodal import FEATURE_DIM
+
+  def ppm_w(j: int) -> int:
+    return 16 + j % 17
+
+  n_ok = n_unsup = 0
   for row in pdf.itertuples():
     i = int(row.media_ref.split('/')[-1])
     kind = ('image', 'audio', 'video')[i % 3]
-    payload = hashlib.sha256(f'media-{i}'.encode()).digest() * 4
-    h = hashlib.sha256(kind.encode() + payload).digest()
     assert row.kind == kind
     assert row.dim == FEATURE_DIM
-    assert row.decode_status == 'ok-stub'
-    assert abs(row.f0 - round(h[0] / 255.0, 6)) <= 1e-9, row.media_ref
-  return {'method': 'pure-python stub-feature recomputation',
-          'rows': len(pdf)}
+    if i % 8 == 7:
+      assert row.decode_status.startswith('unsupported:'), row
+      assert row.f0 == 0.0
+      n_unsup += 1
+      continue
+    assert row.decode_status == 'ok', row
+    if kind == 'image':
+      expect = ppm_w(i) / 1024.0
+    elif kind == 'audio':
+      expect = (100 + 10 * (i % 20)) / 1000.0 / 60.0
+    else:
+      n_frames = 2 + i % 4
+      # replicate np.linspace(0, n-1, 4).astype(int) truncation
+      idx = sorted({int(k * (n_frames - 1) / 3.0) for k in range(4)})
+      ws = [ppm_w(i * 100 + k) for k in idx]
+      expect = sum(w / 1024.0 for w in ws) / len(ws)
+    assert abs(row.f0 - round(expect, 6)) <= 2e-6, \
+        (row.media_ref, row.f0, expect)
+    n_ok += 1
+  return {'method': 'analytic recomputation from generator formulas',
+          'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
 def verify_accuracy(spark, sf_dir: str, pdf, extract_pdf) -> dict:
