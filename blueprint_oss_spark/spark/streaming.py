@@ -6,17 +6,37 @@ streaming source (file source, Kafka) and sink; exactly-once comes from
 the sink's checkpointing.  The reference has no streaming path (its CLI
 loop is serial, bp/cli/run_model.py:123-147) — this is the Spark-native
 continuous-ingest surface for the same engine.
+
+Stateful surface:
+  * assemble_multipart_stream — documents whose parts (pages) land in
+    DIFFERENT micro-batches, possibly out of order.  Custom
+    applyInPandasWithState operator keyed by doc_id: state accumulates
+    span fragments until all n_parts arrived (emit assembled doc) or
+    the event-time timeout fires (emit what arrived, flagged partial —
+    a straggler page must not pin state forever).
+  * windowed_extraction_metrics — event-time windowed quality metrics
+    over the extraction output with a watermark so late rows update
+    the right window and state is eventually evicted.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import (
+    GroupState, GroupStateTimeout,
+)
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType,
+    StructField, StructType, TimestampType,
+)
 
 from ..model.nodes import Node
-from .pipeline import SPANS_SCHEMA, extract_documents
+from .pipeline import SPAN_STRUCT, SPANS_SCHEMA, extract_documents
 
 
 def read_span_stream(spark: SparkSession, input_dir: str,
@@ -51,3 +71,165 @@ def start_extraction_stream(spark: SparkSession, input_dir: str,
   if trigger_once:
     writer = writer.trigger(availableNow=True)
   return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful: multi-part document assembly (applyInPandasWithState).
+# ---------------------------------------------------------------------------
+
+MULTIPART_SCHEMA = StructType([
+    StructField('doc_id', StringType()),
+    StructField('part_no', IntegerType()),
+    StructField('n_parts', IntegerType()),
+    StructField('spans', ArrayType(SPAN_STRUCT)),
+    StructField('ts', TimestampType()),   # part arrival event time
+])
+
+ASSEMBLED_SCHEMA = StructType([
+    StructField('doc_id', StringType()),
+    StructField('spans', ArrayType(SPAN_STRUCT)),
+    StructField('n_parts_seen', IntegerType()),
+    StructField('n_parts_expected', IntegerType()),
+    StructField('complete', BooleanType()),
+])
+
+# State: which parts arrived + their flattened spans.  Span structs are
+# flattened into parallel arrays because state columns must be
+# Arrow-serializable scalars/arrays.
+_ASSEMBLY_STATE_SCHEMA = StructType([
+    StructField('n_parts', IntegerType()),
+    StructField('last_ev_ms', LongType()),  # newest part event time
+    StructField('part_nos', ArrayType(IntegerType())),
+    StructField('kinds', ArrayType(StringType())),
+    StructField('texts', ArrayType(StringType())),
+    StructField('media_refs', ArrayType(StringType())),
+    StructField('offsets', ArrayType(IntegerType())),
+    StructField('span_part', ArrayType(IntegerType())),
+])
+
+
+def _assemble_doc(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
+                  state: GroupState,
+                  timeout_ms: int = 3_600_000) \
+    -> Iterator[pd.DataFrame]:
+  """Stateful assembly for one doc_id (see assemble_multipart_stream)."""
+  doc_id = key[0]
+  if state.hasTimedOut:
+    (n_parts, _last_ev, part_nos, kinds, texts, media_refs, offsets,
+     span_part) = state.get
+    state.remove()
+    spans = sorted(zip(kinds, texts, media_refs, offsets),
+                   key=lambda s: s[3])
+    yield pd.DataFrame({
+        'doc_id': [doc_id],
+        'spans': [[{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                   for (k, t, m, o) in spans]],
+        'n_parts_seen': [len(set(part_nos))],
+        'n_parts_expected': [n_parts],
+        'complete': [False],
+    })
+    return
+
+  if state.exists:
+    (n_parts, last_ev_ms, part_nos, kinds, texts, media_refs, offsets,
+     span_part) = (list(v) if isinstance(v, (list, tuple)) else v
+                   for v in state.get)
+  else:
+    n_parts = 0
+    last_ev_ms = 0
+    part_nos, kinds, texts, media_refs, offsets, span_part = \
+        [], [], [], [], [], []
+
+  for pdf in pdfs:
+    for _, row in pdf.iterrows():
+      p = int(row['part_no'])
+      ts = row['ts']
+      if ts is not None and not pd.isna(ts):
+        last_ev_ms = max(last_ev_ms, int(ts.timestamp() * 1000))
+      if p in part_nos:
+        continue  # duplicate delivery — idempotent
+      part_nos.append(p)
+      n_parts = max(n_parts, int(row['n_parts']))
+      for s in row['spans']:
+        kinds.append(s['kind'])
+        texts.append(s['text'])
+        media_refs.append(s['media_ref'])
+        offsets.append(int(s['offset']))
+        span_part.append(p)
+
+  if n_parts and len(set(part_nos)) >= n_parts:
+    state.remove()
+    spans = sorted(zip(kinds, texts, media_refs, offsets),
+                   key=lambda s: s[3])
+    yield pd.DataFrame({
+        'doc_id': [doc_id],
+        'spans': [[{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                   for (k, t, m, o) in spans]],
+        'n_parts_seen': [len(set(part_nos))],
+        'n_parts_expected': [n_parts],
+        'complete': [True],
+    })
+  else:
+    state.update((n_parts, last_ev_ms, part_nos, kinds, texts,
+                  media_refs, offsets, span_part))
+    # Event-time timeout anchored to the NEWEST part's event time —
+    # fires once the stream watermark passes it.  Deterministic,
+    # replayable, and (unlike a processing-time timeout) it cannot make
+    # an availableNow query spin empty micro-batches forever waiting
+    # for wall-clock time.  The max() keeps the timestamp legal when
+    # the watermark has already overtaken a very late part.
+    state.setTimeoutTimestamp(
+        max(last_ev_ms + timeout_ms,
+            state.getCurrentWatermarkMs() + 1))
+
+
+def assemble_multipart_stream(parts_stream: DataFrame, *,
+                              timeout_ms: int = 3_600_000,
+                              watermark_delay: str = '10 minutes') \
+    -> DataFrame:
+  """Custom stateful operator: assemble documents whose parts (pages)
+  arrive across micro-batches, out of order, with duplicate deliveries.
+
+  Input rows: MULTIPART_SCHEMA (doc_id, part_no, n_parts, spans, ts).
+  `watermark_delay` bounds how LATE a part may arrive relative to the
+  newest event time seen: the engine drops stateful-operator input
+  older than the watermark (standard late-data semantics), so size it
+  to the expected cross-batch part-arrival spread.
+  State per doc_id holds the flattened span fragments; a document is
+  emitted exactly once — assembled, spans re-sorted by offset — when
+  all parts arrived, or flagged `complete=false` when the EVENT-TIME
+  timeout fires first: once the watermark (arrival `ts` minus
+  `watermark_delay`) advances `timeout_ms` past the doc's last state
+  update, a lost page surfaces the partial document instead of pinning
+  state forever.  State lives in the streaming checkpoint, so assembly
+  survives query restarts, and event-time timeouts replay
+  deterministically."""
+  import functools
+  fn = functools.partial(_assemble_doc, timeout_ms=timeout_ms)
+  return (parts_stream
+          .withWatermark('ts', watermark_delay)
+          .groupBy('doc_id')
+          .applyInPandasWithState(
+              fn,
+              outputStructType=ASSEMBLED_SCHEMA,
+              stateStructType=_ASSEMBLY_STATE_SCHEMA,
+              outputMode='append',
+              timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def windowed_extraction_metrics(out_stream: DataFrame, *,
+                                ts_col: str = 'ts',
+                                watermark: str = '30 seconds',
+                                window: str = '1 minute') -> DataFrame:
+  """Event-time windowed extraction-quality metrics with a watermark:
+  docs, error count, mean per-doc latency per window.  Late rows inside
+  the watermark update their (correct) window; state for closed windows
+  is evicted — the standard late-data pattern for a 100 TB ingest
+  pipeline's health dashboard."""
+  return (out_stream
+          .withWatermark(ts_col, watermark)
+          .groupBy(F.window(F.col(ts_col), window))
+          .agg(F.count(F.lit(1)).alias('docs'),
+               F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
+               .alias('errors'),
+               F.avg('elapsed_ms').alias('avg_elapsed_ms')))

@@ -45,3 +45,119 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
   for doc_id, spans in docs:
     local = run_doc(doc_id, spans, root)
     assert by_id[doc_id]['fields'] == local['fields']
+
+
+def test_stateful_multipart_assembly_across_restarts(spark, tmp_path):
+  """applyInPandasWithState document assembly: parts land in different
+  micro-batches (different query RUNS, even), out of order, with a
+  duplicate delivery — each doc is emitted exactly once, fully
+  assembled, spans restored to offset order; state survives the
+  restart via the checkpoint; a doc whose part never arrives surfaces
+  as a partial once the event-time watermark passes its timeout."""
+  import datetime
+
+  from blueprint_oss_spark.spark.streaming import (
+      MULTIPART_SCHEMA, assemble_multipart_stream)
+
+  in_dir = str(tmp_path / 'parts_in')
+  out_dir = str(tmp_path / 'parts_out')
+  ckpt = str(tmp_path / 'parts_ckpt')
+  os.makedirs(in_dir, exist_ok=True)
+  docs = readme_corpus(6, seed=404, with_media=False)
+  T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+  def span_dicts(sp):
+    return [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+            for (k, t, m, o) in sp]
+
+  def part_rows(which, doc_subset, ts):
+    rows = []
+    for doc_id, spans in doc_subset:
+      half = len(spans) // 2
+      parts = {0: spans[:half], 1: spans[half:]}
+      for p, sp in parts.items():
+        if (p == 0) == (which == 'first'):
+          rows.append((doc_id, p, 2, span_dicts(sp), ts))
+    return rows
+
+  def run_once():
+    stream = (spark.readStream.schema(MULTIPART_SCHEMA)
+              .parquet(in_dir))
+    # watermark_delay bounds how LATE a part may arrive (parts older
+    # than the watermark are dropped as late data); 1 h covers the
+    # cross-run arrival spread here
+    q = (assemble_multipart_stream(stream, timeout_ms=3_600_000,
+                                   watermark_delay='1 hour')
+         .writeStream.format('parquet')
+         .option('path', out_dir)
+         .option('checkpointLocation', ckpt)
+         .outputMode('append')
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), 'availableNow query must terminate'
+
+  def _append(rows):
+    spark.createDataFrame(rows, MULTIPART_SCHEMA).coalesce(1) \
+        .write.mode('append').parquet(in_dir)
+
+  # run 1: only part 1 (out of order) of every doc, plus duplicates
+  first = part_rows('second', docs, T0) + part_rows('second', docs, T0)[:2]
+  _append(first)
+  run_once()
+  try:
+    n_after_1 = spark.read.parquet(out_dir).count()
+  except Exception:
+    n_after_1 = 0
+  assert n_after_1 == 0  # nothing complete yet — state is waiting
+
+  # run 2 (a NEW query run): part 0 for five docs; doc 5 stays
+  # incomplete.  A watermark-pusher part 3h later advances the
+  # watermark (ts - 1h delay = T0+2h) past doc 5's T0+1h timeout.
+  push1 = ('wm-pusher', 0, 9, [],
+           T0 + datetime.timedelta(hours=3))
+  _append(part_rows('first', docs[:5], T0) + [push1])
+  run_once()
+
+  # run 3: another pusher batch gives the timed-out state a batch to
+  # fire in (watermark evaluation lags one batch)
+  push2 = ('wm-pusher', 1, 9, [],
+           T0 + datetime.timedelta(hours=4))
+  _append([push2])
+  run_once()
+
+  rows = [r for r in spark.read.parquet(out_dir).collect()
+          if r['doc_id'] != 'wm-pusher']
+  by_id = {r['doc_id']: r for r in rows}
+  assert len(rows) == 6, sorted(by_id)  # exactly once per doc
+  for i, (doc_id, spans) in enumerate(docs):
+    r = by_id[doc_id]
+    got = [(s['kind'], s['text'], s['media_ref'], s['offset'])
+           for s in r['spans']]
+    if i < 5:
+      assert r['complete'] and r['n_parts_seen'] == 2
+      assert got == sorted(spans, key=lambda s: s[3])
+    else:
+      # the straggler doc surfaced as a partial: only part 1 arrived
+      assert not r['complete'] and r['n_parts_seen'] == 1
+      half = len(spans) // 2
+      assert got == sorted(spans[half:], key=lambda s: s[3])
+
+
+def test_windowed_metrics_shape(spark):
+  """The watermarked window aggregation (batch-mode check of the same
+  expression tree the stream runs)."""
+  import datetime
+
+  from blueprint_oss_spark.spark.streaming import \
+      windowed_extraction_metrics
+
+  base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+  rows = [(f'd{i}', base + datetime.timedelta(seconds=20 * i),
+           None if i % 3 else 'timeout', float(10 + i))
+          for i in range(9)]
+  df = spark.createDataFrame(
+      rows, 'doc_id string, ts timestamp, error string, '
+            'elapsed_ms double')
+  out = windowed_extraction_metrics(df).orderBy('window').collect()
+  assert len(out) == 3  # 9 rows * 20s = 3 one-minute windows
+  assert [r['docs'] for r in out] == [3, 3, 3]
+  assert sum(r['errors'] for r in out) == 3
