@@ -329,12 +329,14 @@ def oracle_sql() -> dict[str, str]:
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
       """,
-      'doc_token_stats': """
+      'doc_token_stats': r"""
         SELECT doc_id,
                len(list_filter(string_split(text, ' '),
                                x -> len(x) > 0)) AS n_tokens,
                len(list_distinct(list_filter(string_split(text, ' '),
                                  x -> len(x) > 0))) AS n_uniq_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
                length(text) AS len_chars
         FROM documents ORDER BY doc_id
       """,
@@ -361,7 +363,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS fp_full,
                md5(array_to_string(
                  list_filter(string_split(text, ' '),
-                             x -> len(x) > 0)[1:8], ' ')) AS fp_prefix8
+                             x -> len(x) > 0)[1:8], ' ')) AS fp_prefix8,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(split(text, ''),
+                                  x -> CAST(ascii(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 2147483647)
+                 AS fp_rolling31
         FROM documents ORDER BY doc_id
       """,
       'lang_id_heuristic': f"""

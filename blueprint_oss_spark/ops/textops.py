@@ -16,14 +16,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
   return spark.read.parquet(f'{sf_dir}/documents.parquet')
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-2-style coarse split whose count tracks subword token
+# counts far better than whitespace words.  The pattern is valid (and
+# agrees) in both Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Whitespace token counts per document (exact ints)."""
+  """Token counts per document (exact ints): whitespace words plus a
+  BPE-ish regex token count (letter/digit/symbol runs)."""
   d = _docs(spark, sf_dir)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   return (d.select(
       'doc_id',
       F.size(toks).alias('n_tokens'),
       F.size(F.array_distinct(toks)).alias('n_uniq_tokens'),
+      F.size(F.regexp_extract_all('text', F.lit(BPE_ISH_PATTERN),
+                                  F.lit(0))).alias('n_bpe_tokens'),
       F.length('text').alias('len_chars'))
       .orderBy('doc_id'))
 
@@ -59,14 +69,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Deterministic document fingerprints: md5 of full text + of the first
-  8 tokens (prefix fingerprinting for near-dup blocking)."""
+  """Deterministic document fingerprints: md5 of full text, md5 of the
+  first 8 tokens (prefix blocking), and a polynomial ROLLING hash
+  (Rabin–Karp base-31 over character codes, mod 2^31-1) — the
+  incremental-update fingerprint family; computed fold-style JVM-side,
+  byte-identically recomputable in DuckDB."""
   d = _docs(spark, sf_dir)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  # acc·31 + code stays < 2^36 before each mod, so int64 never overflows
+  rolling = F.aggregate(
+      F.split(F.col('text'), ''),
+      F.lit(0).cast('long'),
+      lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch),
+                             F.lit(2147483647).cast('long')))
   return (d.select(
       'doc_id',
       F.md5('text').alias('fp_full'),
-      F.md5(F.concat_ws(' ', F.slice(toks, 1, 8))).alias('fp_prefix8'))
+      F.md5(F.concat_ws(' ', F.slice(toks, 1, 8))).alias('fp_prefix8'),
+      rolling.alias('fp_rolling31'))
       .orderBy('doc_id'))
 
 
