@@ -60,6 +60,27 @@ def test_spans_from_documents(spark):
     assert all(s['kind'] == 'text' for s in r['spans'])
 
 
+def test_spans_from_documents_long_words_round_trip(spark):
+  """The bulk ingest path must not silently drop content: every
+  nonempty input token becomes exactly one span; words wider than a
+  grid cell are truncated to 15 chars, never deleted."""
+  texts = [
+      ('d0', 'short tokens only here'),
+      ('d1', 'a supercalifragilisticexpialidocious word plus '
+             'internationalization and xx'),
+      ('d2', 'x' * 64),
+  ]
+  docs = spark.createDataFrame(texts, 'doc_id string, text string')
+  out = {r['doc_id']: r['spans']
+         for r in spans_from_documents(docs).collect()}
+  for doc_id, text in texts:
+    words = [w for w in text.split(' ') if w]
+    got = [s['text'] for s in out[doc_id]]
+    assert len(got) == len(words), (doc_id, got)
+    for w, g in zip(words, got):
+      assert g == w[:15], (w, g)
+
+
 def test_run_extraction_job_resume(spark, tmp_path):
   docs = readme_corpus(16, seed=79)
   root = readme_blueprint()
