@@ -145,6 +145,10 @@ def _assemble_doc(key: Tuple[str], pdfs: Iterable[pd.DataFrame],
       p = int(row['part_no'])
       ts = row['ts']
       if ts is not None and not pd.isna(ts):
+        # naive pandas timestamps are epoch-converted as UTC; run the
+        # session with spark.sql.session.timeZone=UTC (the default in
+        # this repo's entry points) so this agrees with the engine's
+        # watermark domain
         last_ev_ms = max(last_ev_ms, int(ts.timestamp() * 1000))
       if p in part_nos:
         continue  # duplicate delivery — idempotent

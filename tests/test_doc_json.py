@@ -153,3 +153,80 @@ def test_spark_doc_json_source(spark, tmp_path):
   want = {r['doc_id']: (r['fields'], round(r['score'], 9))
           for r in extract_documents(df, root).collect()}
   assert got == want
+
+
+def test_registry_only_entity_types_round_trip():
+  """Number/Integer/Time/NamedEntity/PersonName/Address entities —
+  registry-only in the reference (never produced by build_document) —
+  must load AND re-save: the saved JSON loads through the reference's
+  own typed loader, preserving text, geometry, and likeness (the
+  parsed `value`s are not retained by DocPool and re-save as null)."""
+  from blueprint_oss_spark.engine.doc_json import (
+      doc_json_from_pool, pool_from_doc_json)
+
+  def word(text, x0, x1, y0, y1):
+    return {'type': 'Word', 'text': text, 'origin': None,
+            'bbox': {'ix': {'a': x0, 'b': x1}, 'iy': {'a': y0, 'b': y1}}}
+
+  def bbox(x0, x1, y0, y1):
+    return {'ix': {'a': x0, 'b': x1}, 'iy': {'a': y0, 'b': y1}}
+
+  txt = {'type': 'Text', 'text': 'Jane Roe', 'bbox': bbox(0, 8, 0, 1),
+         'words': [word('Jane', 0, 4, 0, 1), word('Roe', 5, 8, 0, 1)],
+         'maximality_score': 1.0, 'ocr_score': 0.9}
+  blob = {
+      'name': 'exotic',
+      'bbox': bbox(0, 30, 0, 10),
+      'entities': [
+          {'type': 'Page', 'page_number': 1, 'bbox': bbox(0, 30, 0, 10)},
+          {'type': 'Number', 'bbox': bbox(0, 3, 2, 3), 'value': 42.0,
+           'words': [word('42', 0, 3, 2, 3)]},
+          {'type': 'Integer', 'bbox': bbox(4, 6, 2, 3), 'value': 7,
+           'words': [word('7', 4, 6, 2, 3)]},
+          {'type': 'Time', 'bbox': bbox(7, 12, 2, 3), 'value': 930,
+           'likeness_score': 0.8,
+           'words': [word('9:30', 7, 12, 2, 3)]},
+          {'type': 'NamedEntity', 'bbox': bbox(0, 8, 4, 5),
+           'text': 'Acme Co', 'value': 'ACME', 'label': 'ORG',
+           'words': [word('Acme', 0, 4, 4, 5), word('Co', 5, 8, 4, 5)]},
+          {'type': 'PersonName', 'bbox': bbox(0, 8, 0, 1),
+           'text': 'Jane Roe', 'likeness_score': 0.7,
+           'name_parts': [txt]},
+          {'type': 'Address', 'bbox': bbox(0, 12, 6, 7),
+           'text': '12 Oak St', 'likeness_score': 0.6,
+           'address_parts': [],
+           'lines': [{'type': 'Text', 'text': '12 Oak St',
+                      'bbox': bbox(0, 12, 6, 7),
+                      'words': [word('12', 0, 2, 6, 7),
+                                word('Oak', 3, 6, 6, 7),
+                                word('St', 7, 12, 6, 7)],
+                      'maximality_score': None, 'ocr_score': None}]},
+      ],
+  }
+
+  pool = pool_from_doc_json(blob)
+  types = sorted(pool.etype)
+  assert types == ['Address', 'Integer', 'NamedEntity', 'Number',
+                   'PersonName', 'Time']
+  # PersonName's leaf words come through name_parts
+  pn = pool.etype.index('PersonName')
+  assert len(pool.ewords[pn]) == 2
+
+  saved = doc_json_from_pool(pool)
+
+  # the reference's own typed loader accepts the re-saved JSON
+  from bp.document import load_doc_from_json
+  ref_doc = load_doc_from_json(json.loads(json.dumps(saved)))
+  by_type = {e.type: e for e in ref_doc.entities}
+  assert by_type['Number'].value is None  # value lossy by design
+  assert by_type['Time'].likeness_score == 0.8
+  assert by_type['NamedEntity'].text == 'Acme Co'
+  assert by_type['PersonName'].text == 'Jane Roe'
+  assert [w.text for w in by_type['PersonName'].entity_words()] == \
+      ['Jane', 'Roe']
+  assert by_type['Address'].likeness_score == 0.6
+
+  # and our loader round-trips the re-save to the same pool
+  rt = pool_from_doc_json(json.loads(json.dumps(saved)))
+  assert sorted(rt.etype) == types
+  assert sorted(rt.etext) == sorted(pool.etext)
