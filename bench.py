@@ -40,6 +40,7 @@ def main() -> None:
            .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
            .config('spark.driver.memory',
                    os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
+           .config('spark.sql.session.timeZone', 'UTC')
            .config('spark.ui.enabled', 'false')
            .getOrCreate())
   spark.sparkContext.setLogLevel('ERROR')

@@ -114,6 +114,7 @@ def main(argv=None) -> int:
            .appName('blueprint-oss-spark')
            .config('spark.sql.adaptive.enabled', 'true')
            .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+           .config('spark.sql.session.timeZone', 'UTC')
            .getOrCreate())
   root = load_model(args.model)
 
