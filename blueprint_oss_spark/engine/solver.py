@@ -77,7 +77,7 @@ def _check_deadline() -> None:
       raise SolverTimeoutError()
 
 
-@dataclass
+@dataclass(slots=True)
 class SE:
   """A scored extraction (reference: bp/scoring.py:44-171)."""
   assign: Dict[Field, int]          # field -> entity id (assigned only)
@@ -297,7 +297,7 @@ def leaf_candidates(doc: DocPool, etype: str,
 # Bound nodes with materialized candidate lists.
 # ---------------------------------------------------------------------------
 
-@dataclass
+@dataclass(slots=True)
 class Bound:
   legal_fields: FrozenSet[Field]
   mass: int
