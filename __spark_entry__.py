@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'embedding_norms': V.embedding_norms,
       'cosine_topk': lambda s, d: V.cosine_topk_bruteforce(s, d),
       'ann_topk_lsh': lambda s, d: V.ann_topk_lsh(s, d),
+      'ivf_topk': lambda s, d: V.ivf_topk(s, d),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       'simhash64': T.simhash64,
@@ -226,6 +227,7 @@ _SNAPSHOT_ORACLES = {
     'minhash_pairs': 'doc_a, doc_b',
     'simhash64': 'doc_id',
     'ann_topk_lsh': 'cosine_r DESC, vec_id',
+    'ivf_topk': 'cosine_r DESC, vec_id',
     'media_features': 'media_ref',
     'extraction_accuracy': 'field',
 }

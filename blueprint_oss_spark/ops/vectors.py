@@ -195,3 +195,78 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str, *,
   return (scored.orderBy(F.desc(F.round('cosine', 6)), 'vec_id')
           .limit(k)
           .select('vec_id', F.round('cosine', 4).alias('cosine_r')))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to sign-LSH.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(sample: 'np.ndarray', n_cells: int,
+                        iters: int = 10, seed: int = 7):
+  """Deterministic spherical k-means on a driver-side sample: seeded
+  init, fixed Lloyd iterations, unit-normalized centroids.  numpy only
+  — the centroid table is tiny and broadcasts as literals."""
+  import numpy as np
+  X = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+  rng = np.random.default_rng(seed)
+  C = X[rng.permutation(len(X))[:n_cells]].copy()
+  for _ in range(iters):
+    assign = np.argmax(X @ C.T, axis=1)
+    for c in range(n_cells):
+      members = X[assign == c]
+      if len(members):
+        v = members.sum(axis=0)
+        n = np.linalg.norm(v)
+        if n > 0:
+          C[c] = v / n
+  return C
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, *,
+             query_vec_id: int = 0, k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             train_limit: int = 10_000) -> DataFrame:
+  """IVF ANN top-k: a coarse quantizer (spherical k-means over a
+  driver-side sample, deterministic) partitions vectors into n_cells
+  inverted lists; a query probes only its `nprobe` nearest cells and
+  computes exact cosine inside them.
+
+  Scale shape: training touches a bounded sample (`train_limit` rows —
+  at 100 TB that is a .limit() scan, not a full pass); the per-row cell
+  assignment is map-side JVM arithmetic against broadcast centroid
+  literals; `cell` is the storage bucketing / shuffle key, and queries
+  read ~nprobe/n_cells of the corpus.  The recall/speed dial is
+  (n_cells, nprobe) — the IVF twin of the LSH (n_planes, bands) dial."""
+  import numpy as np
+  e = _emb(spark, sf_dir)
+  sample = np.array(
+      [np.asarray(r['embedding'], dtype=np.float64)
+       for r in e.select('embedding').limit(train_limit).collect()])
+  C = train_ivf_centroids(sample, n_cells)
+
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  nvec = F.transform(vec, lambda x: x / _norm(vec))
+  dots = F.array(*[
+      _dot(nvec, F.array(*[F.lit(float(w)) for w in c])) for c in C])
+  cell = F.array_position(dots, F.array_max(dots))
+  assigned = e.select('vec_id', cell.alias('cell'))
+
+  q_emb = np.asarray(
+      e.where(F.col('vec_id') == query_vec_id)
+      .select('embedding').head()['embedding'], dtype=np.float64)
+  qn = q_emb / np.linalg.norm(q_emb)
+  probe = [int(c) + 1 for c in np.argsort(-(C @ qn))[:nprobe]]
+
+  cand = assigned.where(F.col('cell').isin(probe)).select('vec_id')
+  q = (e.where(F.col('vec_id') == query_vec_id)
+       .select(F.col('vec_id').alias('q_id'), vec.alias('q')))
+  scored = (e.join(cand, 'vec_id')
+            .crossJoin(F.broadcast(q))
+            .where(F.col('vec_id') != F.col('q_id'))
+            .select('vec_id',
+                    (_dot(vec, F.col('q'))
+                     / (_norm(vec) * _norm(F.col('q'))))
+                    .alias('cosine')))
+  return (scored.orderBy(F.desc(F.round('cosine', 6)), 'vec_id')
+          .limit(k)
+          .select('vec_id', F.round('cosine', 4).alias('cosine_r')))

@@ -322,7 +322,7 @@ def main() -> None:
       rec = verify_minhash(args.sf_dir, pdf, run(name))
     elif name == 'simhash64':
       rec = verify_simhash(args.sf_dir, pdf, run(name))
-    elif name == 'ann_topk_lsh':
+    elif name in ('ann_topk_lsh', 'ivf_topk'):
       rec = verify_ann_topk(args.sf_dir, pdf)
     elif name == 'media_features':
       rec = verify_media(pdf)

@@ -112,3 +112,30 @@ def test_topk_exact_vs_ann(spark, planted_dir):
   ann = [r['vec_id'] for r in
          ann_topk_lsh(spark, d, query_vec_id=0, k=3).collect()]
   assert {1, 2} <= set(ann)
+
+
+def test_ivf_topk_exactness_and_recall(spark):
+  """IVF ANN: reported cosines are exact (verified against numpy);
+  probing nprobe=4 of 16 cells recovers most of the true top-10 on the
+  sf0.01 corpus; output is deterministic (seeded k-means, fixed Lloyd
+  iterations)."""
+  import pyarrow.parquet as pq
+
+  from blueprint_oss_spark.ops.vectors import (
+      cosine_topk_bruteforce, ivf_topk)
+
+  sf = '/root/testdata/sf0.01'
+  ivf = ivf_topk(spark, sf).collect()
+  assert ivf == ivf_topk(spark, sf).collect()  # deterministic
+  t = pq.read_table(f'{sf}/embeddings.parquet').to_pandas()
+  E = {int(v): np.asarray(e, dtype=np.float64)
+       for v, e in zip(t.vec_id, t.embedding)}
+  q = E[0]
+  for r in ivf:
+    v = E[int(r['vec_id'])]
+    cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+    assert abs(r['cosine_r'] - round(cos, 4)) <= 5e-5
+  exact = {r['vec_id']
+           for r in cosine_topk_bruteforce(spark, sf).collect()}
+  got = {r['vec_id'] for r in ivf}
+  assert len(got & exact) / len(exact) >= 0.7, (got, exact)
