@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'q5_local_supplier_volume': R.q5_local_supplier_volume,
       'q6_forecast_revenue': R.q6_forecast_revenue,
       # --- training-data text ops (DuckDB-oracled) ---
+      'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
       'doc_quality': T.doc_quality,
       'dedup_exact': T.dedup_exact,
@@ -173,6 +174,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # oracle via pytest) ---
       'extraction_accuracy': _extraction_accuracy,
   }
+
+
+def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Main-content extraction (HTML boilerplate strip via DOM
+  heuristics): documents wrapped in deterministic boilerplate-heavy
+  templates, stripped back; ground truth = the original text column,
+  so the oracle recomputes expected output engine-independently."""
+  from blueprint_oss_spark.ops.html_extract import html_main_content
+  return html_main_content(spark, sf_dir)
 
 
 def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +340,11 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+      """,
+      'html_main_content': r"""
+        SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
+        FROM documents ORDER BY doc_id
       """,
       'doc_token_stats': r"""
         SELECT doc_id,
