@@ -33,7 +33,7 @@ def main(argv=None) -> int:
                        '--ocr-format')
   rm.add_argument('--output', required=True, help='output parquet path')
   rm.add_argument('--ocr-format',
-                  choices=['google', 'ibocr', 'hocr', 'docjson'],
+                  choices=['google', 'ibocr', 'hocr', 'pdf', 'docjson'],
                   default=None,
                   help='treat --input as a file glob in this format '
                        '(docjson = reference Document JSON, '
@@ -58,7 +58,8 @@ def main(argv=None) -> int:
   gd.add_argument('-o', '--output-path', required=True,
                   help='output doc-JSON file (single input) or '
                        'directory (glob)')
-  gd.add_argument('--ocr-format', choices=['google', 'ibocr', 'hocr'],
+  gd.add_argument('--ocr-format',
+                  choices=['google', 'ibocr', 'hocr', 'pdf'],
                   default='google')
 
   args = ap.parse_args(argv)

@@ -1,0 +1,178 @@
+"""PDF layout parsing (north rule: "PDF/layout parse") — stdlib-only.
+
+Scope, honestly stated: the parser handles the self-contained subset a
+text-first PDF producer emits — PDF 1.4 page trees, content streams
+(raw or FlateDecode, inflated with stdlib zlib), and `BT ... Tf/Td/Tj
+... ET` text runs with standard string escapes.  That covers the
+files `write_simple_pdf` produces (and comparable simple generators);
+fonts with custom encodings / CIDs, TJ arrays with kerning, rotated
+text matrices, and image XObjects are out of scope — a page using them
+yields whatever plain Tj runs it contains.
+
+Geometry: PDF y grows upward; words are emitted in the engine's
+page-local convention (y down from the page top):
+    bbox = (x, x + 0.6·size·len(text), top, top + size),
+    top  = page_height − y − size
+0.6·size is the fixed advance of the built-in Courier metrics the
+writer uses, so parse(write(words)) round-trips geometry EXACTLY.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Sequence, Tuple
+
+# (text, x0, x1, y0, y1) in page coordinates, y down — the same word
+# tuple the OCR parsers in spark/sources.py emit.
+Word = Tuple[str, float, float, float, float]
+
+CHAR_ADVANCE = 0.6  # Courier advance per char, in units of font size
+
+
+def _escape_pdf_string(s: str) -> str:
+  return s.replace('\\', r'\\').replace('(', r'\(').replace(')', r'\)')
+
+
+def _unescape_pdf_string(s: str) -> str:
+  out = []
+  i = 0
+  while i < len(s):
+    c = s[i]
+    if c == '\\' and i + 1 < len(s):
+      n = s[i + 1]
+      if n in '()\\':
+        out.append(n)
+        i += 2
+        continue
+      if n == 'n':
+        out.append('\n')
+        i += 2
+        continue
+    out.append(c)
+    i += 1
+  return ''.join(out)
+
+
+def write_simple_pdf(pages: Sequence[Dict], *,
+                     compress: bool = True) -> bytes:
+  """pages: [{'width': w, 'height': h, 'words': [(text,x0,x1,y0,y1)]}]
+  (y down) → a valid single-font PDF whose text layout parses back to
+  exactly these words via parse_pdf.  Font size per word = its bbox
+  height; x0 is the pen position; x1 must equal
+  x0 + 0.6·size·len(text) (the writer asserts it)."""
+  objs: List[bytes] = []
+
+  def add(obj: bytes) -> int:
+    objs.append(obj)
+    return len(objs)  # 1-based object number
+
+  n_pages = len(pages)
+  # object layout: 1 catalog, 2 pages, then per page (page, contents),
+  # last: font
+  font_num = 3 + 2 * n_pages
+  kids = ' '.join(f'{3 + 2 * i} 0 R' for i in range(n_pages))
+  add(b'<< /Type /Catalog /Pages 2 0 R >>')
+  add(f'<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>'.encode())
+  for i, pg in enumerate(pages):
+    w, h = pg['width'], pg['height']
+    content_num = 4 + 2 * i
+    add((f'<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w:g} {h:g}] '
+         f'/Contents {content_num} 0 R '
+         f'/Resources << /Font << /F1 {font_num} 0 R >> >> >>')
+        .encode())
+    runs = []
+    for (text, x0, x1, y0, y1) in pg['words']:
+      size = y1 - y0
+      expect_x1 = x0 + CHAR_ADVANCE * size * len(text)
+      assert abs(expect_x1 - x1) < 1e-9, \
+          (text, x1, expect_x1, 'x1 must match Courier advance')
+      y_pdf = h - y0 - size  # convert y-down top to PDF baseline-ish
+      runs.append(f'BT /F1 {size:g} Tf {x0:g} {y_pdf:g} Td '
+                  f'({_escape_pdf_string(text)}) Tj ET')
+    stream = '\n'.join(runs).encode('latin-1')
+    filt = b''
+    if compress:
+      stream = zlib.compress(stream)
+      filt = b'/Filter /FlateDecode '
+    add(b'<< ' + filt + f'/Length {len(stream)} >>'.encode()
+        + b'\nstream\n' + stream + b'\nendstream')
+  add(b'<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>')
+
+  buf = bytearray(b'%PDF-1.4\n')
+  offsets = [0]
+  for i, obj in enumerate(objs, start=1):
+    offsets.append(len(buf))
+    buf += f'{i} 0 obj\n'.encode() + obj + b'\nendobj\n'
+  xref_at = len(buf)
+  buf += f'xref\n0 {len(objs) + 1}\n'.encode()
+  buf += b'0000000000 65535 f \n'
+  for off in offsets[1:]:
+    buf += f'{off:010d} 00000 n \n'.encode()
+  buf += (f'trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n'
+          f'startxref\n{xref_at}\n%%EOF\n').encode()
+  return bytes(buf)
+
+
+_OBJ_RE = re.compile(rb'(\d+) 0 obj(.*?)endobj', re.S)
+_STREAM_RE = re.compile(rb'<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream',
+                        re.S)
+_MEDIABOX_RE = re.compile(
+    rb'/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)'
+    rb'\s+([\d.+-]+)\s*\]')
+_CONTENTS_RE = re.compile(rb'/Contents\s+(\d+) 0 R')
+_KIDS_RE = re.compile(rb'/Kids\s*\[(.*?)\]', re.S)
+_REF_RE = re.compile(rb'(\d+) 0 R')
+_RUN_RE = re.compile(
+    r'BT\s+/\w+\s+([\d.+-]+)\s+Tf\s+([\d.+-]+)\s+([\d.+-]+)\s+Td\s*'
+    r'\(((?:\\.|[^()\\])*)\)\s*Tj\s*ET', re.S)
+
+
+def parse_pdf(payload: bytes) -> List[dict]:
+  """PDF bytes → the OCR-parser page format
+  [{'page_number', 'width', 'height', 'words': [(t,x0,x1,y0,y1)]}]."""
+  objs: Dict[int, bytes] = {
+      int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+
+  # page order from the /Pages /Kids array when present, else object
+  # order of /Type /Page objects
+  page_nums: List[int] = []
+  for body in objs.values():
+    if b'/Type /Pages' in body or b'/Type/Pages' in body:
+      km = _KIDS_RE.search(body)
+      if km:
+        page_nums = [int(r.group(1)) for r in
+                     _REF_RE.finditer(km.group(1))]
+      break
+  if not page_nums:
+    page_nums = [n for n, b in sorted(objs.items())
+                 if re.search(rb'/Type\s*/Page\b', b)]
+
+  pages = []
+  for pno, obj_num in enumerate(page_nums, start=1):
+    body = objs.get(obj_num, b'')
+    mb = _MEDIABOX_RE.search(body)
+    if not mb:
+      continue
+    x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
+    w, h = x1 - x0, y1 - y0
+    words: List[Word] = []
+    cm = _CONTENTS_RE.search(body)
+    if cm:
+      sm = _STREAM_RE.search(objs.get(int(cm.group(1)), b''))
+      if sm:
+        head, data = sm.group(1), sm.group(2)
+        if b'FlateDecode' in head:
+          data = zlib.decompress(data)
+        text = data.decode('latin-1', errors='replace')
+        for run in _RUN_RE.finditer(text):
+          size = float(run.group(1))
+          x = float(run.group(2))
+          y_pdf = float(run.group(3))
+          t = _unescape_pdf_string(run.group(4))
+          top = h - y_pdf - size
+          words.append((t, x, x + CHAR_ADVANCE * size * len(t),
+                        top, top + size))
+    pages.append({'page_number': pno, 'width': w, 'height': h,
+                  'words': words})
+  return pages

@@ -156,11 +156,17 @@ def parse_hocr(text: str) -> List[dict]:
   return p.pages
 
 
+def _parse_pdf_bytes(b: bytes):
+  from .pdf import parse_pdf
+  return parse_pdf(b)
+
+
 PARSERS = {
     'google': lambda b: parse_google_ocr(
         json.loads(b.decode('utf-8', errors='ignore'))),
     'ibocr': lambda b: parse_ibocr(json.loads(b.decode('utf-8'))),
     'hocr': lambda b: parse_hocr(b.decode('utf-8', errors='ignore')),
+    'pdf': _parse_pdf_bytes,
 }
 
 

@@ -106,11 +106,10 @@ def load_reference_example(path: str):
   return mod.__dict__
 
 
-def reference_doc_from_spans(doc_id: str, spans: Sequence[Span]):
-  """Build a reference Document from span rows via the SAME page/word
-  derivation our engine uses (engine/runner.spans_to_pages), so both
-  engines see identical geometry."""
-  pages = spans_to_pages(spans)
+def reference_doc_from_pages(doc_id: str, pages):
+  """Build a reference Document directly from parser-format pages
+  ([{'page_number','width','height','words':[(t,x0,x1,y0,y1)]}]) —
+  the shape every OCR/PDF parser in spark/sources.py emits."""
   input_pages = []
   offset = 0.0
   for pg in pages:
@@ -118,12 +117,19 @@ def reference_doc_from_spans(doc_id: str, spans: Sequence[Span]):
                      Interval(offset, offset + pg['height'])),
                 pg['page_number'])
     words = tuple(
-        InputWord(BBox(Interval(x0, x1), Interval(y0, y1)), t, None, None,
-                  None)
+        InputWord(BBox(Interval(x0, x1), Interval(y0, y1)), t, None,
+                  None, None)
         for (t, x0, x1, y0, y1) in pg['words'])
     input_pages.append(InputPage(page, words))
     offset += pg['height']
   return build_document(tuple(input_pages), doc_id)
+
+
+def reference_doc_from_spans(doc_id: str, spans: Sequence[Span]):
+  """Build a reference Document from span rows via the SAME page/word
+  derivation our engine uses (engine/runner.spans_to_pages), so both
+  engines see identical geometry."""
+  return reference_doc_from_pages(doc_id, spans_to_pages(spans))
 
 
 def reference_best(doc_id: str, spans: Sequence[Span], root,

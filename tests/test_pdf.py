@@ -1,0 +1,127 @@
+"""PDF layout parse (north rule: "PDF/layout parse"): write→parse
+geometry round-trips exactly (raw and FlateDecode streams, multi-page,
+escaped strings), and extraction over PDF-parsed layout agrees with
+the reference engine run on the SAME geometry."""
+
+import pytest
+
+from blueprint_oss_spark.engine.entity_gen import build_doc_pool
+from blueprint_oss_spark.engine.runner import spans_to_pages
+from blueprint_oss_spark.engine.solver import best_extraction
+from blueprint_oss_spark.fixtures import readme_corpus
+from blueprint_oss_spark.spark.pdf import (
+    CHAR_ADVANCE, parse_pdf, write_simple_pdf)
+
+from .refshim import reference_doc_from_pages
+
+
+def _word(text, x, top, size=1.0):
+  return (text, x, x + CHAR_ADVANCE * size * len(text), top, top + size)
+
+
+def _pdf_pages_from_spans(spans):
+  """Mock-grid pages → PDF-representable pages (x scaled by the Courier
+  advance so widths obey x1 = x0 + 0.6·size·len)."""
+  pages = []
+  for pg in spans_to_pages(spans):
+    words = [(t, x0 * CHAR_ADVANCE,
+              x0 * CHAR_ADVANCE + CHAR_ADVANCE * len(t), y0, y1)
+             for (t, x0, x1, y0, y1) in pg['words']]
+    pages.append({'page_number': pg['page_number'],
+                  'width': pg['width'] * CHAR_ADVANCE,
+                  'height': pg['height'], 'words': words})
+  return pages
+
+
+@pytest.mark.parametrize('compress', [False, True])
+def test_pdf_geometry_round_trip(compress):
+  pages = [
+      {'width': 200.0, 'height': 100.0, 'words': [
+          _word('Hello', 10, 5), _word('(paren)', 20, 5),
+          _word('back\\slash', 10, 8, size=2.0)]},
+      {'width': 300.0, 'height': 50.0, 'words': [
+          _word('page-two', 1.5, 0.25, size=0.5)]},
+  ]
+  blob = write_simple_pdf(pages, compress=compress)
+  assert blob.startswith(b'%PDF-1.4')
+  got = parse_pdf(blob)
+  assert len(got) == 2
+  for want, have in zip(pages, got):
+    assert have['width'] == want['width']
+    assert have['height'] == want['height']
+    assert len(have['words']) == len(want['words'])
+    for (t, x0, x1, y0, y1), (t2, gx0, gx1, gy0, gy1) in zip(
+        want['words'], have['words']):
+      assert t2 == t
+      assert (gx0, gx1, gy0, gy1) == \
+          pytest.approx((x0, x1, y0, y1), abs=1e-9)
+  assert got[1]['page_number'] == 2
+
+
+def test_pdf_extraction_matches_reference_on_same_layout():
+  # single-word fields: the PDF's Courier x-metric (0.6 advance)
+  # changes interword gaps, so phrase-built fields can legitimately go
+  # unassigned — single-word text/dollar fields stay extractable and
+  # make the parity check non-vacuous
+  from bp.config import Config
+  from bp.run import run_model
+  from bp.rules.semantic import is_dollar_amount as ref_is_dollar
+  from bp.rules.spatial import top_down as ref_top_down
+  from bp.rules.textual import text_equals as ref_text_equals
+  from bp.tree import extract as ref_extract
+
+  from blueprint_oss_spark.model.nodes import extract
+  from blueprint_oss_spark.model.rules import (
+      is_dollar_amount, text_equals, top_down)
+
+  root_ref = ref_extract(
+      ref_text_equals('Annual')('hdr'),
+      ref_is_dollar('amt'),
+      ref_top_down('hdr', 'amt'))
+  ours_root = extract(
+      text_equals('Annual')('hdr'),
+      is_dollar_amount('amt'),
+      top_down('hdr', 'amt'))
+  n_nontrivial = 0
+  for doc_id, spans in readme_corpus(8, seed=313, with_media=False):
+    pdf_pages = _pdf_pages_from_spans(spans)
+    blob = write_simple_pdf(pdf_pages)
+    parsed = parse_pdf(blob)
+
+    pool = build_doc_pool(doc_id, parsed)
+    assign, _, score = best_extraction(ours_root, pool)
+    ours = {f: pool.etext[e] for f, e in assign.items()}
+
+    ref_doc = reference_doc_from_pages(doc_id, parsed)
+    res = run_model(ref_doc, root_ref,
+                    Config(num_samples=-1, timeout=-1))
+    tops = res.root.top_20_extractions
+    ref_fields = {p.field: (p.entity.entity_text or '')
+                  for p in tops[0].extraction.points()}
+    assert score == pytest.approx(tops[0].score, abs=1e-12), doc_id
+    assert ours == ref_fields, (doc_id, ours, ref_fields)
+    n_nontrivial += bool(ours)
+  assert n_nontrivial >= 1
+
+
+def test_pdf_cli_source(spark, tmp_path):
+  from blueprint_oss_spark.fixtures import readme_blueprint
+  from blueprint_oss_spark.spark.sources import extract_from_ocr_files
+
+  docs = readme_corpus(4, seed=314, with_media=False)
+  for doc_id, spans in docs:
+    (tmp_path / f'{doc_id}.pdf').write_bytes(
+        write_simple_pdf(_pdf_pages_from_spans(spans)))
+  out = extract_from_ocr_files(
+      spark, str(tmp_path / '*.pdf'), readme_blueprint(),
+      ocr_format='pdf').collect()
+  assert len(out) == 4
+  assert all(r['error'] is None for r in out)
+  for r in out:
+    spans = dict(docs)[r['doc_id'].removesuffix('.pdf')]
+    pool = build_doc_pool(r['doc_id'],
+                          parse_pdf(write_simple_pdf(
+                              _pdf_pages_from_spans(spans))))
+    assign, _, score = best_extraction(readme_blueprint(), pool)
+    assert dict(r['fields']) == {f: pool.etext[e]
+                                 for f, e in assign.items()}
