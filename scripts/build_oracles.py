@@ -48,6 +48,7 @@ import sys
 import time
 
 sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/scripts')
 
 import numpy as np
 import pyarrow as pa
@@ -124,12 +125,45 @@ def _jaccard3(ta, tb) -> float:
   return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
 
 
+def _minhash_pairs_python(text: dict, n_hashes=16, shingle=3, bands=4):
+  """FULL independent recomputation of minhash_pairs with the
+  pure-Python Spark-xxhash64 replica (scripts/spark_xxhash64.py)."""
+  from spark_xxhash64 import spark_xxhash64
+  rows_per_band = n_hashes // bands
+  buckets: dict = {}
+  for d, t in text.items():
+    toks = [w for w in t.split(' ') if w]
+    if len(toks) < shingle:
+      continue
+    shingles = [' '.join(toks[i:i + shingle])
+                for i in range(len(toks) - shingle + 1)]
+    sig = [min(spark_xxhash64(sh, ('int', seed)) for sh in shingles)
+           for seed in range(1, n_hashes + 1)]
+    for b in range(bands):
+      parts = sig[b * rows_per_band:(b + 1) * rows_per_band]
+      bucket = spark_xxhash64(*[('long', p) for p in parts],
+                              ('int', 1000 + b))
+      buckets.setdefault(bucket, set()).add(d)
+  pairs = set()
+  for ds in buckets.values():
+    ds = sorted(ds)
+    for i, a in enumerate(ds):
+      for b in ds[i + 1:]:
+        pairs.add((a, b))
+  return pairs
+
+
 def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
   import pandas as pd
   docs = pq.read_table(f'{sf_dir}/documents.parquet') \
       .select(['doc_id', 'text']).to_pandas()
   text = dict(zip(docs.doc_id, docs.text))
   assert pdf.equals(pdf2), 'minhash_pairs not deterministic'
+  expect = _minhash_pairs_python(text)
+  got = {(a, b) for a, b in zip(pdf.doc_a, pdf.doc_b)}
+  assert got == expect, (
+      f'python recomputation mismatch: missing={expect - got} '
+      f'extra={got - expect}')
   # duplicate closure: identical text => identical signature => banded
   by_md5: dict = {}
   for d, t in text.items():
@@ -143,11 +177,26 @@ def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
   jac = [_jaccard3(_tokens(text[a]), _tokens(text[b]))
          for a, b in sorted(pairs)]
   assert not jac or min(jac) >= 0.05, f'implausibly low jaccard {min(jac)}'
-  return {'method': 'dup-closure + python 3-gram jaccard + determinism',
+  return {'method': 'FULL pure-python xxhash64 recomputation + '
+                    'dup-closure + 3-gram jaccard + determinism',
           'pairs': len(pairs), 'exact_dup_pairs': len(dup_pairs),
           'jaccard_min': round(min(jac), 4) if jac else None,
           'jaccard_median': round(float(np.median(jac)), 4) if jac
           else None}
+
+
+def _simhash_python(t: str) -> int:
+  from spark_xxhash64 import spark_xxhash64
+  votes = [0] * 64
+  for tok in (w for w in t.split(' ') if w):
+    h = spark_xxhash64(tok)
+    for i in range(64):
+      votes[i] += 1 if (h >> i) & 1 else -1
+  out = 0
+  for i in range(64):
+    if votes[i] > 0:
+      out += (1 << i) if i < 63 else -(1 << 63)
+  return out
 
 
 def verify_simhash(sf_dir: str, pdf, pdf2) -> dict:
@@ -156,6 +205,9 @@ def verify_simhash(sf_dir: str, pdf, pdf2) -> dict:
   text = dict(zip(docs.doc_id, docs.text))
   assert pdf.equals(pdf2), 'simhash64 not deterministic'
   sim = dict(zip(pdf.doc_id, pdf.simhash))
+  for d, s_ in sim.items():
+    assert int(s_) == _simhash_python(text[d]), \
+        f'python simhash recomputation mismatch for {d}'
   by_md5: dict = {}
   for d, t in text.items():
     by_md5.setdefault(hashlib.md5(t.encode()).hexdigest(), []).append(d)
@@ -175,7 +227,8 @@ def verify_simhash(sf_dir: str, pdf, pdf2) -> dict:
   # independence point (≈19 on this corpus); the check is against
   # DEGENERACY (a collapsed/constant hash ≈ 0), not independence.
   assert mean_ham > 10, f'random-pair hamming degenerate: {mean_ham}'
-  return {'method': 'dup-equality + random-pair hamming + determinism',
+  return {'method': 'FULL pure-python xxhash64 recomputation + '
+                    'dup-equality + hamming + determinism',
           'rows': len(pdf), 'mean_random_hamming': round(mean_ham, 2)}
 
 
