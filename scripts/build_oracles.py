@@ -232,7 +232,31 @@ def verify_simhash(sf_dir: str, pdf, pdf2) -> dict:
           'rows': len(pdf), 'mean_random_hamming': round(mean_ham, 2)}
 
 
-def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
+def _lsh_band_buckets_python(vec, n_planes: int, bands: int):
+  """Replicates ops/vectors._banded_bucket_cols with the pure-python
+  Spark-xxhash64 replica: weight_d = (pmod(xxhash64(d, plane), 2000)
+  - 1000)/1000, projection = left-to-right float64 fold (same order as
+  F.aggregate, hence bit-equal signs)."""
+  from spark_xxhash64 import spark_xxhash64
+  planes_per_band = n_planes // bands
+  out = []
+  for b in range(bands):
+    bucket = b * (1 << planes_per_band)
+    for j in range(planes_per_band):
+      plane = b * planes_per_band + j
+      proj = 0.0
+      for d, x in enumerate(vec):
+        w = (spark_xxhash64(('int', d), ('int', plane)) % 2000
+             + 2000) % 2000
+        proj += float(x) * ((w - 1000) / 1000.0)
+      if proj >= 0:
+        bucket += 1 << j
+    out.append(bucket)
+  return out
+
+
+def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0,
+                    full_lsh: bool = False) -> dict:
   t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
   E = {int(v): np.asarray(e, dtype=np.float64)
        for v, e in zip(t.vec_id, t.embedding)}
@@ -242,8 +266,26 @@ def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
     cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
     assert abs(row.cosine_r - round(cos, 4)) <= 5e-5, \
         (row.vec_id, row.cosine_r, cos)
-  return {'method': 'exact numpy cosine per reported row',
-          'rows': len(pdf)}
+  rec = {'method': 'exact numpy cosine per reported row',
+         'rows': len(pdf)}
+  if full_lsh:
+    # FULL recomputation: rebuild the banded buckets with the
+    # pure-python xxhash64 replica, probe the query's buckets, take
+    # the same round-then-sort top-k
+    buckets = {v: set(_lsh_band_buckets_python(E[v], 8, 2)) for v in E}
+    qb = buckets[query_vec_id]
+    cand = [v for v in E if v != query_vec_id and buckets[v] & qb]
+    scored = sorted(
+        ((round(float(E[v] @ q
+                      / (np.linalg.norm(E[v]) * np.linalg.norm(q))), 6),
+          v) for v in cand),
+        key=lambda cv: (-cv[0], cv[1]))[:10]
+    expect = [(v, round(c, 4)) for c, v in scored]
+    got = [(int(r.vec_id), float(r.cosine_r)) for r in pdf.itertuples()]
+    assert got == expect, (got, expect)
+    rec['method'] = ('FULL pure-python xxhash64 bucket recomputation '
+                     '+ exact numpy cosine top-k')
+  return rec
 
 
 def verify_media(pdf) -> dict:
@@ -376,7 +418,8 @@ def main() -> None:
     elif name == 'simhash64':
       rec = verify_simhash(args.sf_dir, pdf, run(name))
     elif name in ('ann_topk_lsh', 'ivf_topk'):
-      rec = verify_ann_topk(args.sf_dir, pdf)
+      rec = verify_ann_topk(args.sf_dir, pdf,
+                            full_lsh=name == 'ann_topk_lsh')
     elif name == 'media_features':
       rec = verify_media(pdf)
     elif name == 'extraction_accuracy':
