@@ -382,7 +382,11 @@ def _score_box_unimpinged(pred: Predicate, doc: DocPool,
 # Main dispatch.
 # ---------------------------------------------------------------------------
 
-# (predicate, raw entity text) → score; see _text_equals_score.
+# (predicate, raw entity text) → score, for every textual kind whose
+# score is a pure function of the entity TEXT (text_equals,
+# text_has_substring, text_matches_pattern).  Keyed by the predicate
+# OBJECT (value-hash cached on it), not id(), so unpickled copies can
+# never alias.
 _TEXT_EQUALS_MEMO: Dict = {}
 
 
@@ -542,24 +546,44 @@ def score_predicate(pred: Predicate, doc: DocPool,
     (e,) = eids
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
-    flags = pred.p('flags')
-    t = massage(flags, pred.p('text'))
-    et = massage(flags, doc.etext[e])
-    return taper_error_int(substring_edit_distance(et, t),
-                           pred.p('tolerance'), pred.p('taper'))
+    # score depends only on (predicate, raw text) — memoize like
+    # text_equals (substring DP dominates label-heavy models: the
+    # checks model scans 57 state + 12 street + 9 stop words per
+    # candidate)
+    raw = doc.etext[e]
+    tkey = (pred, raw)
+    got = _TEXT_EQUALS_MEMO.get(tkey)
+    if got is None:
+      flags = pred.p('flags')
+      t = massage(flags, pred.p('text'))
+      et = massage(flags, raw)
+      got = taper_error_int(substring_edit_distance(et, t),
+                            pred.p('tolerance'), pred.p('taper'))
+      if len(_TEXT_EQUALS_MEMO) > 1_000_000:
+        _TEXT_EQUALS_MEMO.clear()
+      _TEXT_EQUALS_MEMO[tkey] = got
+    return got
 
   if k == 'text_matches_pattern':
     (e,) = eids
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
-    pattern = pred.p('pattern')
-    taper = pred.p('taper')
-    if taper is None:
-      taper = max(len(doc.etext[e]), len(pattern)) // 2
-    sf = dict(pred.p('stands_for') or ())
-    return taper_error_int(
-        pattern_edit_distance(doc.etext[e], pattern, sf),
-        pred.p('tolerance'), taper)
+    raw = doc.etext[e]
+    tkey = (pred, raw)
+    got = _TEXT_EQUALS_MEMO.get(tkey)
+    if got is None:
+      pattern = pred.p('pattern')
+      taper = pred.p('taper')
+      if taper is None:
+        taper = max(len(raw), len(pattern)) // 2
+      sf = dict(pred.p('stands_for') or ())
+      got = taper_error_int(
+          pattern_edit_distance(raw, pattern, sf),
+          pred.p('tolerance'), taper)
+      if len(_TEXT_EQUALS_MEMO) > 1_000_000:
+        _TEXT_EQUALS_MEMO.clear()
+      _TEXT_EQUALS_MEMO[tkey] = got
+    return got
 
   if k == 'text_properties_are':
     (e,) = eids
