@@ -80,9 +80,20 @@ def main() -> None:
       'target': 0.8,
   }
   print(json.dumps(result))
-  with open(os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), 'BENCH_SCALING.json'), 'w') as f:
-    json.dump(result, f, indent=2)
+  # merge into BENCH_SCALING.json (which also carries the curated
+  # multi-run summary) instead of clobbering it
+  path = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), 'BENCH_SCALING.json')
+  blob = {}
+  if os.path.exists(path):
+    try:
+      with open(path) as f:
+        blob = json.load(f)
+    except ValueError:
+      blob = {}
+  blob[f'last_run_{n}_to_{4 * n}'] = result
+  with open(path, 'w') as f:
+    json.dump(blob, f, indent=2)
 
 
 if __name__ == '__main__':
