@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'supplier_nation_join': R.supplier_nation_join,
       'q5_local_supplier_volume': R.q5_local_supplier_volume,
       'q6_forecast_revenue': R.q6_forecast_revenue,
+      'events_cube': R.events_cube,
+      'churned_buyers': R.churned_buyers,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -345,6 +347,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
         FROM documents ORDER BY doc_id
+      """,
+      'events_cube': """
+        SELECT event_type, dow, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_value
+        FROM (SELECT *, dayofweek(ts) + 1 AS dow FROM events) t
+        GROUP BY CUBE(event_type, dow)
+        ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+      """,
+      'churned_buyers': """
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY o_custkey
       """,
       'doc_token_stats': r"""
         SELECT doc_id,

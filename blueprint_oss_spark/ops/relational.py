@@ -157,3 +157,37 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast('decimal(28,4)'))
                .cast('double').alias('revenue'),
                F.count(F.lit(1)).alias('n_items')))
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """CUBE over (event_type, day-of-week): all four grouping-set
+  combinations in one pass — partial aggregation happens map-side per
+  grouping set, so the shuffle carries one row per (set x group x
+  partition).  Counts + exact distinct users (the distinct forces the
+  classic two-phase expand/aggregate plan)."""
+  ev = _t(spark, sf_dir, 'events')
+  return (ev
+          .withColumn('dow', F.dayofweek('ts'))
+          .cube('event_type', 'dow')
+          .agg(F.count(F.lit(1)).alias('n_events'),
+               F.countDistinct('user_id').alias('n_users'),
+               F.sum(F.col('value').cast('decimal(18,6)'))
+               .cast('double').alias('total_value'))
+          .orderBy(F.col('event_type').asc_nulls_first(),
+                   F.col('dow').asc_nulls_first()))
+
+
+def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Set operation: customers with a 1995 order but none in 1996
+  (EXCEPT over projected keys — both sides prune to one column at the
+  scan, and the anti-semantics shuffle only distinct keys)."""
+  o = _t(spark, sf_dir, 'orders')
+  in_1995 = o.where((F.col('o_orderdate') >= F.lit('1995-01-01'))
+                    & (F.col('o_orderdate') < F.lit('1996-01-01'))) \
+      .select('o_custkey')
+  in_1996 = o.where((F.col('o_orderdate') >= F.lit('1996-01-01'))
+                    & (F.col('o_orderdate') < F.lit('1997-01-01'))) \
+      .select('o_custkey')
+  # subtract = EXCEPT DISTINCT (set semantics, matching the SQL
+  # EXCEPT); exceptAll would keep multiset surplus copies
+  return in_1995.subtract(in_1996).orderBy('o_custkey')

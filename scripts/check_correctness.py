@@ -32,7 +32,9 @@ def norm_cell(v):
 
 def frame_key(cols, rows):
   order = sorted(range(len(cols)), key=lambda i: cols[i])
-  out = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+  # sort by repr: total order even with None cells (cube/rollup nulls)
+  out = sorted((tuple(norm_cell(r[i]) for i in order) for r in rows),
+               key=repr)
   return [cols[i] for i in order], out
 
 

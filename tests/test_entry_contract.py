@@ -22,7 +22,9 @@ def _norm(v):
 
 def _rows_to_multiset(rows, cols):
   order = sorted(range(len(cols)), key=lambda i: cols[i])
-  return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+  # repr-key sort: total order even with None cells (cube/rollup nulls)
+  return sorted((tuple(_norm(r[i]) for i in order) for r in rows),
+                key=repr)
 
 
 @pytest.fixture(scope='module')
