@@ -17,6 +17,8 @@ Stateful surface:
   * windowed_extraction_metrics — event-time windowed quality metrics
     over the extraction output with a watermark so late rows update
     the right window and state is eventually evicted.
+  * sessionized_doc_activity — dynamic session windows (gap-separated
+    activity bursts) with the same watermark-bounded state.
 """
 
 from __future__ import annotations
@@ -237,3 +239,21 @@ def windowed_extraction_metrics(out_stream: DataFrame, *,
                F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
                .alias('errors'),
                F.avg('elapsed_ms').alias('avg_elapsed_ms')))
+
+
+def sessionized_doc_activity(out_stream: DataFrame, *,
+                             ts_col: str = 'ts',
+                             gap: str = '5 minutes',
+                             watermark: str = '30 seconds') -> DataFrame:
+  """Session-window aggregation over the extraction output: activity
+  bursts separated by more than `gap` become separate sessions (dynamic
+  windows, vs the fixed tumbling windows of
+  windowed_extraction_metrics).  The watermark closes sessions once no
+  in-order row can extend them — the state-eviction contract that keeps
+  a continuous 100 TB ingest's session state bounded."""
+  return (out_stream
+          .withWatermark(ts_col, watermark)
+          .groupBy(F.session_window(F.col(ts_col), gap))
+          .agg(F.count(F.lit(1)).alias('docs'),
+               F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
+               .alias('errors')))

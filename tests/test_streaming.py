@@ -161,3 +161,24 @@ def test_windowed_metrics_shape(spark):
   assert len(out) == 3  # 9 rows * 20s = 3 one-minute windows
   assert [r['docs'] for r in out] == [3, 3, 3]
   assert sum(r['errors'] for r in out) == 3
+
+
+def test_session_window_shape(spark):
+  """Session windows split on >gap quiet periods (batch-mode check of
+  the same expression tree the stream runs)."""
+  import datetime
+
+  from blueprint_oss_spark.spark.streaming import \
+      sessionized_doc_activity
+
+  base = datetime.datetime(2026, 1, 1, 9, 0, 0)
+  offsets = [0, 30, 70, 600, 640, 2000]  # bursts: 3 docs, 2 docs, 1 doc
+  rows = [(f'd{i}', base + datetime.timedelta(seconds=o),
+           'timeout' if i == 3 else None, 5.0)
+          for i, o in enumerate(offsets)]
+  df = spark.createDataFrame(
+      rows, 'doc_id string, ts timestamp, error string, '
+            'elapsed_ms double')
+  out = sessionized_doc_activity(df).orderBy('session_window').collect()
+  assert [r['docs'] for r in out] == [3, 2, 1]
+  assert [r['errors'] for r in out] == [0, 1, 0]
