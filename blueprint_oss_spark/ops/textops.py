@@ -231,10 +231,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
   document frequency above the cap from the JOIN side (sizes keep the
   full per-doc counts, so reported Jaccard only UNDERCOUNTS for pairs
   relying on hot shingles — a documented precision-preserving
-  approximation).  The pruned-shingle count is observable via
-  `df.observe`/logs rather than silently truncated: the default (0)
-  disables the cap, keeping the operator exact — which is what the
-  sf0.01/sf0.1 oracles verify."""
+  approximation).  Nothing is silently truncated: the cap is an
+  explicit knob, and callers enabling it can count the dropped heavy
+  hitters with the same groupBy('shingle') HAVING df > cap aggregate
+  this function builds.  The default (0) disables the cap, keeping the
+  operator exact — which is what the sf0.01/sf0.1 oracles verify."""
   d = _docs(spark, sf_dir).select('doc_id', 'text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   sh = d.select(
