@@ -448,7 +448,10 @@ def _merge_pair_planned(a: SE, b: SE, plan: Sequence[tuple], mass: int,
   b_rs = b.rule_scores
 
   decidable: List = []
-  extra_atom_scores: List = []
+  # incremental dict (insertion-ordered like the former pair list);
+  # _bound_fast only READS it, so sharing one growing dict across ops
+  # is behavior-identical to rebuilding dict(pairs) per op
+  extra_atom_scores: Dict[int, float] = {}
 
   for op in plan:
     if op[0] == 'd':
@@ -462,7 +465,7 @@ def _merge_pair_planned(a: SE, b: SE, plan: Sequence[tuple], mass: int,
               a_assign[f] if fa else b_assign[f] for fa, f in src))
         else:
           s = _connective_score(rule, a_assign, b_assign, sc)
-        extra_atom_scores.append((rid, s))
+        extra_atom_scores[rid] = s
       if s == 0.0:
         return None
       decidable.append((m, s))
@@ -475,9 +478,9 @@ def _merge_pair_planned(a: SE, b: SE, plan: Sequence[tuple], mass: int,
         if s is None:
           s = sc.atom_score(atom, tuple(
               a_assign[f] if fa else b_assign[f] for fa, f in src))
-        extra_atom_scores.append((rid, s))
+        extra_atom_scores[rid] = s
       bound = _bound_fast(m.rule, a_assign, b_assign, a_rs, b_rs,
-                          dict(extra_atom_scores))
+                          extra_atom_scores)
       if bound == 0.0 and touches:
         return None
 
@@ -493,7 +496,7 @@ def _merge_pair_planned(a: SE, b: SE, plan: Sequence[tuple], mass: int,
       return None
 
   rule_scores = {**a_rs, **b_rs}
-  for rid, s in extra_atom_scores:
+  for rid, s in extra_atom_scores.items():
     if rid not in rule_scores:
       rule_scores[rid] = s
   for (m, s) in decidable:
