@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'ivf_topk': lambda s, d: V.ivf_topk(s, d),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
+      'dedup_groups': lambda s, d: T.dedup_groups(s, d),
       'simhash64': T.simhash64,
       'embedding_near_dup_pairs':
           lambda s, d: V.embedding_near_dup_pairs(s, d),
@@ -475,6 +476,53 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE)
               / (sa.n + sb.n - n_common) >= 0.8
         ORDER BY doc_a, doc_b
+      """,
+      # Dedup groups = connected components over the exact-Jaccard pair
+      # edges; the oracle recomputes reachability from scratch with a
+      # recursive CTE (min reachable id per node == the Spark side's
+      # large-star/small-star fixpoint).
+      'dedup_groups': """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON inter.doc_a = sa.doc_id
+          JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE)
+                / (sa.n + sb.n - n_common) >= 0.8
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach AS (
+          SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT reach.doc_id, e.dst AS r
+          FROM reach JOIN edges e ON e.src = reach.r
+        ), comp AS (
+          SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+        )
+        SELECT doc_id, group_id,
+               COUNT(*) OVER (PARTITION BY group_id) AS group_size,
+               CAST(doc_id = group_id AS INT) AS is_keeper
+        FROM comp ORDER BY doc_id
       """,
       # Exact brute-force O(n²) recomputation of the LSH-blocked
       # operator, planting included — equality means banded-LSH recall

@@ -187,6 +187,40 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_a', 'doc_b'))
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str, *,
+                 shingle: int = 3, threshold: float = 0.8) -> DataFrame:
+  """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
+  connected components (alternating large-star/small-star, see
+  ops/graph.py) → one row per document with its group representative
+  (component-min doc_id), group size, and keep/drop verdict.
+
+  This is the step that turns pair-finding into an actual dedup: a
+  transitively-connected cluster {A~B, B~C} collapses to ONE keeper
+  even though A and C never matched directly.  Singletons keep
+  themselves.  The edge set here is the exact Jaccard operator so the
+  whole pipeline stays DuckDB-recomputable (recursive-CTE reachability
+  oracle); at 100 TB the same function runs unchanged over
+  minhash/LSH candidate pairs (swap the edge source), which is the
+  scale path — exact pair-finding is the oracle-friendly small-SF twin.
+  """
+  pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
+                              threshold=threshold) \
+      .select('doc_a', 'doc_b')
+  from blueprint_oss_spark.ops.graph import connected_components
+  comp = connected_components(pairs, 'doc_a', 'doc_b')
+  d = _docs(spark, sf_dir).select('doc_id')
+  labeled = (d.join(comp, d.doc_id == comp.node, 'left')
+             .select('doc_id',
+                     F.coalesce('component', 'doc_id').alias('group_id')))
+  sizes = labeled.groupBy('group_id') \
+      .agg(F.count(F.lit(1)).alias('group_size'))
+  return (labeled.join(sizes, 'group_id')
+          .select('doc_id', 'group_id', 'group_size',
+                  (F.col('doc_id') == F.col('group_id'))
+                  .cast('int').alias('is_keeper'))
+          .orderBy('doc_id'))
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
   """64-bit SimHash per document, fully Catalyst-side: per-token
   xxhash64 → per-bit ±1 votes aggregated over tokens → packed sign

@@ -1,0 +1,98 @@
+"""Connected components (large-star/small-star) — the dedup-groups
+backbone.  Checked against a trivially-correct pure-Python union-find
+on adversarial shapes: long chains (force multiple star rounds), a
+star with a high id at the center, disjoint cliques, and random graphs.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _uf_components(edges):
+  parent = {}
+
+  def find(x):
+    parent.setdefault(x, x)
+    while parent[x] != x:
+      parent[x] = parent[parent[x]]
+      x = parent[x]
+    return x
+
+  for a, b in edges:
+    ra, rb = find(a), find(b)
+    if ra != rb:
+      parent[max(ra, rb)] = min(ra, rb)
+  return {n: find(n) for n in parent}
+
+
+def _spark_components(spark, edges):
+  from blueprint_oss_spark.ops.graph import connected_components
+  df = spark.createDataFrame(
+      [(a, b) for a, b in edges], 'src string, dst string')
+  return {r['node']: r['component']
+          for r in connected_components(df, 'src', 'dst').collect()}
+
+
+def _check(spark, edges):
+  got = _spark_components(spark, edges)
+  want = _uf_components(edges)
+  assert got == want
+
+
+def test_long_chain(spark):
+  # a 40-node chain needs O(log n) alternating rounds — exercises the
+  # iteration + convergence logic, not just one pass
+  ids = [f'n{i:03d}' for i in range(40)]
+  _check(spark, list(zip(ids, ids[1:])))
+
+
+def test_chain_reversed_ids(spark):
+  # chain where adjacency goes against id order
+  ids = [f'n{i:03d}' for i in reversed(range(25))]
+  _check(spark, list(zip(ids, ids[1:])))
+
+
+def test_star_high_center(spark):
+  # high-id center: every leaf must still land on the min leaf
+  edges = [('z-center', f'a{i:02d}') for i in range(12)]
+  _check(spark, edges)
+
+
+def test_disjoint_cliques_and_duplicates(spark):
+  edges = []
+  for c in range(4):
+    ids = [f'c{c}-{i}' for i in range(5)]
+    edges += [(a, b) for a in ids for b in ids if a < b]
+  # duplicate + reversed edges must not perturb anything
+  edges += [(b, a) for a, b in edges[:7]] + edges[:5]
+  _check(spark, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+  rng = random.Random(7)
+  for trial in range(3):
+    n = 60
+    ids = [f'd{i:03d}' for i in range(n)]
+    edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_dedup_groups_partitions_docs(spark):
+  # dedup_groups over sf0.001: every doc appears exactly once, group_id
+  # is the min doc_id of its group, keeper iff doc_id == group_id, and
+  # group sizes sum to the doc count
+  from blueprint_oss_spark.ops.textops import dedup_groups
+  out = dedup_groups(spark, '/root/testdata/sf0.001').collect()
+  docs = [r['doc_id'] for r in out]
+  assert len(docs) == len(set(docs))
+  by_group = {}
+  for r in out:
+    by_group.setdefault(r['group_id'], []).append(r)
+  for gid, rows in by_group.items():
+    assert gid == min(r['doc_id'] for r in rows)
+    assert all(r['group_size'] == len(rows) for r in rows)
+    assert sum(r['is_keeper'] for r in rows) == 1
+    keeper = [r for r in rows if r['is_keeper']][0]
+    assert keeper['doc_id'] == gid
