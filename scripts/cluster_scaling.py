@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""North-rule launch-mode + scaling evidence, cluster edition.
+
+Packages `blueprint_oss_spark` into a --py-files zip and launches the
+SAME extraction job twice via `spark-submit --py-files` on Spark's
+`local-cluster[N, cores, mem]` master — which spawns N REAL separate
+executor JVMs (own heaps, own Python worker pools, code shipped via the
+zip exactly as on a production cluster), unlike local[N] threads.  Run
+at N and 4N executors on the same input, report throughput at both plus
+scaling efficiency (target ≥0.8), and assert the summed per-doc score
+is identical across cluster sizes (output independent of parallelism).
+
+Usage: python scripts/cluster_scaling.py [N_executors] [n_docs] [model]
+Defaults: N=1 (1→4 executors × 4 cores = 4→16 cores, which stays inside
+this box's 32 physical cores at the high level), 2500 docs, model
+`paystubs` (heavy enough per doc — ~130 core-ms — that per-task
+scheduling overhead is noise; `readme` is ~10× lighter and at small doc
+counts measures task dispatch, not extraction).  Doc count matters:
+per-PYTHON-WORKER memo caches (substring/pattern text scores) need
+enough docs per worker to warm up — at 1000 docs/16 workers the low
+level looks artificially fast (62 docs per worker never amortize), at
+2500 the effect washes out.  At 100 TB every worker processes millions
+of docs, so the large-corpus measurement is the faithful one.
+Writes JSON to stdout and merges into BENCH_SCALING.json.
+
+Caveat (same as scripts/scaling_bench.py): numbers are only valid on an
+otherwise-idle box with runs strictly sequential.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.environ.get('SPARK_SUBMIT', '/opt/spark/bin/spark-submit')
+
+JOB = r'''
+import json, os, sys, time
+os.environ.setdefault('OMP_NUM_THREADS', '1')
+os.environ.setdefault('OPENBLAS_NUM_THREADS', '1')
+n_docs, want_cores, model = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from pyspark.sql import SparkSession, functions as F
+spark = SparkSession.builder.appName('bos-cluster-scaling').getOrCreate()
+spark.sparkContext.setLogLevel('ERROR')
+# defaultParallelism reflects only REGISTERED executors; without this
+# wait the job plans for 2 cores, the warmup touches 4 python workers,
+# and every timed pass then pays worker spawn + zip import
+for _ in range(120):
+    if spark.sparkContext.defaultParallelism >= want_cores:
+        break
+    time.sleep(0.5)
+cores = spark.sparkContext.defaultParallelism
+from blueprint_oss_spark.spark.pipeline import SPANS_SCHEMA, \
+    extract_documents
+if model == 'paystubs':
+    from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+        paystub_corpus
+    from blueprint_oss_spark.bp_examples.paystubs import root
+    docs = paystub_corpus(n_docs)
+else:
+    from blueprint_oss_spark.fixtures import readme_blueprint, \
+        readme_corpus
+    docs = readme_corpus(n_docs, seed=999)
+    root = readme_blueprint()
+rows = [(d, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+             for (k, t, m, o) in spans]) for d, spans in docs]
+df = spark.createDataFrame(rows, SPANS_SCHEMA).repartition(cores * 2).cache()
+df.count()
+# warmup pass: ship the zip, fork + import every executor python worker
+extract_documents(df, root).count()
+best, checksum, n = None, None, 0
+for _ in range(3):
+    t0 = time.monotonic()
+    agg = extract_documents(df, root).agg(
+        F.count('*').alias('n'),
+        F.sum(F.round('score', 9)).alias('s')).collect()[0]
+    dt = time.monotonic() - t0
+    n, checksum = agg['n'], round(agg['s'], 9)
+    if best is None or dt < best:
+        best = dt
+print('RESULT ' + json.dumps({
+    'master': spark.sparkContext.master, 'cores': cores, 'docs': n,
+    'score_sum': checksum, 'sec': best, 'docs_per_sec': n / best}))
+spark.stop()
+'''
+
+
+def make_zip(dest_dir: str) -> str:
+  zpath = os.path.join(dest_dir, 'blueprint_oss_spark.zip')
+  with zipfile.ZipFile(zpath, 'w', zipfile.ZIP_DEFLATED) as z:
+    pkg = os.path.join(REPO, 'blueprint_oss_spark')
+    for base, _dirs, files in os.walk(pkg):
+      if '__pycache__' in base:
+        continue
+      for fn in files:
+        if fn.endswith('.pyc'):
+          continue
+        full = os.path.join(base, fn)
+        z.write(full, os.path.relpath(full, REPO))
+  return zpath
+
+
+def run_level(n_exec: int, n_docs: int, model: str, zpath: str,
+              job_path: str, cores_per_exec: int = 4,
+              mem_mb: int = 3072) -> dict:
+  master = f'local-cluster[{n_exec},{cores_per_exec},{mem_mb}]'
+  out = subprocess.run(
+      [SPARK_SUBMIT, '--master', master, '--py-files', zpath,
+       '--conf', 'spark.ui.enabled=false',
+       '--conf', f'spark.sql.shuffle.partitions={n_exec * cores_per_exec}',
+       '--conf', 'spark.sql.execution.arrow.pyspark.enabled=true',
+       job_path, str(n_docs), str(n_exec * cores_per_exec), model],
+      capture_output=True, text=True, cwd=tempfile.gettempdir())
+  lines = [ln for ln in out.stdout.splitlines() if ln.startswith('RESULT ')]
+  if out.returncode != 0 or not lines:
+    raise RuntimeError((out.stderr or out.stdout)[-3000:])
+  res = json.loads(lines[-1][len('RESULT '):])
+  res['n_executors'] = n_exec
+  return res
+
+
+def main() -> None:
+  n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+  n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2500
+  model = sys.argv[3] if len(sys.argv) > 3 else 'paystubs'
+  with tempfile.TemporaryDirectory() as td:
+    zpath = make_zip(td)
+    job_path = os.path.join(td, 'job.py')
+    with open(job_path, 'w') as f:
+      f.write(JOB)
+    lo = run_level(n, n_docs, model, zpath, job_path)
+    hi = run_level(4 * n, n_docs, model, zpath, job_path)
+  efficiency = (hi['docs_per_sec'] / lo['docs_per_sec']) / 4.0
+  result = {
+      'mode': 'spark-submit --py-files, local-cluster (separate '
+              'executor JVMs)',
+      'model': model,
+      'n_docs': n_docs,
+      'low': lo,
+      'high': hi,
+      'outputs_identical': lo['score_sum'] == hi['score_sum']
+                           and lo['docs'] == hi['docs'],
+      'speedup': round(hi['docs_per_sec'] / lo['docs_per_sec'], 3),
+      'scaling_efficiency_N_to_4N': round(efficiency, 3),
+      'target': 0.8,
+  }
+  print(json.dumps(result))
+  path = os.path.join(REPO, 'BENCH_SCALING.json')
+  blob = {}
+  if os.path.exists(path):
+    try:
+      with open(path) as f:
+        blob = json.load(f)
+    except ValueError:
+      blob = {}
+  blob[f'cluster_last_run_{n}_to_{4 * n}_executors'] = result
+  with open(path, 'w') as f:
+    json.dump(blob, f, indent=2)
+
+
+if __name__ == '__main__':
+  main()
