@@ -128,10 +128,10 @@ class _RuleMeta:
 
   def __init__(self, rule: Rule):
     self.rule = rule
-    self.fields = frozenset(rule.fields)
+    self.fields = rule.fieldset
     self.is_atom = isinstance(rule, Atom)
     # (atom, fields_frozenset) pairs for the atom-cache pass
-    self.atoms = tuple((a, frozenset(a.fields)) for a in get_atoms(rule))
+    self.atoms = tuple((a, a.fieldset) for a in get_atoms(rule))
 
 
 def _rule_score(rule: Rule, assign: Dict[Field, int],
@@ -326,11 +326,24 @@ def _score_cache(doc: DocPool, memo: Dict) -> _ScoreCache:
   return sc
 
 
+#: rid-keyed process-global _RuleMeta cache: rules are immutable and
+#: rids are process-unique (re-drawn at unpickle), so metadata survives
+#: across documents instead of being rebuilt per (doc, node) bind.
+_RULE_META_CACHE: Dict[int, _RuleMeta] = {}
+
+
 def _rule_meta(rules: Sequence[Rule], memo: Dict) -> List[_RuleMeta]:
   key = ('_meta', tuple(id(r) for r in rules))
   got = memo.get(key)
   if got is None:
-    got = [_RuleMeta(r) for r in rules]
+    got = []
+    for r in rules:
+      m = _RULE_META_CACHE.get(r.rid)
+      if m is None or m.rule is not r:
+        m = _RuleMeta(r)
+        if len(_RULE_META_CACHE) < 65536:
+          _RULE_META_CACHE[r.rid] = m
+      got.append(m)
     memo[key] = got
   return got
 
@@ -784,8 +797,8 @@ def bind_pattern(node: PatternNode, doc: DocPool, memo: Dict) -> Bound:
   # pattern rules with field-set == {f}, atoms only, plus the empty.
   counts: Dict[Field, int] = {}
   for f in fields:
-    leaf_rules = [r for r in node.rules
-                  if frozenset(r.fields) == frozenset((f,))]
+    f_only = frozenset((f,))
+    leaf_rules = [r for r in node.rules if r.fieldset == f_only]
     atoms = [r for r in leaf_rules if isinstance(r, Atom)]
     counts[f] = len(leaf_candidates(doc, field_types[f], atoms, memo)) + 1
 

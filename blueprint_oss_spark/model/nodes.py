@@ -43,7 +43,7 @@ class Node:
     return tuple()
 
   def is_decidable(self, rule: Rule) -> bool:
-    return frozenset(rule.fields) <= self.legal_fields
+    return rule.fieldset <= self.legal_fields
 
   def with_rules(self, rules: Tuple[Rule, ...]) -> 'Node':
     return dataclasses.replace(self, rules=rules)
@@ -56,10 +56,10 @@ class Node:
 
   def validate(self) -> None:
     for rule in self.rules:
-      if not frozenset(rule.fields) <= self.legal_fields:
+      if not rule.fieldset <= self.legal_fields:
         raise ValueError(
             f'rule {rule} refers to fields '
-            f'{frozenset(rule.fields) - self.legal_fields} not found in '
+            f'{rule.fieldset - self.legal_fields} not found in '
             f'{type(self).__name__}')
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import itertools
 from dataclasses import dataclass, field as dc_field
-from typing import Any, Dict, Iterable, Optional, Tuple, Union
+from typing import Any, Dict, FrozenSet, Iterable, Optional, Tuple, Union
 
 Field = str
 
@@ -176,12 +176,37 @@ class Atom:
     object.__setattr__(self, 'rid', _next_rule_id())
 
   def __hash__(self) -> int:
-    return hash((self.fields, self.predicate))
+    # value hash, computed once — atoms key the solver's score caches
+    # and are hashed millions of times per document batch
+    h = self.__dict__.get('_ah')
+    if h is None:
+      h = hash((self.fields, self.predicate))
+      object.__setattr__(self, '_ah', h)
+    return h
+
+  def __getstate__(self) -> Dict[str, Any]:
+    # _ah depends on PYTHONHASHSEED and _fset's iteration order does
+    # too — strip per-process caches so unpickled atoms rebuild them
+    # (same contract as Predicate.__getstate__)
+    state = dict(self.__dict__)
+    for k in ('_ah', '_fset'):
+      state.pop(k, None)
+    return state
 
   def __eq__(self, other: Any) -> bool:
     if not isinstance(other, Atom):
       return False
     return (self.fields, self.predicate) == (other.fields, other.predicate)
+
+  @property
+  def fieldset(self) -> FrozenSet[Field]:
+    """frozenset(self.fields), cached — decidability checks build this
+    in per-document hot loops."""
+    fs = self.__dict__.get('_fset')
+    if fs is None:
+      fs = frozenset(self.fields)
+      object.__setattr__(self, '_fset', fs)
+    return fs
 
   def __str__(self) -> str:
     return '[{}] {}'.format(', '.join(self.fields), self.predicate)
@@ -202,19 +227,39 @@ class Connective:
     object.__setattr__(self, 'rid', _next_rule_id())
 
   @property
+  def fieldset(self) -> FrozenSet[Field]:
+    """Union of sub-rule fields, cached (hot in decidability checks)."""
+    fs = self.__dict__.get('_fset')
+    if fs is None:
+      fs = frozenset(
+          itertools.chain.from_iterable(r.fields for r in self.rules))
+      object.__setattr__(self, '_fset', fs)
+    return fs
+
+  def __getstate__(self) -> Dict[str, Any]:
+    # _fset's iteration order is PYTHONHASHSEED-dependent and feeds the
+    # `fields` tuple ordering — rebuild per process
+    state = dict(self.__dict__)
+    state.pop('_fset', None)
+    return state
+
+  @property
   def fields(self) -> Tuple[Field, ...]:
-    return tuple(frozenset(
-        itertools.chain.from_iterable(r.fields for r in self.rules)))
+    return tuple(self.fieldset)
 
   @property
   def atoms(self) -> Tuple[Atom, ...]:
-    out = []
-    for r in self.rules:
-      if isinstance(r, Atom):
-        out.append(r)
-      else:
-        out.extend(r.atoms)
-    return tuple(out)
+    got = self.__dict__.get('_atoms')
+    if got is None:
+      out = []
+      for r in self.rules:
+        if isinstance(r, Atom):
+          out.append(r)
+        else:
+          out.extend(r.atoms)
+      got = tuple(out)
+      object.__setattr__(self, '_atoms', got)
+    return got
 
 
 @dataclass(frozen=True)
