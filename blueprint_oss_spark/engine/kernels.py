@@ -382,12 +382,11 @@ def _score_box_unimpinged(pred: Predicate, doc: DocPool,
 # Main dispatch.
 # ---------------------------------------------------------------------------
 
-# (predicate, raw entity text) → score, for every textual kind whose
-# score is a pure function of the entity TEXT (text_equals,
-# text_has_substring, text_matches_pattern).  Keyed by the predicate
-# OBJECT (value-hash cached on it), not id(), so unpickled copies can
-# never alias.
-_TEXT_EQUALS_MEMO: Dict = {}
+# Per-predicate text-score memo: every textual kind whose score is a
+# pure function of the entity TEXT (text_equals, text_has_substring,
+# text_matches_pattern) caches raw-text → score in a dict stored on the
+# predicate instance ('_tm'), which Predicate.__getstate__ strips from
+# pickles so unpickled copies can never alias stale entries.
 
 
 def _text_equals_compiled(pred: Predicate):
@@ -407,17 +406,23 @@ def _text_equals_compiled(pred: Predicate):
 
 
 def _text_equals_score(pred: Predicate, raw: str) -> float:
+  # The score depends only on the entity TEXT, which repeats heavily
+  # (sub-phrases across documents, label words) — memoize per predicate
+  # INSTANCE in a dict stored on it (raw-text key only: no tuple
+  # allocation, no predicate hash, in the hottest scalar loop).  The
+  # dict is per-process state, stripped from pickles alongside the
+  # other caches (Predicate.__getstate__), so unpickled copies can
+  # never alias stale entries.
+  memo = pred.__dict__.get('_tm')
+  if memo is None:
+    memo = {}
+    object.__setattr__(pred, '_tm', memo)
+  got = memo.get(raw)
+  if got is not None:
+    return got
   mtexts, flags, tol, tap, cutoff = _text_equals_compiled(pred)
   if not mtexts:
     return 1.0
-  # The score depends only on the entity TEXT, which repeats heavily
-  # (sub-phrases across documents, label words) — memoize globally per
-  # (predicate, raw text).  Keyed by the predicate OBJECT (value-hash
-  # cached on it), not id(), so unpickled copies can never alias.
-  tkey = (pred, raw)
-  got = _TEXT_EQUALS_MEMO.get(tkey)
-  if got is not None:
-    return got
   etext = massage(flags, raw)
   le = len(etext)
   best = None
@@ -435,9 +440,9 @@ def _text_equals_score(pred: Predicate, raw: str) -> float:
       best = 1.0
       break
   best = best or 0.0
-  if len(_TEXT_EQUALS_MEMO) > 1_000_000:
-    _TEXT_EQUALS_MEMO.clear()
-  _TEXT_EQUALS_MEMO[tkey] = best
+  if len(memo) > 200_000:
+    memo.clear()
+  memo[raw] = best
   return best
 
 
@@ -551,17 +556,20 @@ def score_predicate(pred: Predicate, doc: DocPool,
     # checks model scans 57 state + 12 street + 9 stop words per
     # candidate)
     raw = doc.etext[e]
-    tkey = (pred, raw)
-    got = _TEXT_EQUALS_MEMO.get(tkey)
+    memo = pred.__dict__.get('_tm')
+    if memo is None:
+      memo = {}
+      object.__setattr__(pred, '_tm', memo)
+    got = memo.get(raw)
     if got is None:
       flags = pred.p('flags')
       t = massage(flags, pred.p('text'))
       et = massage(flags, raw)
       got = taper_error_int(substring_edit_distance(et, t),
                             pred.p('tolerance'), pred.p('taper'))
-      if len(_TEXT_EQUALS_MEMO) > 1_000_000:
-        _TEXT_EQUALS_MEMO.clear()
-      _TEXT_EQUALS_MEMO[tkey] = got
+      if len(memo) > 200_000:
+        memo.clear()
+      memo[raw] = got
     return got
 
   if k == 'text_matches_pattern':
@@ -569,8 +577,11 @@ def score_predicate(pred: Predicate, doc: DocPool,
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
     raw = doc.etext[e]
-    tkey = (pred, raw)
-    got = _TEXT_EQUALS_MEMO.get(tkey)
+    memo = pred.__dict__.get('_tm')
+    if memo is None:
+      memo = {}
+      object.__setattr__(pred, '_tm', memo)
+    got = memo.get(raw)
     if got is None:
       pattern = pred.p('pattern')
       taper = pred.p('taper')
@@ -580,9 +591,9 @@ def score_predicate(pred: Predicate, doc: DocPool,
       got = taper_error_int(
           pattern_edit_distance(raw, pattern, sf),
           pred.p('tolerance'), taper)
-      if len(_TEXT_EQUALS_MEMO) > 1_000_000:
-        _TEXT_EQUALS_MEMO.clear()
-      _TEXT_EQUALS_MEMO[tkey] = got
+      if len(memo) > 200_000:
+        memo.clear()
+      memo[raw] = got
     return got
 
   if k == 'text_properties_are':

@@ -127,7 +127,7 @@ class Predicate:
     # hash/eq contract for value-keyed containers; _pd/_te rebuild
     # lazily.
     state = dict(self.__dict__)
-    for k in ('_hash', '_pd', '_te'):
+    for k in ('_hash', '_pd', '_te', '_tm'):
       state.pop(k, None)
     return state
 
