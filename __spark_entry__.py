@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
   from blueprint_oss_spark.ops import textops as T
   from blueprint_oss_spark.ops import vectors as V
   from blueprint_oss_spark.ops import multimodal as M
+  from blueprint_oss_spark.ops import profiling as P
 
   def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media_table(spark, n=64)
@@ -167,6 +168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       'dedup_groups': lambda s, d: T.dedup_groups(s, d),
+      'tfidf_top_terms': lambda s, d: T.tfidf_top_terms(s, d),
+      # --- curation: sampling + profiling (DuckDB-oracled) ---
+      'stratified_sample': P.stratified_sample,
+      'table_profile': P.table_profile,
       'simhash64': T.simhash64,
       'embedding_near_dup_pairs':
           lambda s, d: V.embedding_near_dup_pairs(s, d),
@@ -476,6 +481,62 @@ def oracle_sql() -> dict[str, str]:
         WHERE CAST(n_common AS DOUBLE)
               / (sa.n + sb.n - n_common) >= 0.8
         ORDER BY doc_a, doc_b
+      """,
+      # TF·IDF with the log-free BM25 idf ratio (N-df+0.5)/(df+0.5):
+      # every step is a correctly-rounded IEEE double op, so scores and
+      # tie-ordering match bit-for-bit across engines (ln() would not).
+      'tfidf_top_terms': """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    x -> len(x) > 0)) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE)
+                 * (CAST(n.n_docs AS DOUBLE) - df.df + 0.5)
+                 / (df.df + 0.5) AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, ROUND(score, 6) AS score_r, rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored) t
+        WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+      """,
+      # Hash-threshold stratified sampling: md5 hex compared against a
+      # per-stratum threshold string — deterministic, engine-identical.
+      'stratified_sample': """
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE lang
+                WHEN 'en' THEN '80000000000000000000000000000000'
+                WHEN 'es' THEN '40000000000000000000000000000000'
+                WHEN 'de' THEN '40000000000000000000000000000000'
+                WHEN 'fr' THEN '20000000000000000000000000000000'
+                ELSE '10000000000000000000000000000000'
+              END
+        ORDER BY doc_id
+      """,
+      'table_profile': """
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(DISTINCT text) AS n_distinct_texts,
+               SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                 AS n_empty,
+               MIN(length(text)) AS min_len,
+               MAX(length(text)) AS max_len,
+               SUM(length(text)) AS total_len,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM documents GROUP BY lang ORDER BY lang
       """,
       # Dedup groups = connected components over the exact-Jaccard pair
       # edges; the oracle recomputes reachability from scratch with a

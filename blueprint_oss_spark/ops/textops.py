@@ -251,6 +251,44 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('doc_id'))
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, *,
+                    k: int = 3) -> DataFrame:
+  """Top-k characteristic terms per document by TF·IDF.
+
+  The idf factor is the log-free BM25 idf ratio (N − df + 0.5)/(df + 0.5)
+  — monotone in the classic log idf, chosen so every arithmetic step
+  (+, −, ×, ÷) is a correctly-rounded IEEE double op and the score is
+  BIT-IDENTICAL across engines (ln() is implementation-defined in the
+  last ulp, which would make cross-engine ordering of near-ties and a
+  DuckDB oracle flaky).
+
+  Shape at scale: one shuffle for the per-(doc, term) counts, one for
+  document frequencies (a vocabulary-sized frame — orders of magnitude
+  smaller than the corpus, so AQE broadcasts it back), one window over
+  doc_id for the top-k.  No Python anywhere.
+  """
+  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  n_docs = d.count()
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  terms = d.select('doc_id', F.explode(toks).alias('term'))
+  tf = terms.groupBy('doc_id', 'term').agg(
+      F.count(F.lit(1)).alias('tf'))
+  df_ = tf.groupBy('term').agg(F.count(F.lit(1)).alias('df'))
+  from pyspark.sql import Window
+  scored = (tf.join(df_, 'term')
+            .withColumn('score',
+                        F.col('tf').cast('double')
+                        * (F.lit(float(n_docs)) - F.col('df') + F.lit(0.5))
+                        / (F.col('df') + F.lit(0.5))))
+  w = Window.partitionBy('doc_id').orderBy(
+      F.col('score').desc(), F.col('term'))
+  return (scored.withColumn('rnk', F.row_number().over(w))
+          .where(F.col('rnk') <= k)
+          .select('doc_id', 'term', 'tf', 'df',
+                  F.round('score', 6).alias('score_r'), 'rnk')
+          .orderBy('doc_id', 'rnk'))
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                         shingle: int = 3,
                         threshold: float = 0.8,
