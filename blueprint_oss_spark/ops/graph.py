@@ -18,10 +18,14 @@ toward star graphs rooted at each component's minimum id in O(log n)
 rounds.  The fixpoint edge set *is* the (node → component-min) map.
 
 Scale notes (100 TB / 10^9-node regime):
-  * per-node state is `collect_set` of current neighbors — degrees
-    shrink geometrically as stars collapse, and large-star moves the
-    whole heavy tail of a skewed (giant-component) node directly onto
-    the component min, so no single reducer accumulates the component;
+  * NO per-node arrays: each star step is a min-aggregate plus a join
+    back onto the edge list (never `collect_set`, which would
+    materialize a hub node's entire neighborhood in one reducer row —
+    a memory bomb on giant components).  The only per-key state is one
+    running min; hub-key joins are plain shuffle joins that AQE's
+    skew-join splitting handles;
+  * large-star moves the whole heavy tail of a skewed node directly
+    onto the component min, so components collapse in O(log n) rounds;
   * the driver loop is iterative by nature; `localCheckpoint` after
     every round truncates lineage so plan size stays O(1) in rounds
     (on a cluster use `checkpoint` to a reliable dir for fault
@@ -55,25 +59,27 @@ def connected_components(edges: DataFrame, src: str = 'src',
 
   for _ in range(max_iter):
     # -- large-star: symmetric adjacency, larger neighbors -> min ------
+    # m(u) = min(N(u) ∪ {u}) via a plain min-aggregate; emit (v, m(u))
+    # for every neighbor v > u by joining the mins back onto the edges.
     sym = e.select('src', 'dst').union(
         e.select(F.col('dst').alias('src'), F.col('src').alias('dst')))
-    nb = sym.groupBy('src').agg(F.collect_set('dst').alias('nbrs'))
-    m = F.array_min(F.array_union(F.col('nbrs'), F.array(F.col('src'))))
-    large = (nb.select(F.col('src').alias('u'), F.col('nbrs'),
-                       m.alias('m'))
-             .select(F.explode(
-                 F.filter('nbrs', lambda v: v > F.col('u'))).alias('src'),
-                 F.col('m').alias('dst'))
+    mins = (sym.groupBy('src')
+            .agg(F.min('dst').alias('_mn'))
+            .select('src', F.least('_mn', F.col('src')).alias('m')))
+    large = (sym.join(mins, 'src')
+             .where(F.col('dst') > F.col('src'))
+             .select(F.col('dst').alias('src'), F.col('m').alias('dst'))
              .where(F.col('src') != F.col('dst'))
              .distinct())
     # -- small-star: edges already oriented src > dst ------------------
-    nb2 = large.groupBy('src').agg(F.collect_set('dst').alias('nbrs'))
-    small = (nb2.select(F.col('src').alias('u'), F.col('nbrs'),
-                        F.array_min('nbrs').alias('m'))
-             .select(F.explode(
-                 F.array_union(F.col('nbrs'), F.array(F.col('u'))))
-                 .alias('src'),
-                 F.col('m').alias('dst'))
+    # m(u) = min over u's smaller neighbors; emit (v, m) for every
+    # v ∈ N(u) ∪ {u} except m itself.
+    mins2 = large.groupBy('src').agg(F.min('dst').alias('m'))
+    small_nbrs = (large.join(mins2, 'src')
+                  .select(F.col('dst').alias('src'),
+                          F.col('m').alias('dst')))
+    small_self = mins2.select('src', F.col('m').alias('dst'))
+    small = (small_nbrs.union(small_self)
              .where(F.col('src') != F.col('dst'))
              .distinct())
     new_e = small.localCheckpoint(eager=True)
