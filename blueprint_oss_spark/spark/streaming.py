@@ -223,6 +223,32 @@ def assemble_multipart_stream(parts_stream: DataFrame, *,
               timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_span_stream(stream_df: DataFrame, *,
+                      ts_col: str = 'ts',
+                      watermark: str = '10 minutes') -> DataFrame:
+  """Streaming exact dedup for at-least-once sources: duplicate
+  deliveries of the same document content (producer retries, replayed
+  offsets) collapse to a single row via
+  `dropDuplicatesWithinWatermark` on a content hash.
+
+  Why this shape at 100 TB: plain `dropDuplicates` on a stream keeps
+  one state row per key FOREVER — unbounded state on a continuous
+  ingest.  The watermark variant evicts a key's state once event time
+  passes `watermark`, bounding state to the duplicate-delivery horizon
+  (retries arrive within minutes, not days).  The content hash is
+  computed map-side from the canonical JSON of the span array, so the
+  stateful operator shuffles only (hash, row) — the same
+  hash-partitioned single shuffle exact dedup costs in batch
+  (`ops/textops.dedup_exact`)."""
+  hashed = stream_df.withColumn(
+      'content_hash',
+      F.md5(F.concat_ws('\x00', F.col('doc_id').cast('string'),
+                        F.to_json(F.col('spans')))))
+  return (hashed
+          .withWatermark(ts_col, watermark)
+          .dropDuplicatesWithinWatermark(['content_hash']))
+
+
 def windowed_extraction_metrics(out_stream: DataFrame, *,
                                 ts_col: str = 'ts',
                                 watermark: str = '30 seconds',

@@ -182,3 +182,56 @@ def test_session_window_shape(spark):
   out = sessionized_doc_activity(df).orderBy('session_window').collect()
   assert [r['docs'] for r in out] == [3, 2, 1]
   assert [r['errors'] for r in out] == [0, 1, 0]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+  """dropDuplicatesWithinWatermark content dedup: duplicate deliveries
+  of the same document — in the same micro-batch, in a later batch of
+  the same run, and replayed after a query RESTART — all collapse to
+  one emitted row while the duplicates fall inside the watermark
+  horizon; distinct contents all pass through."""
+  import datetime
+
+  from blueprint_oss_spark.spark.streaming import dedup_span_stream
+
+  in_dir = str(tmp_path / 'in')
+  out_dir = str(tmp_path / 'out')
+  ckpt = str(tmp_path / 'ckpt')
+  os.makedirs(in_dir, exist_ok=True)
+
+  schema = 'doc_id string, spans array<struct<kind:string,text:string,' \
+           'media_ref:string,offset:int>>, ts timestamp'
+  base = datetime.datetime(2026, 1, 1, 8, 0, 0)
+
+  def spans_for(tag):
+    return [{'kind': 'text', 'text': f'w{tag}', 'media_ref': '',
+             'offset': 7}]
+
+  def write(rows):
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode('append').parquet(in_dir)
+
+  def run_once():
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(in_dir))
+    q = (dedup_span_stream(stream, watermark='10 minutes')
+         .writeStream.format('parquet')
+         .option('path', out_dir).option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+  # batch 1: doc A twice (same content), doc B once
+  write([('A', spans_for('a'), base),
+         ('A', spans_for('a'), base + datetime.timedelta(seconds=5)),
+         ('B', spans_for('b'), base + datetime.timedelta(seconds=10))])
+  run_once()
+  got = [r['doc_id'] for r in spark.read.parquet(out_dir).collect()]
+  assert sorted(got) == ['A', 'B']
+
+  # restart: A replayed again (inside watermark) + new doc C — state in
+  # the checkpoint still suppresses A
+  write([('A', spans_for('a'), base + datetime.timedelta(seconds=20)),
+         ('C', spans_for('c'), base + datetime.timedelta(seconds=30))])
+  run_once()
+  got = [r['doc_id'] for r in spark.read.parquet(out_dir).collect()]
+  assert sorted(got) == ['A', 'B', 'C']
