@@ -209,10 +209,42 @@ def spans_from_documents(docs: DataFrame, words_per_line: int = 8,
                   .alias('spans')))
 
 
+def _write_group_iceberg(spark: SparkSession, observed: DataFrame,
+                         iceberg_table: Optional[str]) -> None:
+  """One checkpoint group → one atomic Iceberg snapshot commit via the
+  DataFrameWriterV2.  Create-on-first-write (partitioned by
+  part_bucket for pruned reads + idempotent group replays), then
+  `overwritePartitions()` — Iceberg's dynamic overwrite."""
+  if not iceberg_table:
+    raise ValueError("table_format='iceberg' requires iceberg_table "
+                     "(e.g. 'catalog.db.extractions')")
+  try:
+    table_exists = spark.catalog.tableExists(iceberg_table)
+    writer = observed.writeTo(iceberg_table)
+    if table_exists:
+      writer.overwritePartitions()
+    else:
+      writer.partitionedBy(F.col('part_bucket')).createOrReplace()
+  except Exception as e:  # surface the missing-catalog case clearly
+    msg = str(e)
+    if 'not found' in msg.lower() or 'catalog' in msg.lower() \
+        or 'TABLE_OR_VIEW_NOT_FOUND' in msg:
+      raise RuntimeError(
+          f'Iceberg write to {iceberg_table!r} failed — is an Iceberg '
+          f'catalog configured on this session?  Launch with '
+          f'spark-submit --packages '
+          f'org.apache.iceberg:iceberg-spark-runtime-3.5_2.12 '
+          f'--conf spark.sql.catalog.<name>=org.apache.iceberg.spark.'
+          f'SparkCatalog (original error: {msg[:300]})') from e
+    raise
+
+
 def run_extraction_job(spark: SparkSession, input_df: DataFrame,
                        output_path: str, root: Node, *,
                        buckets: int = 64, groups: int = 4,
                        resume: bool = True,
+                       table_format: str = 'parquet',
+                       iceberg_table: Optional[str] = None,
                        **extract_kwargs) -> List[dict]:
   """Resumable bulk job with per-partition lineage + metrics.
 
@@ -221,6 +253,20 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
   part_bucket=... plus a lineage row; on resume, completed groups are
   skipped (per-partition checkpointing per the north rule).
   Returns the lineage rows (one per group processed this run).
+
+  Sinks: `table_format='parquet'` (default) writes dynamic-overwrite
+  partitioned parquet under `output_path`.  `table_format='iceberg'`
+  writes each checkpoint group to `iceberg_table` through the
+  DataFrameWriterV2 (`writeTo`): the first group creates the table
+  partitioned by part_bucket, later groups `overwritePartitions()` —
+  each group is one ATOMIC Iceberg snapshot commit, so a crashed group
+  re-runs cleanly on resume exactly like the parquet path's dynamic
+  partition overwrite.  Requires an Iceberg catalog on the session
+  (spark-submit --packages org.apache.iceberg:iceberg-spark-runtime +
+  spark.sql.catalog.* conf); absent that, the write raises a clear
+  RuntimeError naming the missing setup (this container ships no
+  Iceberg jars, so the branch is exercised for its failure contract
+  and the parquet path for the full behavior).
   """
   import json
 
@@ -271,10 +317,13 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
     # exactly its own part_bucket partitions, so resuming after a
     # partially-written group (crash between data write and lineage
     # write) cannot leave duplicate rows behind.
-    (observed.write.mode('overwrite')
-     .option('partitionOverwriteMode', 'dynamic')
-     .partitionBy('part_bucket')
-     .parquet(output_path))
+    if table_format == 'iceberg':
+      _write_group_iceberg(spark, observed, iceberg_table)
+    else:
+      (observed.write.mode('overwrite')
+       .option('partitionOverwriteMode', 'dynamic')
+       .partitionBy('part_bucket')
+       .parquet(output_path))
     metrics = {k: (float(v) if v is not None else None)
                for k, v in obs.get.items()}
     row = {'group': g, 'bucket_lo': lo, 'bucket_hi': hi,

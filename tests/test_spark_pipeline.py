@@ -113,3 +113,28 @@ def test_run_extraction_job_resume(spark, tmp_path):
   after_rows = spark.read.parquet(out_path).collect()
   assert len(after_rows) == 16  # no duplicates
   assert {r['doc_id']: r['score'] for r in after_rows} == before
+
+
+def test_run_extraction_job_iceberg_contract(spark, tmp_path):
+  """The Iceberg sink branch: missing table name is a ValueError; with a
+  name but no Iceberg catalog on the session (this container ships no
+  Iceberg jars) the failure is a RuntimeError that names the required
+  spark-submit setup — not a raw py4j traceback."""
+  import pytest
+
+  from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
+
+  docs = readme_corpus(4, seed=11)
+  rows = [(d, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+               for (k, t, m, o) in spans]) for d, spans in docs]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  root = readme_blueprint()
+
+  with pytest.raises(ValueError, match='iceberg_table'):
+    run_extraction_job(spark, df, str(tmp_path / 'o1'), root,
+                       buckets=4, groups=1, table_format='iceberg')
+
+  with pytest.raises(RuntimeError, match='Iceberg catalog'):
+    run_extraction_job(spark, df, str(tmp_path / 'o2'), root,
+                       buckets=4, groups=1, table_format='iceberg',
+                       iceberg_table='nosuchcat.db.extractions')
