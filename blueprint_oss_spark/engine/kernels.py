@@ -446,6 +446,50 @@ def _text_equals_score(pred: Predicate, raw: str) -> float:
   return best
 
 
+def _substring_score(pred: Predicate, raw: str) -> float:
+  """text_has_substring score for one raw text — pure in (predicate,
+  text), memoized per predicate instance like text_equals (substring DP
+  dominates label-heavy models: the checks model scans 57 state + 12
+  street + 9 stop words per candidate)."""
+  memo = pred.__dict__.get('_tm')
+  if memo is None:
+    memo = {}
+    object.__setattr__(pred, '_tm', memo)
+  got = memo.get(raw)
+  if got is None:
+    flags = pred.p('flags')
+    t = massage(flags, pred.p('text'))
+    et = massage(flags, raw)
+    got = taper_error_int(substring_edit_distance(et, t),
+                          pred.p('tolerance'), pred.p('taper'))
+    if len(memo) > 200_000:
+      memo.clear()
+    memo[raw] = got
+  return got
+
+
+def _pattern_score(pred: Predicate, raw: str) -> float:
+  """text_matches_pattern score for one raw text, memoized as above."""
+  memo = pred.__dict__.get('_tm')
+  if memo is None:
+    memo = {}
+    object.__setattr__(pred, '_tm', memo)
+  got = memo.get(raw)
+  if got is None:
+    pattern = pred.p('pattern')
+    taper = pred.p('taper')
+    if taper is None:
+      taper = max(len(raw), len(pattern)) // 2
+    sf = dict(pred.p('stands_for') or ())
+    got = taper_error_int(
+        pattern_edit_distance(raw, pattern, sf),
+        pred.p('tolerance'), taper)
+    if len(memo) > 200_000:
+      memo.clear()
+    memo[raw] = got
+  return got
+
+
 def score_predicate(pred: Predicate, doc: DocPool,
                     eids: Tuple[int, ...]) -> float:
   """Score one predicate against concrete entity ids.  All entity ids are
@@ -551,50 +595,13 @@ def score_predicate(pred: Predicate, doc: DocPool,
     (e,) = eids
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
-    # score depends only on (predicate, raw text) — memoize like
-    # text_equals (substring DP dominates label-heavy models: the
-    # checks model scans 57 state + 12 street + 9 stop words per
-    # candidate)
-    raw = doc.etext[e]
-    memo = pred.__dict__.get('_tm')
-    if memo is None:
-      memo = {}
-      object.__setattr__(pred, '_tm', memo)
-    got = memo.get(raw)
-    if got is None:
-      flags = pred.p('flags')
-      t = massage(flags, pred.p('text'))
-      et = massage(flags, raw)
-      got = taper_error_int(substring_edit_distance(et, t),
-                            pred.p('tolerance'), pred.p('taper'))
-      if len(memo) > 200_000:
-        memo.clear()
-      memo[raw] = got
-    return got
+    return _substring_score(pred, doc.etext[e])
 
   if k == 'text_matches_pattern':
     (e,) = eids
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
-    raw = doc.etext[e]
-    memo = pred.__dict__.get('_tm')
-    if memo is None:
-      memo = {}
-      object.__setattr__(pred, '_tm', memo)
-    got = memo.get(raw)
-    if got is None:
-      pattern = pred.p('pattern')
-      taper = pred.p('taper')
-      if taper is None:
-        taper = max(len(raw), len(pattern)) // 2
-      sf = dict(pred.p('stands_for') or ())
-      got = taper_error_int(
-          pattern_edit_distance(raw, pattern, sf),
-          pred.p('tolerance'), taper)
-      if len(memo) > 200_000:
-        memo.clear()
-      memo[raw] = got
-    return got
+    return _pattern_score(pred, doc.etext[e])
 
   if k == 'text_properties_are':
     (e,) = eids
@@ -850,6 +857,20 @@ def score_predicate_batch(pred: Predicate, doc: DocPool,
     etext = doc.etext
     return np.fromiter(
         (_text_equals_score(pred, etext[int(e)]) for e in ents),
+        np.float64, n)
+
+  if k == 'text_has_substring':
+    etext, etype = doc.etext, doc.etype
+    return np.fromiter(
+        (0.0 if etype[int(e)] != TYPE_TEXT
+         else _substring_score(pred, etext[int(e)]) for e in ents),
+        np.float64, n)
+
+  if k == 'text_matches_pattern':
+    etext, etype = doc.etext, doc.etype
+    return np.fromiter(
+        (0.0 if etype[int(e)] != TYPE_TEXT
+         else _pattern_score(pred, etext[int(e)]) for e in ents),
         np.float64, n)
 
   # fallback: scalar kernel per entity — correct for every kind
