@@ -188,7 +188,8 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str, *,
-                 shingle: int = 3, threshold: float = 0.8) -> DataFrame:
+                 shingle: int = 3, threshold: float = 0.8,
+                 edge_source: str = 'jaccard') -> DataFrame:
   """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
   connected components (alternating large-star/small-star, see
   ops/graph.py) → one row per document with its group representative
@@ -203,9 +204,17 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
   minhash/LSH candidate pairs (swap the edge source), which is the
   scale path — exact pair-finding is the oracle-friendly small-SF twin.
   """
-  pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
-                              threshold=threshold) \
-      .select('doc_a', 'doc_b')
+  if edge_source == 'minhash':
+    # the 100 TB path: banded-LSH candidates instead of the exact
+    # inverted-index join (candidates are a probabilistic superset of
+    # real near-dups within a band's collision rate — verify within
+    # groups downstream if precision matters)
+    pairs = minhash_shingles(spark, sf_dir, shingle=shingle) \
+        .select('doc_a', 'doc_b')
+  else:
+    pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
+                                threshold=threshold) \
+        .select('doc_a', 'doc_b')
   from blueprint_oss_spark.ops.graph import connected_components
   comp = connected_components(pairs, 'doc_a', 'doc_b')
   d = _docs(spark, sf_dir).select('doc_id')
