@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.size('feature').alias('dim'), 'decode_status')
             .orderBy('media_ref'))
 
+  def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media_table(spark, n=64)
+    return M.extract_media_phash(media).orderBy('media_ref')
+
   return {
       # --- blueprint extraction engine (non-SQL; oracle = the reference
       # engine itself, via pytest) ---
@@ -177,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           lambda s, d: V.embedding_near_dup_pairs(s, d),
       # --- multimodal plumbing (stubbed decode; deterministic) ---
       'media_features': media_features,
+      'media_phash': media_phash,
       # --- labeled-accuracy scoring over extraction output (targets
       # format; rows-only check — the blueprint engine itself is the
       # oracle via pytest) ---
@@ -247,6 +252,7 @@ _SNAPSHOT_ORACLES = {
     'ann_topk_lsh': 'cosine_r DESC, vec_id',
     'ivf_topk': 'cosine_r DESC, vec_id',
     'media_features': 'media_ref',
+    'media_phash': 'media_ref',
     'extraction_accuracy': 'field',
 }
 

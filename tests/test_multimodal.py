@@ -121,3 +121,38 @@ def test_spark_pipeline_end_to_end(spark):
     else:
       assert r['decode_status'] == 'ok', r
       assert any(v != 0.0 for v in r['feature'])
+
+
+def test_media_phash_near_dup_pairs(spark):
+  """Planted perceptual near-dups: a copy of an image with a tiny
+  brightness nudge keeps a small aHash hamming distance and is found
+  by the banded join; unrelated random images are not paired; an exact
+  byte copy pairs at hamming 0."""
+  import numpy as np
+
+  from blueprint_oss_spark.ops.multimodal import (
+      MEDIA_SCHEMA, extract_media_phash, media_near_dup_pairs,
+  )
+
+  def ppm(img):
+    h, w = img.shape[:2]
+    return f'P6\n{w} {h}\n255\n'.encode() + img.astype('uint8').tobytes()
+
+  rng = np.random.default_rng(5)
+  base = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+  near = base.copy()
+  near[:2, :2] = np.clip(near[:2, :2].astype(int) + 40, 0, 255)
+  other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+  rows = [
+      ('m/base', 'image', bytearray(ppm(base)), 32, 32, 0),
+      ('m/copy', 'image', bytearray(ppm(base)), 32, 32, 0),
+      ('m/near', 'image', bytearray(ppm(near)), 32, 32, 0),
+      ('m/other', 'image', bytearray(ppm(other)), 32, 32, 0),
+  ]
+  media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+  ph = extract_media_phash(media)
+  pairs = {(r['ref_a'], r['ref_b']): r['hamming']
+           for r in media_near_dup_pairs(ph, max_hamming=6).collect()}
+  assert pairs[('m/base', 'm/copy')] == 0
+  assert ('m/base', 'm/near') in pairs and pairs[('m/base', 'm/near')] <= 6
+  assert all('m/other' not in pair for pair in pairs), pairs
