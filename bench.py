@@ -141,6 +141,9 @@ def main() -> None:
       ('doc_quality', lambda: T.doc_quality(spark, sf_dir).count()),
       ('minhash_pairs',
        lambda: T.minhash_shingles(spark, sf_dir).count()),
+      ('dedup_groups',
+       lambda: T.dedup_groups(spark, sf_dir,
+                              edge_source='minhash').count()),
       ('cosine_topk',
        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect()),
   ]
