@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
       'doc_quality': T.doc_quality,
+      'quality_filter': lambda s, d: T.quality_filter(s, d),
       'dedup_exact': T.dedup_exact,
       'doc_fingerprints': T.doc_fingerprints,
       'lang_id_heuristic': T.lang_id_heuristic,
@@ -402,6 +403,39 @@ def oracle_sql() -> dict[str, str]:
                    x -> len(x) > 0 AND x IN ({_STOP_EN})))
                  AS n_stopwords
         FROM documents ORDER BY doc_id
+      """,
+      # Exact-integer quality verdicts (mean word length via
+      # min*n <= sum <= max*n, alpha ratio via 2*n_alpha >= n_chars) —
+      # identical in every engine, no float thresholds.
+      'quality_filter': f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS toks,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   AS n_alpha
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n,
+                 list_aggregate(list_transform(toks, x -> len(x)),
+                                'sum') AS sum_len,
+                 n_chars, n_alpha,
+                 len(list_filter(toks, x -> x IN ({_STOP_EN})))
+                   AS n_stop
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n >= 5 AND n <= 100000 AS INT) AS ok_token_count,
+               CAST(sum_len >= 2 * n AND sum_len <= 12 * n AS INT)
+                 AS ok_mean_wordlen,
+               CAST(n_stop >= 1 AS INT) AS ok_stopwords,
+               CAST(2 * n_alpha >= n_chars AS INT) AS ok_alpha_ratio,
+               CAST(n >= 5 AND n <= 100000
+                    AND sum_len >= 2 * n AND sum_len <= 12 * n
+                    AND n_stop >= 1
+                    AND 2 * n_alpha >= n_chars AS INT) AS keep
+        FROM m ORDER BY doc_id
       """,
       'dedup_exact': """
         SELECT md5(text) AS content_hash,

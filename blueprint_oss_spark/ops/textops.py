@@ -187,6 +187,51 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_a', 'doc_b'))
 
 
+def quality_filter(spark: SparkSession, sf_dir: str, *,
+                   min_tokens: int = 5, max_tokens: int = 100_000,
+                   min_mean_wordlen: int = 2,
+                   max_mean_wordlen: int = 12) -> DataFrame:
+  """Gopher-style document quality filter: per-doc boolean verdicts for
+  the standard pretraining heuristics (token-count bounds, mean word
+  length bounds, ≥1 stopword hit, ≥50 % alphabetic chars) plus the
+  combined keep flag.
+
+  Every rule is expressed in EXACT integer arithmetic (mean word length
+  as `min·n ≤ Σlen ≤ max·n`, alpha ratio as `2·n_alpha ≥ n_chars`), so
+  the verdicts are bit-identical in any engine — no float thresholds.
+  Pure built-ins, one scan, no shuffle (the gate's orderBy aside):
+  the filter column pattern composes with `.where(keep)` upstream of
+  every expensive operator, which is the point — at 100 TB, quality
+  filtering is the first pass that pays for itself."""
+  d = _docs(spark, sf_dir)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  d = d.select(
+      'doc_id',
+      F.size(toks).alias('n'),
+      F.aggregate(toks, F.lit(0),
+                  lambda acc, x: acc + F.length(x)).alias('sum_len'),
+      F.length('text').alias('n_chars'),
+      F.length(F.regexp_replace('text', '[^a-zA-Z]', ''))
+      .alias('n_alpha'),
+      F.size(F.filter(toks, lambda x: F.array_contains(
+          F.array(*[F.lit(s) for s in STOPWORDS_EN]), x)))
+      .alias('n_stop'))
+  ok_count = (F.col('n') >= min_tokens) & (F.col('n') <= max_tokens)
+  ok_wordlen = (F.col('sum_len') >= min_mean_wordlen * F.col('n')) \
+      & (F.col('sum_len') <= max_mean_wordlen * F.col('n'))
+  ok_stop = F.col('n_stop') >= 1
+  ok_alpha = 2 * F.col('n_alpha') >= F.col('n_chars')
+  return (d.select(
+      'doc_id',
+      ok_count.cast('int').alias('ok_token_count'),
+      ok_wordlen.cast('int').alias('ok_mean_wordlen'),
+      ok_stop.cast('int').alias('ok_stopwords'),
+      ok_alpha.cast('int').alias('ok_alpha_ratio'),
+      (ok_count & ok_wordlen & ok_stop & ok_alpha)
+      .cast('int').alias('keep'))
+      .orderBy('doc_id'))
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str, *,
                  shingle: int = 3, threshold: float = 0.8,
                  edge_source: str = 'jaccard') -> DataFrame:

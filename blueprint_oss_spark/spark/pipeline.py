@@ -239,6 +239,22 @@ def _write_group_iceberg(spark: SparkSession, observed: DataFrame,
     raise
 
 
+def dedup_spans(df: DataFrame) -> DataFrame:
+  """Pre-extraction exact dedup of the spans table: keep ONE document
+  (min doc_id) per distinct span content.  At 100 TB this is the first
+  pass before the solver — every duplicate dropped here saves a full
+  per-doc solve.  Content hash is computed map-side from the canonical
+  spans JSON; one shuffle (the window over the hash), deterministic
+  keeper choice so resumed runs keep the same documents."""
+  from pyspark.sql import Window
+  hashed = df.withColumn('_h', F.md5(F.to_json(F.col('spans'))))
+  w = Window.partitionBy('_h').orderBy('doc_id')
+  return (hashed
+          .withColumn('_rn', F.row_number().over(w))
+          .where(F.col('_rn') == 1)
+          .drop('_h', '_rn'))
+
+
 def run_extraction_job(spark: SparkSession, input_df: DataFrame,
                        output_path: str, root: Node, *,
                        buckets: int = 64, groups: int = 4,

@@ -138,3 +138,36 @@ def test_run_extraction_job_iceberg_contract(spark, tmp_path):
     run_extraction_job(spark, df, str(tmp_path / 'o2'), root,
                        buckets=4, groups=1, table_format='iceberg',
                        iceberg_table='nosuchcat.db.extractions')
+
+
+def test_dedup_spans_keeps_min_doc_per_content(spark):
+  """Exact pre-extraction dedup: duplicate span contents collapse to the
+  min doc_id; unique docs pass through; extraction over the deduped
+  table equals extraction over the keepers."""
+  from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
+  from blueprint_oss_spark.spark.pipeline import dedup_spans
+
+  docs = readme_corpus(6, seed=5)
+  # duplicate doc 0's spans under two new ids, and doc 3's under one
+  dup = [('zz-copy1', docs[0][1]), ('aa-copy2', docs[0][1]),
+         ('mm-copy3', docs[3][1])]
+  rows = [(d, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+               for (k, t, m, o) in spans]) for d, spans in docs + dup]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = dedup_spans(df)
+  kept = sorted(r['doc_id'] for r in out.select('doc_id').collect())
+  # doc 0's cluster: {readme-00000, zz-copy1, aa-copy2} → min is
+  # 'aa-copy2'; doc 3's cluster keeps 'mm-copy3' vs 'readme-00003' → min
+  assert 'aa-copy2' in kept and 'zz-copy1' not in kept
+  assert 'readme-00000' not in kept
+  assert 'mm-copy3' in kept and 'readme-00003' not in kept
+  assert len(kept) == 6
+  # extraction over the deduped table matches per-doc local runs
+  from blueprint_oss_spark.engine.runner import run_doc
+  root = readme_blueprint()
+  by_id = {r['doc_id']: r for r in
+           extract_documents(out, root).collect()}
+  spans_by_id = dict(docs + dup)
+  for doc_id in kept:
+    local = run_doc(doc_id, spans_by_id[doc_id], root)
+    assert by_id[doc_id]['fields'] == local['fields']
