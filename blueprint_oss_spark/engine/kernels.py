@@ -490,6 +490,61 @@ def _pattern_score(pred: Predicate, raw: str) -> float:
   return got
 
 
+def _text_properties_score(pred: Predicate, s: str) -> float:
+  """text_properties_are score for one raw text — pure in (predicate,
+  text), memoized per predicate instance like the other textual
+  kinds."""
+  memo = pred.__dict__.get('_tm')
+  if memo is None:
+    memo = {}
+    object.__setattr__(pred, '_tm', memo)
+  got = memo.get(s)
+  if got is not None:
+    return got
+  taper = pred.p('taper')
+  if taper is None:
+    taper = len(s) // 2
+  error = 0.0
+  length = pred.p('length')
+  if length is not None:
+    d = dict(length)
+    if 'at_most' in d:
+      error += max(0, len(s) - d['at_most'])
+    if 'at_least' in d:
+      error += max(0, d['at_least'] - len(s))
+    if 'exactly' in d:
+      error += abs(d['exactly'] - len(s))
+  legal = pred.p('legal_chars')
+  if legal is not None:
+    error += sum(1 for c in s if c not in legal)
+  for key, sign in (('min_char_proportions', 1),
+                    ('max_char_proportions', -1)):
+    lst = pred.p(key)
+    if lst is not None:
+      for item in lst:
+        d = dict(item)
+        cnt = sum(1 for c in s if c in d['chars'])
+        if sign > 0:
+          error += max(0, len(s) * d['proportion'] - cnt)
+        else:
+          error += max(0, cnt - len(s) * d['proportion'])
+  for key, sign in (('min_char_counts', 1), ('max_char_counts', -1)):
+    lst = pred.p(key)
+    if lst is not None:
+      for item in lst:
+        d = dict(item)
+        cnt = sum(1 for c in s if c in d['chars'])
+        if sign > 0:
+          error += max(0, d['count'] - cnt)
+        else:
+          error += max(0, cnt - d['count'])
+  got = taper_error_int(error, pred.p('tolerance'), taper)
+  if len(memo) > 200_000:
+    memo.clear()
+  memo[s] = got
+  return got
+
+
 def score_predicate(pred: Predicate, doc: DocPool,
                     eids: Tuple[int, ...]) -> float:
   """Score one predicate against concrete entity ids.  All entity ids are
@@ -607,45 +662,7 @@ def score_predicate(pred: Predicate, doc: DocPool,
     (e,) = eids
     if doc.etype[e] != TYPE_TEXT:
       return 0.0
-    s = doc.etext[e]
-    taper = pred.p('taper')
-    if taper is None:
-      taper = len(s) // 2
-    error = 0.0
-    length = pred.p('length')
-    if length is not None:
-      d = dict(length)
-      if 'at_most' in d:
-        error += max(0, len(s) - d['at_most'])
-      if 'at_least' in d:
-        error += max(0, d['at_least'] - len(s))
-      if 'exactly' in d:
-        error += abs(d['exactly'] - len(s))
-    legal = pred.p('legal_chars')
-    if legal is not None:
-      error += sum(1 for c in s if c not in legal)
-    for key, sign in (('min_char_proportions', 1),
-                      ('max_char_proportions', -1)):
-      lst = pred.p(key)
-      if lst is not None:
-        for item in lst:
-          d = dict(item)
-          cnt = sum(1 for c in s if c in d['chars'])
-          if sign > 0:
-            error += max(0, len(s) * d['proportion'] - cnt)
-          else:
-            error += max(0, cnt - len(s) * d['proportion'])
-    for key, sign in (('min_char_counts', 1), ('max_char_counts', -1)):
-      lst = pred.p(key)
-      if lst is not None:
-        for item in lst:
-          d = dict(item)
-          cnt = sum(1 for c in s if c in d['chars'])
-          if sign > 0:
-            error += max(0, d['count'] - cnt)
-          else:
-            error += max(0, cnt - d['count'])
-    return taper_error_int(error, pred.p('tolerance'), taper)
+    return _text_properties_score(pred, doc.etext[e])
 
   if k == 'line_count_is':
     # Our pool has no Cluster/Address entities → line count is 1
@@ -871,6 +888,13 @@ def score_predicate_batch(pred: Predicate, doc: DocPool,
     return np.fromiter(
         (0.0 if etype[int(e)] != TYPE_TEXT
          else _pattern_score(pred, etext[int(e)]) for e in ents),
+        np.float64, n)
+
+  if k == 'text_properties_are':
+    etext, etype = doc.etext, doc.etype
+    return np.fromiter(
+        (0.0 if etype[int(e)] != TYPE_TEXT
+         else _text_properties_score(pred, etext[int(e)]) for e in ents),
         np.float64, n)
 
   # fallback: scalar kernel per entity — correct for every kind
