@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'q6_forecast_revenue': R.q6_forecast_revenue,
       'events_cube': R.events_cube,
       'churned_buyers': R.churned_buyers,
+      'events_asof_orders': R.events_asof_orders,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -379,6 +380,27 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY o_custkey
+      """,
+      # As-of join recomputed from scratch with an explicitly
+      # deterministic tie-break (date DESC, orderkey DESC, row 1) —
+      # DuckDB's native ASOF JOIN leaves date ties ambiguous, so the
+      # oracle pins the same max-orderkey choice the Spark window uses.
+      'events_asof_orders': """
+        SELECT event_id, user_id, event_type, asof_orderkey,
+               strftime(asof_orderdate, '%Y-%m-%d') AS asof_orderdate
+        FROM (
+          SELECT e.event_id, e.user_id, e.event_type,
+                 o.o_orderkey AS asof_orderkey,
+                 o.o_orderdate AS asof_orderdate,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+                   AS rn
+          FROM events e
+          LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+        WHERE rn = 1
+        ORDER BY event_id
       """,
       'doc_token_stats': r"""
         SELECT doc_id,

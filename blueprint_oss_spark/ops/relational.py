@@ -191,3 +191,54 @@ def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
   # subtract = EXCEPT DISTINCT (set semantics, matching the SQL
   # EXCEPT); exceptAll would keep multiset surplus copies
   return in_1995.subtract(in_1996).orderBy('o_custkey')
+
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """AS-OF join: each event picks the customer's most recent order with
+  o_orderdate <= event ts (ties on date broken by max o_orderkey).
+
+  Spark has no ASOF JOIN operator; the scalable composition is the
+  tagged-UNION + window pattern: stamp both streams onto one (key,
+  time) axis, sort within key, and carry the last-seen order forward
+  with last(..., ignorenulls) over an unbounded-preceding frame.  ONE
+  shuffle on the join key — never the range-join O(rows_l x rows_r
+  per key) explosion a naive `ON key = key AND t_r <= t_l` inequality
+  join produces, and per-key processing is a streaming sort pass, so
+  skewed keys degrade linearly, not quadratically."""
+  ev = _t(spark, sf_dir, 'events').select(
+      'event_id', 'user_id', 'ts', 'event_type')
+  od = _t(spark, sf_dir, 'orders').select(
+      'o_custkey', 'o_orderkey', 'o_orderdate')
+
+  left = ev.select(
+      F.col('user_id').alias('k'), F.col('ts').alias('t'),
+      F.lit(1).alias('is_ev'), 'event_id', 'event_type',
+      F.lit(None).cast('long').alias('_okey'),
+      F.lit(None).cast('timestamp').alias('_odate'))
+  right = od.select(
+      F.col('o_custkey').alias('k'),
+      F.col('o_orderdate').alias('t'),
+      F.lit(0).alias('is_ev'),
+      F.lit(None).cast('long').alias('event_id'),
+      F.lit(None).cast('string').alias('event_type'),
+      F.col('o_orderkey').alias('_okey'),
+      F.col('o_orderdate').alias('_odate'))
+
+  # at equal t, orders (is_ev=0) sort before events so an event sees
+  # same-instant orders; within tied order dates, ascending o_orderkey
+  # makes last() pick the max key — the oracle's tie-break
+  w = (Window.partitionBy('k')
+       .orderBy('t', 'is_ev', '_okey')
+       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  joined = (left.unionByName(right)
+            .withColumn('asof_orderkey',
+                        F.last('_okey', ignorenulls=True).over(w))
+            .withColumn('asof_orderdate',
+                        F.last('_odate', ignorenulls=True).over(w))
+            .where(F.col('is_ev') == 1))
+  return (joined.select(
+      'event_id', F.col('k').alias('user_id'), 'event_type',
+      'asof_orderkey',
+      F.date_format('asof_orderdate', 'yyyy-MM-dd')
+      .alias('asof_orderdate'))
+      .orderBy('event_id'))
