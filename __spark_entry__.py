@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'events_cube': R.events_cube,
       'churned_buyers': R.churned_buyers,
       'events_asof_orders': R.events_asof_orders,
+      'recent_event_counts': R.recent_event_counts,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -401,6 +402,19 @@ def oracle_sql() -> dict[str, str]:
             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
         WHERE rn = 1
         ORDER BY event_id
+      """,
+      # Range join recomputed as the direct inequality self-join the
+      # bin-bucketed Spark plan avoids (fine at oracle scale).
+      'recent_event_counts': """
+        SELECT a.event_id, a.user_id,
+               CAST(COALESCE(SUM(CASE WHEN b.ts < a.ts
+                                  AND b.ts >= a.ts - INTERVAL 1 HOUR
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_recent
+        FROM events a
+        LEFT JOIN events b ON b.user_id = a.user_id
+        GROUP BY a.event_id, a.user_id
+        ORDER BY a.event_id
       """,
       'doc_token_stats': r"""
         SELECT doc_id,

@@ -242,3 +242,38 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.date_format('asof_orderdate', 'yyyy-MM-dd')
       .alias('asof_orderdate'))
       .orderBy('event_id'))
+
+
+def recent_event_counts(spark: SparkSession, sf_dir: str, *,
+                        window_s: int = 3600) -> DataFrame:
+  """RANGE join: per event, how many earlier events the same user fired
+  within the preceding `window_s` seconds (bot/burst detection shape).
+
+  Spark's optimizer turns a naive `ON user AND t-w <= t2 < t` predicate
+  into a per-key cross product (O(events² per user)).  The scalable
+  composition is the BIN join: bucket time into window-sized bins, join
+  only (user, bin) ∪ (user, bin−1) — every in-window pair shares one of
+  those two bins — then apply the exact microsecond inequality to the
+  tiny candidate set.  One equi-shuffle on (user, bin); candidate fanout
+  is bounded by per-user events-per-2-windows, not per-user totals.
+  A source event lands in exactly one bin while the target probes two,
+  so no pair is double-counted."""
+  ev = _t(spark, sf_dir, 'events').select(
+      'event_id', 'user_id', 'ts',
+      F.unix_micros(F.col('ts').cast('timestamp')).alias('us'))
+  win_us = window_s * 1_000_000
+  binned = ev.withColumn('bin', F.floor(F.col('us') / win_us))
+  src = binned.select(F.col('user_id').alias('s_user'),
+                      F.col('us').alias('s_us'),
+                      F.col('bin').alias('s_bin'))
+  tgt = binned.select(
+      'event_id', 'user_id', 'ts', 'us',
+      F.explode(F.array(F.col('bin'), F.col('bin') - 1)).alias('probe'))
+  j = tgt.join(src, (tgt.user_id == src.s_user)
+               & (tgt.probe == src.s_bin), 'left')
+  hit = F.when((F.col('s_us') < F.col('us'))
+               & (F.col('s_us') >= F.col('us') - win_us), 1) \
+      .otherwise(0)
+  return (j.groupBy('event_id', 'user_id')
+          .agg(F.sum(hit).alias('n_recent'))
+          .orderBy('event_id'))
