@@ -190,7 +190,8 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
 def quality_filter(spark: SparkSession, sf_dir: str, *,
                    min_tokens: int = 5, max_tokens: int = 100_000,
                    min_mean_wordlen: int = 2,
-                   max_mean_wordlen: int = 12) -> DataFrame:
+                   max_mean_wordlen: int = 12,
+                   docs: DataFrame = None) -> DataFrame:
   """Gopher-style document quality filter: per-doc boolean verdicts for
   the standard pretraining heuristics (token-count bounds, mean word
   length bounds, ≥1 stopword hit, ≥50 % alphabetic chars) plus the
@@ -203,7 +204,7 @@ def quality_filter(spark: SparkSession, sf_dir: str, *,
   the filter column pattern composes with `.where(keep)` upstream of
   every expensive operator, which is the point — at 100 TB, quality
   filtering is the first pass that pays for itself."""
-  d = _docs(spark, sf_dir)
+  d = docs if docs is not None else _docs(spark, sf_dir)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   d = d.select(
       'doc_id',
@@ -234,7 +235,8 @@ def quality_filter(spark: SparkSession, sf_dir: str, *,
 
 def dedup_groups(spark: SparkSession, sf_dir: str, *,
                  shingle: int = 3, threshold: float = 0.8,
-                 edge_source: str = 'jaccard') -> DataFrame:
+                 edge_source: str = 'jaccard',
+                 docs: DataFrame = None) -> DataFrame:
   """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
   connected components (alternating large-star/small-star, see
   ops/graph.py) → one row per document with its group representative
@@ -249,6 +251,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
   minhash/LSH candidate pairs (swap the edge source), which is the
   scale path — exact pair-finding is the oracle-friendly small-SF twin.
   """
+  base = docs if docs is not None else _docs(spark, sf_dir)
   if edge_source == 'minhash':
     # the 100 TB path: banded-LSH candidates instead of the exact
     # inverted-index join (candidates are a probabilistic superset of
@@ -258,11 +261,11 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
         .select('doc_a', 'doc_b')
   else:
     pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
-                                threshold=threshold) \
+                                threshold=threshold, docs=docs) \
         .select('doc_a', 'doc_b')
   from blueprint_oss_spark.ops.graph import connected_components
   comp = connected_components(pairs, 'doc_a', 'doc_b')
-  d = _docs(spark, sf_dir).select('doc_id')
+  d = base.select('doc_id')
   labeled = (d.join(comp, d.doc_id == comp.node, 'left')
              .select('doc_id',
                      F.coalesce('component', 'doc_id').alias('group_id')))
@@ -346,7 +349,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, *,
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                         shingle: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int = 0) -> DataFrame:
+                        max_shingle_df: int = 0,
+                        docs: DataFrame = None) -> DataFrame:
   """Exact n-gram Jaccard near-dup pairs above a threshold, via a
   shingle-inverted-index join (prefix-blocked to avoid the full cross
   product; exact because identical-text pairs share all shingles).
@@ -398,3 +402,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
           .where(F.col('jaccard') >= threshold)
           .select('doc_a', 'doc_b', 'n_common', 'n_a', 'n_b')
           .orderBy('doc_a', 'doc_b'))
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """The end-to-end curation pass a training-data run actually executes,
+  as ONE declarative plan: Gopher-style quality filter → exact-Jaccard
+  dedup GROUPS computed among the survivors (sequential semantics: a
+  filtered-out doc cannot bridge two groups) → keep-one representative →
+  deterministic md5-threshold stratified sample of the keepers.
+
+  Each stage reuses the already-oracled operator (quality_filter,
+  ngram_jaccard_pairs/connected_components via dedup_groups' docs seam,
+  profiling's threshold table), and the DuckDB oracle recomputes the
+  WHOLE chain from scratch — quality CTE feeding the shingle CTE
+  feeding the recursive-reachability CTE feeding the sample filter —
+  so the composition itself is verified, not just the pieces."""
+  from blueprint_oss_spark.ops.profiling import (
+      DEFAULT_THRESHOLD, STRATA_THRESHOLDS,
+  )
+  d = _docs(spark, sf_dir)
+  q = quality_filter(spark, sf_dir).where(F.col('keep') == 1) \
+      .select('doc_id')
+  kept = d.join(q, 'doc_id')
+  groups = dedup_groups(spark, sf_dir, docs=kept)
+  keepers = groups.where(F.col('doc_id') == F.col('group_id'))
+  thr = F.lit(DEFAULT_THRESHOLD)
+  for lang, t in reversed(STRATA_THRESHOLDS):
+    thr = F.when(F.col('lang') == lang, F.lit(t)).otherwise(thr)
+  return (keepers
+          .join(kept.select('doc_id', 'lang'), 'doc_id')
+          .where(F.md5(F.col('doc_id').cast('string')) < thr)
+          .select('doc_id', 'lang', 'group_id', 'group_size')
+          .orderBy('doc_id'))
