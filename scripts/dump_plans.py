@@ -41,6 +41,22 @@ def main() -> None:
   from blueprint_oss_spark.ops import vectors as V
   V.embedding_near_dup_pairs(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== AS-OF JOIN (tagged union + window) ===')
+  R.events_asof_orders(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== RANGE JOIN (time-bin bucketing) ===')
+  R.recent_event_counts(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== TF-IDF TOP TERMS ===')
+  T.tfidf_top_terms(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== STRATIFIED SAMPLE ===')
+  from blueprint_oss_spark.ops import profiling as P
+  P.stratified_sample(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== TABLE PROFILE ===')
+  P.table_profile(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   spark.stop()
 
 
