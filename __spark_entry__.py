@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
   from blueprint_oss_spark.ops import vectors as V
   from blueprint_oss_spark.ops import multimodal as M
   from blueprint_oss_spark.ops import profiling as P
+  from blueprint_oss_spark.ops import curation as C
 
   def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media_table(spark, n=64)
@@ -167,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'dedup_exact': T.dedup_exact,
       'doc_fingerprints': T.doc_fingerprints,
       'lang_id_heuristic': T.lang_id_heuristic,
+      'pii_scrub': C.pii_scrub,
+      'decontaminate': lambda s, d: C.decontaminate(s, d),
       # --- similarity / near-dup (hash-based ones are rows-only) ---
       'embedding_norms': V.embedding_norms,
       'cosine_topk': lambda s, d: V.cosine_topk_bruteforce(s, d),
@@ -358,6 +361,60 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+      """,
+      # PII scrub recomputed from scratch: same deterministic injection
+      # (pure doc_id arithmetic), same Java-regex∩RE2 patterns; counts
+      # on the raw text, replacements email → ip → phone.
+      'pii_scrub': r"""
+        WITH p AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      ' contact u' || doc_id || '@example.com'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-0199'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN
+                      ' from 10.' || (doc_id % 256) || '.0.'
+                      || (doc_id % 100)
+                    ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_emails,
+               len(regexp_extract_all(t, '\b\d{3}-\d{4}-\d{4}\b'))
+                 AS n_phones,
+               len(regexp_extract_all(t,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}-\d{4}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        FROM p ORDER BY doc_id
+      """,
+      # Decontamination recomputed from scratch: distinct 8-grams per
+      # doc via list slicing, eval side = doc_id % 4 = 0; per-doc
+      # distinct grams make COUNT(*) ≡ count of distinct shared grams.
+      'decontaminate': r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i.i:i.i+7], ' ') AS gram
+          FROM d, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(toks) - 7),
+        ev AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 4 = 0),
+        tr AS (SELECT doc_id, gram FROM g8 WHERE doc_id % 4 <> 0)
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (gram)
+        GROUP BY tr.doc_id ORDER BY doc_id
       """,
       'html_main_content': r"""
         SELECT doc_id,

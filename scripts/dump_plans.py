@@ -50,6 +50,12 @@ def main() -> None:
   print('=== TF-IDF TOP TERMS ===')
   T.tfidf_top_terms(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== PII SCRUB (shuffle-free scan projection) ===')
+  from blueprint_oss_spark.ops import curation as Cu
+  Cu.pii_scrub(spark, '/root/testdata/sf0.001').explain('formatted')
+  print('=== DECONTAMINATE (broadcast eval-gram semi-join) ===')
+  Cu.decontaminate(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   print('=== STRATIFIED SAMPLE ===')
   from blueprint_oss_spark.ops import profiling as P
   P.stratified_sample(spark, '/root/testdata/sf0.001') \

@@ -1,0 +1,98 @@
+"""Curation ops: PII scrubbing + eval-set decontamination.
+
+Each op is cross-checked against an independent pure-Python
+recomputation (the DuckDB oracle in __spark_entry__ is the second,
+engine-external check), and its physical plan shape is pinned:
+pii_scrub must stay a shuffle-free scan projection; decontaminate must
+broadcast the eval gram set so the training side never pre-shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from blueprint_oss_spark.ops import curation as C
+
+SF = '/root/testdata/sf0.001'
+
+
+def _inject(doc_id: int, text: str) -> str:
+  t = text
+  if doc_id % 5 == 0:
+    t += f' contact u{doc_id}@example.com'
+  if doc_id % 7 == 0:
+    t += f' call 555-{doc_id % 10000:04d}-0199'
+  if doc_id % 11 == 0:
+    t += f' from 10.{doc_id % 256}.0.{doc_id % 100}'
+  return t
+
+
+def test_pii_scrub_matches_python_re(spark):
+  out = {r['doc_id']: r for r in C.pii_scrub(spark, SF).collect()}
+  raw = {r['doc_id']: r['text']
+         for r in spark.read.parquet(f'{SF}/documents.parquet').collect()}
+  assert set(out) == set(raw)
+  email = re.compile(C.EMAIL_PATTERN)
+  phone = re.compile(C.PHONE_PATTERN)
+  ip = re.compile(C.IPV4_PATTERN)
+  n_hits = 0
+  for did, text in raw.items():
+    t = _inject(did, text)
+    r = out[did]
+    assert r['n_emails'] == len(email.findall(t))
+    assert r['n_phones'] == len(phone.findall(t))
+    assert r['n_ips'] == len(ip.findall(t))
+    expect = phone.sub('<PHONE>',
+                       ip.sub('<IP>', email.sub('<EMAIL>', t)))
+    assert r['scrubbed'] == expect
+    n_hits += r['n_emails'] + r['n_phones'] + r['n_ips']
+  # the injection guarantees the op is actually exercised
+  assert n_hits > 0
+  assert any(out[d]['n_emails'] == 1 for d in out if d % 5 == 0)
+
+
+def test_pii_scrub_plan_has_no_shuffle(spark):
+  plan = C.pii_scrub(spark, SF)._jdf.queryExecution().executedPlan() \
+      .toString()
+  body = plan.split('Sort', 1)[0]  # orderBy at the sink is fine
+  assert 'Exchange' not in body
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+  toks = [t for t in re.split(r'\s+', text.strip().lower()) if t]
+  return {' '.join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@pytest.mark.parametrize('n', [3, 8])
+def test_decontaminate_matches_python(spark, n):
+  got = {r['doc_id']: r['n_shared']
+         for r in C.decontaminate(spark, SF, n=n).collect()}
+  docs = {r['doc_id']: r['text']
+          for r in spark.read.parquet(f'{SF}/documents.parquet').collect()}
+  ev = set()
+  for did, text in docs.items():
+    if did % 4 == 0:
+      ev |= _py_ngrams(text, n)
+  expect = {}
+  for did, text in docs.items():
+    if did % 4 == 0:
+      continue
+    shared = len(_py_ngrams(text, n) & ev)
+    if shared:
+      expect[did] = shared
+  assert got == expect
+  assert expect  # nonzero on this corpus — the op is exercised
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+  plan = C.decontaminate(spark, SF)._jdf.queryExecution() \
+      .executedPlan().toString()
+  assert 'BroadcastHashJoin' in plan
+  # allowed shuffles: the eval-side distinct (small, feeds the
+  # BroadcastExchange) and the contaminated-rows groupBy — never a
+  # shuffle of the full training-side gram stream
+  import re as _re
+  hashes = _re.findall(r'Exchange hashpartitioning\((\w+)#', plan)
+  assert sorted(hashes) == ['doc_id', 'gram']
