@@ -67,6 +67,11 @@ OUTPUT_SCHEMA = StructType([
 ])
 
 
+class _MalformedDoc(ValueError):
+  """A document row the input contract forbids (null doc_id / spans /
+  span struct fields) — contained as a per-doc error row."""
+
+
 def compile_blueprint(root: Node) -> bytes:
   """Driver-side compile: rule pushdown (the reference's
   optimize_rule_distribution, bp/tree.py:805-862) + validation, then
@@ -138,12 +143,25 @@ def extract_documents(df: DataFrame, root: Node, *,
             'elapsed_ms': 0.0,
         }
         try:
+          # Malformed-row containment: at 10^12 docs a single null
+          # spans array / null struct field must yield an error ROW,
+          # never an executor task failure that kills the whole job.
+          if doc_id is None:
+            raise _MalformedDoc('null doc_id')
+          if spans is None or isinstance(spans, float):
+            raise _MalformedDoc('null spans array')
           if len(spans) > max_spans_per_doc:
             raise solver_mod.SolverBudgetError(
                 f'{len(spans)} spans exceeds max_spans_per_doc')
           solver_mod.set_deadline(t0 + doc_time_budget_s)
-          span_rows = [(s['kind'], s['text'], s['media_ref'],
-                        int(s['offset'])) for s in spans]
+          span_rows = []
+          for s in spans:
+            if s is None or s['kind'] is None or s['offset'] is None:
+              raise _MalformedDoc(f'null span struct/kind/offset: {s}')
+            # null text / media_ref are normal at scale (media spans
+            # carry no text; text spans no media) — normalize to ''
+            span_rows.append((s['kind'], s['text'] or '',
+                              s['media_ref'] or '', int(s['offset'])))
           r = run_doc(str(doc_id), span_rows, tree, pre_optimized=True)
           row.update(
               out_spans=[{'kind': k, 'text': t, 'media_ref': m,
@@ -154,6 +172,13 @@ def extract_documents(df: DataFrame, root: Node, *,
           row['error'] = f'budget: {e}'
         except solver_mod.SolverTimeoutError:
           row['error'] = 'timeout'
+        except _MalformedDoc as e:
+          row['error'] = f'malformed: {e}'
+        except Exception as e:  # noqa: BLE001 — last-resort containment
+          # Unknown per-doc failure: record and continue.  A 90-hour
+          # 1000-executor run must not die on doc 10^11's quirk; the
+          # error column is the triage surface.
+          row['error'] = f'error: {type(e).__name__}: {e}'
         finally:
           solver_mod.set_deadline(None)
         row['elapsed_ms'] = (time.monotonic() - t0) * 1000.0

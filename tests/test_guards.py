@@ -57,3 +57,44 @@ def test_time_budget_isolates_slow_doc(spark):
           for r in extract_documents(df, readme_blueprint(),
                                      doc_time_budget_s=300).collect()}
   assert all(r['error'] is None for r in out2.values())
+
+
+def test_malformed_rows_become_error_rows(spark):
+  """At 10^12 docs, a null spans array / null struct field must yield a
+  per-doc error row — never an executor task failure."""
+  docs = readme_corpus(2, seed=797)
+  good = _df(spark, docs)
+  rows = [
+      ('null-spans', None),
+      ('null-kind', [{'kind': None, 'text': 'x', 'media_ref': '',
+                      'offset': 0}]),
+      ('null-offset', [{'kind': 'text', 'text': 'x', 'media_ref': '',
+                        'offset': None}]),
+      # null text / media_ref are LEGAL (media spans carry no text):
+      # normalized to '' and processed
+      ('null-text', [{'kind': 'text', 'text': None, 'media_ref': '',
+                      'offset': 0},
+                     {'kind': 'media', 'text': None,
+                      'media_ref': 'm://1', 'offset': 16}]),
+      (None, [{'kind': 'text', 'text': 'x', 'media_ref': '',
+               'offset': 0}]),
+  ]
+  bad = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = [r.asDict() for r in
+         extract_documents(good.unionAll(bad).coalesce(1),
+                           readme_blueprint()).collect()]
+  by_id = {r['doc_id']: r for r in out}
+  assert len(out) == len(docs) + len(rows)
+  for d, _ in docs:
+    assert by_id[d]['error'] is None
+  assert by_id['null-spans']['error'].startswith('malformed:')
+  assert by_id['null-kind']['error'].startswith('malformed:')
+  assert by_id['null-offset']['error'].startswith('malformed:')
+  assert by_id[None]['error'].startswith('malformed:')
+  # legal nulls inside spans: processed; the null-text span normalizes
+  # to '' and yields no word (same as spans_from_documents dropping
+  # empty tokens), while the media span round-trips untouched
+  nt = by_id['null-text']
+  assert nt['error'] is None
+  assert [s['kind'] for s in nt['out_spans']] == ['media']
+  assert nt['out_spans'][0]['media_ref'] == 'm://1'
