@@ -98,11 +98,16 @@ def _ngrams(col, n: int):
 
 
 def decontaminate(spark: SparkSession, sf_dir: str, *,
-                  n: int = 8, eval_mod: int = 4) -> DataFrame:
+                  n: int = 8, eval_mod: int = 4,
+                  eval_texts: DataFrame | None = None) -> DataFrame:
   """Benchmark decontamination: flag training documents that share any
-  word n-gram with the held-out eval set (docs with
-  doc_id % eval_mod == 0), returning each contaminated doc_id with its
-  count of distinct shared n-grams.
+  word n-gram with the held-out eval set, returning each contaminated
+  doc_id with its count of distinct shared n-grams.
+
+  The eval set is either an explicit DataFrame with a `text` column
+  (the production shape: benchmark suites are a fixed table) or, by
+  default, the docs with doc_id % eval_mod == 0 (self-contained demo /
+  oracle shape; those docs are then excluded from the training side).
 
   This is the standard LLM-corpus decontamination shape (13-gram
   overlap against fixed benchmark suites); n defaults to 8 here because
@@ -117,12 +122,19 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
   """
   d = _docs(spark, sf_dir).select('doc_id', _ngrams(F.col('text'), n)
                                   .alias('grams'))
-  is_eval = F.col('doc_id') % eval_mod == 0
-  eval_grams = (d.filter(is_eval)
-                .select(F.explode('grams').alias('gram'))
-                .distinct())
-  train = (d.filter(~is_eval)
-           .select('doc_id', F.explode('grams').alias('gram')))
+  if eval_texts is not None:
+    eval_grams = (eval_texts
+                  .select(F.explode(_ngrams(F.col('text'), n))
+                          .alias('gram'))
+                  .distinct())
+    train = d.select('doc_id', F.explode('grams').alias('gram'))
+  else:
+    is_eval = F.col('doc_id') % eval_mod == 0
+    eval_grams = (d.filter(is_eval)
+                  .select(F.explode('grams').alias('gram'))
+                  .distinct())
+    train = (d.filter(~is_eval)
+             .select('doc_id', F.explode('grams').alias('gram')))
   return (train
           .join(F.broadcast(eval_grams), 'gram')
           .groupBy('doc_id')
