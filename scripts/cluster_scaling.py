@@ -69,7 +69,14 @@ else:
     root = readme_blueprint()
 rows = [(d, [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
              for (k, t, m, o) in spans]) for d, spans in docs]
-df = spark.createDataFrame(rows, SPANS_SCHEMA).repartition(cores * 2).cache()
+# Fixed fine-grained partition count at BOTH cluster sizes (not
+# cores*2): with only 2 waves of coarse tasks, cached-block locality
+# pins tasks to whichever executor won more blocks during
+# materialization and the straggler tail eats ~30% of the high level.
+# 6 partitions/core at the HIGH level keeps tasks ~2-3 s (per-task
+# overhead stays noise) while giving the scheduler room to rebalance.
+n_parts = int(os.environ.get('BOS_SCALE_PARTS', '0')) or want_cores * 6
+df = spark.createDataFrame(rows, SPANS_SCHEMA).repartition(n_parts).cache()
 df.count()
 # warmup pass: ship the zip, fork + import every executor python worker
 extract_documents(df, root).count()
@@ -113,6 +120,12 @@ def run_level(n_exec: int, n_docs: int, model: str, zpath: str,
       [SPARK_SUBMIT, '--master', master, '--py-files', zpath,
        '--conf', 'spark.ui.enabled=false',
        '--conf', f'spark.sql.shuffle.partitions={n_exec * cores_per_exec}',
+       # Cached blocks land unevenly across executors during the racey
+       # materialization pass; with the default 3 s locality wait the
+       # scheduler then serializes the tail on the block-heavy executor.
+       # Remote cached-block reads are cheap here (tasks are seconds,
+       # blocks are ~MB), so always prefer an idle core.
+       '--conf', 'spark.locality.wait=0s',
        '--conf', 'spark.sql.execution.arrow.pyspark.enabled=true',
        job_path, str(n_docs), str(n_exec * cores_per_exec), model],
       capture_output=True, text=True, cwd=tempfile.gettempdir())
@@ -128,6 +141,10 @@ def main() -> None:
   n = int(sys.argv[1]) if len(sys.argv) > 1 else 1
   n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2500
   model = sys.argv[3] if len(sys.argv) > 3 else 'paystubs'
+  # Same partition count at both cluster sizes (6/core at the high
+  # level) so the two runs execute identical tasks and differ only in
+  # parallelism — see the JOB comment on wave packing.
+  os.environ['BOS_SCALE_PARTS'] = str(4 * n * 4 * 6)
   with tempfile.TemporaryDirectory() as td:
     zpath = make_zip(td)
     job_path = os.path.join(td, 'job.py')
