@@ -5,14 +5,15 @@ mapInPandas stages.
 Decoding is REAL for the self-contained uncompressed formats this
 container can handle without external codec libraries:
 
-  * image — binary PPM (P6, the Netpbm format) parsed with numpy, and
-    24-bit uncompressed BMP;
+  * image — binary PPM (P6, the Netpbm format) parsed with numpy,
+    24-bit uncompressed BMP, and PNG (8-bit gray/RGB/±alpha, all five
+    scanline filters) via stdlib zlib + numpy — no codec library;
   * audio — PCM WAV via the stdlib `wave` module + numpy;
   * video — a toy length-prefixed PPM-frame container ('PVID'), giving
     the frame-sampling path real frames to sample.
 
-Compressed codecs (PNG/JPEG/MP4/...) are STUBBED honestly: they need
-libs this container doesn't ship, so `decode_media` raises
+Codecs needing external libraries (JPEG/MP3/MP4/...) are STUBBED
+honestly: they need libs this container doesn't ship, so `decode_media` raises
 UnsupportedMediaError for them and the pipeline emits an
 `unsupported:` status row instead of a feature — decode failures never
 kill the job.  Swap `decode_media`'s dispatch for PIL/pyav on a
@@ -26,6 +27,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -112,6 +114,158 @@ def decode_bmp(payload: bytes) -> np.ndarray:
   if h > 0:
     img = img[::-1]  # bottom-up storage
   return img
+
+
+_PNG_SIG = b'\x89PNG\r\n\x1a\n'
+# channels per PNG color type (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes) -> Iterator[Tuple[bytes, bytes]]:
+  i = len(_PNG_SIG)
+  while i + 12 <= len(payload):
+    (length,) = struct.unpack_from('>I', payload, i)
+    ctype = payload[i + 4:i + 8]
+    data = payload[i + 8:i + 8 + length]
+    if len(data) < length or i + 12 + length > len(payload):
+      raise ValueError('truncated PNG chunk')
+    (crc,) = struct.unpack_from('>I', payload, i + 8 + length)
+    if crc != zlib.crc32(ctype + data):
+      raise ValueError(f'PNG chunk {ctype!r} CRC mismatch')
+    yield ctype, data
+    i += 12 + length
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+  """PNG (8-bit gray/RGB/gray+alpha/RGBA, non-interlaced) → HxWx3 uint8
+  RGB, with stdlib zlib + numpy only — no codec library.  All five
+  scanline filters (None/Sub/Up/Average/Paeth) per the public PNG spec;
+  Sub is a per-lane running sum so it vectorizes as a cumsum mod 256,
+  Average/Paeth keep their sequential per-byte recurrences.  Palette,
+  16-bit, and Adam7-interlaced images raise UnsupportedMediaError."""
+  if not payload.startswith(_PNG_SIG):
+    raise ValueError('not a PNG')
+  ihdr = None
+  idat: List[bytes] = []
+  for ctype, data in _png_chunks(payload):
+    if ctype == b'IHDR':
+      ihdr = data
+    elif ctype == b'IDAT':
+      idat.append(data)
+    elif ctype == b'IEND':
+      break
+  if ihdr is None or len(ihdr) < 13 or not idat:
+    raise ValueError('PNG missing IHDR/IDAT')
+  w, h, depth, color_type, comp, filt, interlace = \
+      struct.unpack_from('>IIBBBBB', ihdr)
+  if comp != 0 or filt != 0:
+    raise ValueError('bad IHDR compression/filter method')
+  if depth != 8:
+    raise UnsupportedMediaError(f'PNG bit depth {depth}')
+  if interlace:
+    raise UnsupportedMediaError('Adam7-interlaced PNG')
+  channels = _PNG_CHANNELS.get(color_type)
+  if channels is None:
+    raise UnsupportedMediaError(f'PNG color type {color_type}')
+  if w == 0 or h == 0:
+    raise ValueError('empty PNG')
+  raw = zlib.decompress(b''.join(idat))
+  stride = w * channels
+  if len(raw) != h * (stride + 1):
+    raise ValueError('PNG scanline data length mismatch')
+  lines = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+  filters, data_rows = lines[:, 0], lines[:, 1:].astype(np.int32)
+  recon = np.zeros((h, stride), np.int32)
+  bpp = channels
+  for r in range(h):
+    f, row = int(filters[r]), data_rows[r]
+    prev = recon[r - 1] if r else np.zeros(stride, np.int32)
+    if f == 0:
+      cur = row
+    elif f == 1:   # Sub: recon[x] = raw[x] + recon[x-bpp]
+      cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride) % 256
+    elif f == 2:   # Up
+      cur = (row + prev) % 256
+    elif f == 3:   # Average
+      cur = np.empty(stride, np.int32)
+      for x in range(stride):
+        a = cur[x - bpp] if x >= bpp else 0
+        cur[x] = (row[x] + (a + prev[x]) // 2) % 256
+    elif f == 4:   # Paeth
+      cur = np.empty(stride, np.int32)
+      for x in range(stride):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        cur[x] = (row[x] + pred) % 256
+    else:
+      raise ValueError(f'PNG filter type {f}')
+    recon[r] = cur
+  img = recon.astype(np.uint8).reshape(h, w, channels)
+  if channels == 1:
+    return np.repeat(img, 3, axis=2)
+  if channels == 2:   # gray+alpha: replicate gray, drop alpha
+    return np.repeat(img[:, :, :1], 3, axis=2)
+  return img[:, :, :3]  # RGB, or RGBA with alpha dropped
+
+
+def _png_filter_row(f: int, row: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+  """Forward-apply PNG filter f to a reconstructed scanline (encoder
+  side; exact inverse of the decoder's recurrences)."""
+  stride = len(row)
+  out = np.empty(stride, np.int32)
+  for x in range(stride):
+    a = row[x - bpp] if x >= bpp else 0
+    b = prev[x]
+    c = prev[x - bpp] if x >= bpp else 0
+    if f == 0:
+      pred = 0
+    elif f == 1:
+      pred = a
+    elif f == 2:
+      pred = b
+    elif f == 3:
+      pred = (a + b) // 2
+    elif f == 4:
+      p = a + b - c
+      pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+      pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    else:
+      raise ValueError(f'PNG filter type {f}')
+    out[x] = (row[x] - pred) % 256
+  return out
+
+
+def encode_png(img: np.ndarray, *, filters: object = 0) -> bytes:
+  """HxWxC uint8 (C in 1/2/3/4) → PNG bytes.  `filters` is a single
+  filter type applied to every scanline, or 'mixed' to cycle through
+  all five (row r uses r % 5) so decoders get full filter coverage."""
+  if img.ndim == 2:
+    img = img[:, :, None]
+  h, w, channels = img.shape
+  color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+  rows = img.reshape(h, w * channels).astype(np.int32)
+  prev = np.zeros(w * channels, np.int32)
+  scan = bytearray()
+  for r in range(h):
+    f = (r % 5) if filters == 'mixed' else int(filters)  # type: ignore
+    scan.append(f)
+    scan += _png_filter_row(f, rows[r], prev, channels) \
+        .astype(np.uint8).tobytes()
+    prev = rows[r]
+
+  def chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack('>I', len(data)) + ctype + data
+            + struct.pack('>I', zlib.crc32(ctype + data)))
+
+  ihdr = struct.pack('>IIBBBBB', w, h, 8, color_type, 0, 0, 0)
+  return (_PNG_SIG + chunk(b'IHDR', ihdr)
+          + chunk(b'IDAT', zlib.compress(bytes(scan), 6))
+          + chunk(b'IEND', b''))
 
 
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
@@ -262,8 +416,11 @@ def perceptual_hashes(kind: str, payload: bytes) -> Tuple[int, int]:
       img = decode_ppm(payload)
     elif payload.startswith(b'BM'):
       img = decode_bmp(payload)
+    elif payload.startswith(_PNG_SIG):
+      img = decode_png(payload)
     else:
-      raise UnsupportedMediaError('compressed image codecs need PIL')
+      raise UnsupportedMediaError('image codecs beyond PPM/BMP/PNG '
+                                  'need PIL')
     return ahash64(img), dhash64(img)
   if kind == 'audio':
     if not payload.startswith(b'RIFF'):
@@ -359,9 +516,11 @@ def decode_media(kind: str, payload: bytes) -> List[float]:
       return image_features(decode_ppm(payload))
     if payload.startswith(b'BM'):
       return image_features(decode_bmp(payload))
+    if payload.startswith(_PNG_SIG):
+      return image_features(decode_png(payload))
     raise UnsupportedMediaError(
-        'compressed image codecs (PNG/JPEG/...) need PIL — not in '
-        'this container')
+        'image codecs beyond PPM/BMP/PNG (JPEG/WebP/...) need PIL — '
+        'not in this container')
   if kind == 'audio':
     if payload.startswith(b'RIFF'):
       return audio_features(*decode_wav(payload))
@@ -376,13 +535,18 @@ def decode_media(kind: str, payload: bytes) -> List[float]:
 # Deterministic synthetic media (real encoded payloads).
 # ---------------------------------------------------------------------------
 
-def _make_ppm(i: int) -> Tuple[bytes, int, int]:
+def _make_img(i: int) -> Tuple[np.ndarray, int, int]:
   rng = np.random.default_rng(1000 + i)
   w, h = 16 + i % 17, 12 + i % 13
   if i % 5 == 0:
     img = np.full((h, w, 3), (i * 37) % 256, dtype=np.uint8)  # constant
   else:
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+  return img, w, h
+
+
+def _make_ppm(i: int) -> Tuple[bytes, int, int]:
+  img, w, h = _make_img(i)
   return (f'P6\n{w} {h}\n255\n'.encode() + img.tobytes(), w, h)
 
 
@@ -413,23 +577,31 @@ def _make_pvid(i: int) -> Tuple[bytes, int, int, int]:
 
 
 def synthesize_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
-  """Deterministic REAL media rows — PPM images, PCM WAVs, PVID frame
-  containers — plus an intentionally-unsupported compressed payload
-  every 8th row, so the honest-stub path is exercised end-to-end."""
+  """Deterministic REAL media rows — alternating PPM and PNG (mixed
+  scanline filters) images, PCM WAVs, PVID frame containers — plus an
+  intentionally-unsupported compressed payload every 8th row, so the
+  honest-stub path is exercised end-to-end."""
   rows = []
   for i in range(n):
     kind = ('image', 'audio', 'video')[i % 3]
     if i % 8 == 7:
       # compressed formats this container cannot decode
       payload = {
-          'image': b'\x89PNG\r\n\x1a\n' + hashlib.sha256(
-              f'png-{i}'.encode()).digest(),
+          'image': b'\xff\xd8\xff\xe0\x00\x10JFIF' + hashlib.sha256(
+              f'jpeg-{i}'.encode()).digest(),
           'audio': b'ID3\x04' + hashlib.sha256(
               f'mp3-{i}'.encode()).digest(),
           'video': b'\x00\x00\x00\x18ftypmp42' + hashlib.sha256(
               f'mp4-{i}'.encode()).digest(),
       }[kind]
       w = h = 0
+      dur = 0
+    elif kind == 'image' and (i // 3) % 2 == 1:
+      # same pixels as the PPM branch would carry, PNG-encoded with
+      # the filter type cycling per scanline — the production decode
+      # path exercises Sub/Up/Average/Paeth, not just filter 0
+      img, w, h = _make_img(i)
+      payload = encode_png(img, filters='mixed')
       dur = 0
     elif kind == 'image':
       payload, w, h = _make_ppm(i)

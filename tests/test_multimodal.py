@@ -11,9 +11,9 @@ import numpy as np
 import pytest
 
 from blueprint_oss_spark.ops.multimodal import (
-    FEATURE_DIM, audio_features, decode_bmp, decode_media, decode_ppm,
-    decode_wav, image_features, resize_image, split_video_frames,
-    synthesize_media_table, extract_media_features,
+    FEATURE_DIM, audio_features, decode_bmp, decode_media, decode_png,
+    decode_ppm, decode_wav, encode_png, image_features, resize_image,
+    split_video_frames, synthesize_media_table, extract_media_features,
     UnsupportedMediaError)
 
 
@@ -101,11 +101,69 @@ def test_video_frame_sampling_means_frame_features():
 
 def test_unsupported_codecs_raise():
   with pytest.raises(UnsupportedMediaError):
-    decode_media('image', b'\x89PNG\r\n\x1a\nxxxx')
+    decode_media('image', b'\xff\xd8\xff\xe0\x00\x10JFIFxxxx')  # JPEG
   with pytest.raises(UnsupportedMediaError):
     decode_media('audio', b'ID3\x04xxxx')
   with pytest.raises(UnsupportedMediaError):
     decode_media('video', b'\x00\x00\x00\x18ftypmp42xxxx')
+  # a PNG signature with garbage after it is a MALFORMED png (decode
+  # error row), not an unsupported codec
+  with pytest.raises(ValueError):
+    decode_media('image', b'\x89PNG\r\n\x1a\nxxxx')
+
+
+def test_png_roundtrip_all_filters_and_channels():
+  rng = np.random.default_rng(11)
+  rgb = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+  for filt in (0, 1, 2, 3, 4, 'mixed'):
+    assert np.array_equal(decode_png(encode_png(rgb, filters=filt)),
+                          rgb), f'filter {filt}'
+  # grayscale replicates to RGB; alpha channels are dropped
+  gray = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+  assert np.array_equal(decode_png(encode_png(gray, filters='mixed')),
+                        np.repeat(gray, 3, axis=2))
+  ga = rng.integers(0, 256, size=(6, 5, 2), dtype=np.uint8)
+  assert np.array_equal(decode_png(encode_png(ga, filters=4)),
+                        np.repeat(ga[:, :, :1], 3, axis=2))
+  rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+  assert np.array_equal(decode_png(encode_png(rgba, filters=3)),
+                        rgba[:, :, :3])
+
+
+def test_png_malformed_and_unsupported_variants():
+  rng = np.random.default_rng(12)
+  img = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+  good = encode_png(img)
+  # flip one IDAT byte: CRC check must catch it
+  bad = bytearray(good)
+  bad[len(bad) - 20] ^= 0xFF
+  with pytest.raises(ValueError):
+    decode_png(bytes(bad))
+  with pytest.raises(ValueError):
+    decode_png(good[:30])  # truncated
+  # 16-bit depth and Adam7 interlace are honestly unsupported
+  import struct as _s
+  import zlib as _z
+
+  def patched_ihdr(depth, interlace):
+    ihdr = _s.pack('>IIBBBBB', 5, 5, depth, 2, 0, 0, interlace)
+    out = good[:8] + _s.pack('>I', 13) + b'IHDR' + ihdr \
+        + _s.pack('>I', _z.crc32(b'IHDR' + ihdr)) + good[8 + 25:]
+    return out
+
+  with pytest.raises(UnsupportedMediaError):
+    decode_png(patched_ihdr(16, 0))
+  with pytest.raises(UnsupportedMediaError):
+    decode_png(patched_ihdr(8, 1))
+
+
+def test_png_features_match_ppm_features():
+  """The PNG branch of decode_media yields byte-identical pixels, hence
+  identical features, to the same image shipped as PPM."""
+  rng = np.random.default_rng(13)
+  img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+  assert decode_media('image', _ppm_bytes(img)) == \
+      decode_media('image', encode_png(img, filters='mixed'))
 
 
 def test_spark_pipeline_end_to_end(spark):
