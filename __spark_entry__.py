@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'cosine_topk': lambda s, d: V.cosine_topk_bruteforce(s, d),
       'ann_topk_lsh': lambda s, d: V.ann_topk_lsh(s, d),
       'ivf_topk': lambda s, d: V.ivf_topk(s, d),
+      'pq_topk': lambda s, d: V.pq_topk(s, d),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       'dedup_groups': lambda s, d: T.dedup_groups(s, d),
@@ -258,6 +259,7 @@ _SNAPSHOT_ORACLES = {
     'simhash64': 'doc_id',
     'ann_topk_lsh': 'cosine_r DESC, vec_id',
     'ivf_topk': 'cosine_r DESC, vec_id',
+    'pq_topk': 'cosine_r DESC, vec_id',
     'media_features': 'media_ref',
     'media_phash': 'media_ref',
     'extraction_accuracy': 'field',

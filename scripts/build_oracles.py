@@ -288,6 +288,74 @@ def verify_ann_topk(sf_dir: str, pdf, query_vec_id: int = 0,
   return rec
 
 
+def verify_pq_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
+  """FULL sequential pure-python recomputation of the PQ pipeline:
+  codebooks from the same deterministic trainer (seeded numpy k-means),
+  then normalization / per-subspace encoding / ADC lookup-table scoring
+  / shortlist / exact-cosine refine all re-done with left-to-right
+  float64 folds matching F.aggregate's evaluation order, ending in the
+  same round-then-sort top-k.  Exact equality required."""
+  from blueprint_oss_spark.ops.vectors import train_pq_codebooks
+  m, ksub, shortlist, k = 8, 16, 40, 10
+  t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  ids = [int(v) for v in t.vec_id]
+  sample = np.array([np.asarray(e, dtype=np.float64)
+                     for e in t.embedding])
+  B = train_pq_codebooks(sample, m=m, ksub=ksub)
+  dsub = B.shape[2]
+
+  def seq_norm(v):
+    s = 0.0
+    for x in v:
+      s += float(x) * float(x)
+    return s ** 0.5
+
+  def encode(v):
+    n = seq_norm(v)
+    nv = [float(x) / n for x in v]
+    codes = []
+    for j in range(m):
+      best_c, best_d = 0, None
+      for c in range(ksub):
+        d = 0.0
+        for i in range(dsub):
+          diff = nv[j * dsub + i] - float(B[j, c, i])
+          d += diff * diff
+        if best_d is None or d < best_d:
+          best_c, best_d = c, d
+      codes.append(best_c)
+    return codes
+
+  E = {i: np.asarray(e, dtype=np.float64)
+       for i, e in zip(ids, t.embedding)}
+  q = E[query_vec_id]
+  qn = q / np.linalg.norm(q)
+  lut = [[sum((float(qn[j * dsub + i]) - float(B[j, c, i])) ** 2
+              for i in range(dsub)) for c in range(ksub)]
+         for j in range(m)]
+  adc = {}
+  for i in ids:
+    if i == query_vec_id:
+      continue
+    codes = encode(E[i])
+    s = 0.0
+    for j in range(m):
+      s += lut[j][codes[j]]
+    adc[i] = round(s, 6)
+  short = sorted(adc, key=lambda i: (adc[i], i))[:shortlist]
+  scored = sorted(
+      ((round(float(E[i] @ q
+                    / (np.linalg.norm(E[i]) * np.linalg.norm(q))), 6),
+        i) for i in short),
+      key=lambda ci: (-ci[0], ci[1]))[:k]
+  expect = [(i, round(c, 4)) for c, i in scored]
+  got = [(int(r.vec_id), float(r.cosine_r)) for r in pdf.itertuples()]
+  assert got == expect, (got, expect)
+  return {'method': 'FULL sequential pure-python PQ recomputation '
+                    '(encode + ADC + shortlist + exact refine)',
+          'rows': len(pdf)}
+
+
 def verify_media(pdf) -> dict:
   """f0 recomputed ANALYTICALLY from the generator's seed formulas —
   independent of the decoders: image f0 = width/1024 with width
@@ -511,6 +579,8 @@ def main() -> None:
     elif name in ('ann_topk_lsh', 'ivf_topk'):
       rec = verify_ann_topk(args.sf_dir, pdf,
                             full_lsh=name == 'ann_topk_lsh')
+    elif name == 'pq_topk':
+      rec = verify_pq_topk(args.sf_dir, pdf)
     elif name == 'media_features':
       rec = verify_media(pdf)
     elif name == 'media_phash':

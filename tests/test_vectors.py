@@ -139,3 +139,43 @@ def test_ivf_topk_exactness_and_recall(spark):
            for r in cosine_topk_bruteforce(spark, sf).collect()}
   got = {r['vec_id'] for r in ivf}
   assert len(got & exact) / len(exact) >= 0.7, (got, exact)
+
+
+def test_pq_topk_exactness_and_recall(spark):
+  """PQ ANN (ADC + exact refine): reported cosines are exact (the
+  refine step recomputes them on full vectors); the ADC shortlist of
+  40 from m=8, ksub=16 codebooks recovers most of the true top-10;
+  output is deterministic (seeded per-subspace k-means)."""
+  import pyarrow.parquet as pq
+
+  from blueprint_oss_spark.ops.vectors import (
+      cosine_topk_bruteforce, pq_topk)
+
+  sf = '/root/testdata/sf0.01'
+  out = pq_topk(spark, sf).collect()
+  assert out == pq_topk(spark, sf).collect()  # deterministic
+  t = pq.read_table(f'{sf}/embeddings.parquet').to_pandas()
+  E = {int(v): np.asarray(e, dtype=np.float64)
+       for v, e in zip(t.vec_id, t.embedding)}
+  q = E[0]
+  for r in out:
+    v = E[int(r['vec_id'])]
+    cos = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+    assert abs(r['cosine_r'] - round(cos, 4)) <= 5e-5
+  exact = {r['vec_id']
+           for r in cosine_topk_bruteforce(spark, sf).collect()}
+  got = {r['vec_id'] for r in out}
+  assert len(got & exact) / len(exact) >= 0.7, (got, exact)
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+  from blueprint_oss_spark.ops.vectors import train_pq_codebooks
+  rng = np.random.default_rng(3)
+  X = rng.normal(size=(200, 64))
+  B1 = train_pq_codebooks(X, m=8, ksub=16)
+  B2 = train_pq_codebooks(X, m=8, ksub=16)
+  assert B1.shape == (8, 16, 8)
+  assert np.array_equal(B1, B2)
+  # an exact duplicate of a training vector encodes to the centroid
+  # nearest its own subvectors in every subspace — codes of identical
+  # vectors are identical by construction (pure function of the vector)
