@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'churned_buyers': R.churned_buyers,
       'events_asof_orders': R.events_asof_orders,
       'recent_event_counts': R.recent_event_counts,
+      'sessionize': R.sessionize,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -475,6 +476,38 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN events b ON b.user_id = a.user_id
         GROUP BY a.event_id, a.user_id
         ORDER BY a.event_id
+      """,
+      # Sessionization recomputed from scratch: same lag-flag +
+      # running-sum numbering in integer microseconds.
+      'sessionize': """
+        WITH flagged AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_us(ts) AS ts_us,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id)
+        ), numbered AS (
+          SELECT *, CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               MAX(ts_us) - MIN(ts_us) AS duration_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clicks,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
       """,
       'doc_token_stats': r"""
         SELECT doc_id,

@@ -277,3 +277,53 @@ def recent_event_counts(spark: SparkSession, sf_dir: str, *,
   return (j.groupBy('event_id', 'user_id')
           .agg(F.sum(hit).alias('n_recent'))
           .orderBy('event_id'))
+
+
+def sessionize(spark: SparkSession, sf_dir: str, *,
+               gap_minutes: int = 30) -> DataFrame:
+  """Gap-based sessionization: split each user's event stream into
+  sessions wherever the inactivity gap exceeds `gap_minutes`, then
+  aggregate per session (start/end, duration, event + click counts,
+  decimal-exact value total).
+
+  The classic log-pipeline operator (GA/Snowplow semantics).  Scale
+  shape: ONE data shuffle on user_id — the lag flag and the running-sum
+  session numbering share a single (partitionBy user_id, orderBy ts)
+  window sort, and the per-session groupBy keys (user_id, session_id)
+  are clustered by the existing hashpartitioning(user_id), so Spark's
+  EnsureRequirements inserts no second hash Exchange; the only other
+  Exchange is the rangepartitioning for the final presentation orderBy
+  (pinned by tests/test_sessionize.py).  Per-user work is a streaming sort
+  pass, so skewed users degrade linearly.  All arithmetic is integer
+  microseconds, derived timezone-free from the TIMESTAMP_NTZ column
+  (timestamp_diff vs the NTZ epoch == DuckDB's epoch_us on the same
+  naive value — no session-timezone or DST dependence).
+  """
+  gap_us = gap_minutes * 60 * 1_000_000
+  epoch = F.lit('1970-01-01 00:00:00').cast('timestamp_ntz')
+  ev = _t(spark, sf_dir, 'events').select(
+      'user_id', 'event_id', 'event_type',
+      F.col('value').cast('decimal(18,6)').alias('value'),
+      F.timestamp_diff('MICROSECOND', epoch, F.col('ts'))
+      .alias('ts_us'))
+  w = Window.partitionBy('user_id').orderBy('ts_us', 'event_id')
+  prev = F.lag('ts_us').over(w)
+  is_new = F.when(prev.isNull()
+                  | ((F.col('ts_us') - prev) > gap_us), 1).otherwise(0)
+  run = (Window.partitionBy('user_id').orderBy('ts_us', 'event_id')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  numbered = (ev.withColumn('is_new', is_new)
+              .withColumn('session_id', F.sum('is_new').over(run)))
+  return (numbered
+          .groupBy('user_id', 'session_id')
+          .agg(F.min('ts_us').alias('start_us'),
+               F.max('ts_us').alias('end_us'),
+               F.count(F.lit(1)).alias('n_events'),
+               F.sum(F.when(F.col('event_type') == 'click', 1)
+                     .otherwise(0)).alias('n_clicks'),
+               F.sum('value').cast('double').alias('total_value'))
+          .withColumn('duration_us',
+                      F.col('end_us') - F.col('start_us'))
+          .select('user_id', 'session_id', 'start_us', 'end_us',
+                  'duration_us', 'n_events', 'n_clicks', 'total_value')
+          .orderBy('user_id', 'session_id'))
