@@ -47,6 +47,12 @@ def main() -> None:
   print('=== RANGE JOIN (time-bin bucketing) ===')
   R.recent_event_counts(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== SESSIONIZE (one data shuffle) ===')
+  R.sessionize(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== PQ ANN TOP-K (ADC + exact refine) ===')
+  V.pq_topk(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   print('=== TF-IDF TOP TERMS ===')
   T.tfidf_top_terms(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
