@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'stratified_sample': P.stratified_sample,
       'table_profile': P.table_profile,
       'simhash64': T.simhash64,
+      'simhash_near_dup_pairs':
+          lambda s, d: T.simhash_near_dup_pairs(s, d),
       'embedding_near_dup_pairs':
           lambda s, d: V.embedding_near_dup_pairs(s, d),
       # --- multimodal plumbing (stubbed decode; deterministic) ---
@@ -266,6 +268,11 @@ _SNAPSHOT_ORACLES = {
     'extraction_accuracy': 'field',
 }
 
+#: Queries whose oracle is real SQL but reads a committed snapshot
+#: (pinned to the driver's sf0.01 gate scale) instead of the raw
+#: tables — valid only at sf0.01, like the snapshot oracles above.
+_SNAPSHOT_PINNED_SQL = frozenset({'simhash_near_dup_pairs'})
+
 
 def oracle_sql() -> dict[str, str]:
   import os
@@ -277,6 +284,21 @@ def oracle_sql() -> dict[str, str]:
       for name, order in _SNAPSHOT_ORACLES.items()
       if os.path.exists(f'/root/repo/oracles/{name}.parquet')}
   return snap | {
+      # Exact ALL-PAIRS hamming recomputation over the verified simhash
+      # snapshot (the signatures themselves are independently recomputed
+      # by scripts/build_oracles.py's pure-python xxhash64 replica) —
+      # equality proves the banded blocking has recall 1.0 vs brute
+      # force, which pigeonhole also guarantees analytically.
+      'simhash_near_dup_pairs': """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                 AS hamming
+        FROM read_parquet('/root/repo/oracles/simhash64.parquet') a
+        JOIN read_parquet('/root/repo/oracles/simhash64.parquet') b
+          ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+      """,
       'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

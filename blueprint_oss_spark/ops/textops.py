@@ -279,10 +279,18 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """64-bit SimHash per document (presentation-sorted for the gate);
+  see _simhash_sig for the computation."""
+  return _simhash_sig(spark, sf_dir).orderBy('doc_id')
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
   """64-bit SimHash per document, fully Catalyst-side: per-token
   xxhash64 → per-bit ±1 votes aggregated over tokens → packed sign
   bits.  Near-dups differ in few bits (hamming-ball blocking joins on
-  bit-band prefixes, same shape as minhash banding)."""
+  bit-band prefixes, same shape as minhash banding).  Unsorted — the
+  map-side signature pass feeds simhash_near_dup_pairs without a
+  rangepartitioning exchange."""
   d = _docs(spark, sf_dir).select('doc_id', 'text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   votes = F.aggregate(
@@ -304,8 +312,52 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(bit_val).cast('long')) \
         .otherwise(F.lit(0).cast('long'))
     sim = term if sim is None else sim + term
-  return (d.select('doc_id', sim.alias('simhash'))
-          .orderBy('doc_id'))
+  return d.select('doc_id', sim.alias('simhash'))
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
+                           max_hamming: int = 3,
+                           bands: int = 4) -> DataFrame:
+  """Near-dup pairs by SimHash hamming distance, banded (Manku et al.,
+  WWW 2007 — the web-scale simhash dedup construction).
+
+  The 64-bit signature splits into `bands` equal slices; by pigeonhole
+  any pair within `max_hamming <= bands - 1` differing bits agrees
+  exactly on at least one slice, so blocking on (band_idx, band_value)
+  equality has recall 1.0 by construction — the exact `bit_count(xor)`
+  filter then removes band-collision false positives.  One shuffle on
+  the band key; the distinct() dedup of multi-band hits runs AFTER the
+  hamming filter, so it shuffles only true near-dup pairs.
+
+  Scale note: a 16-bit band key is fine at gate scale but saturates at
+  web scale (random collisions grow as n²/2^16); at 10^12 docs you
+  widen the effective key the way Manku et al. do — block on the band
+  PLUS a few extra signature bits per table (equivalently more, wider,
+  permuted tables) so candidate fanout stays near-linear, keeping this
+  exact-verify shape unchanged.  The signature computation itself
+  stays one map-side pass either way.
+  """
+  width = 64 // bands
+  sig = _simhash_sig(spark, sf_dir)  # (doc_id, simhash), map-side
+  banded = sig.select(
+      'doc_id', 'simhash',
+      F.explode(F.array(*[
+          F.struct(
+              F.lit(i).alias('b'),
+              F.shiftrightunsigned('simhash', i * width)
+              .bitwiseAND(F.lit((1 << width) - 1)).alias('v'))
+          for i in range(bands)])).alias('band'))
+  a = banded.select(F.col('doc_id').alias('doc_a'),
+                    F.col('simhash').alias('h_a'), 'band')
+  b = banded.select(F.col('doc_id').alias('doc_b'),
+                    F.col('simhash').alias('h_b'), 'band')
+  ham = F.bit_count(F.col('h_a').bitwiseXOR(F.col('h_b')))
+  return (a.join(b, ['band'])
+          .where(F.col('doc_a') < F.col('doc_b'))
+          .where(ham <= max_hamming)
+          .select('doc_a', 'doc_b', ham.cast('int').alias('hamming'))
+          .distinct()
+          .orderBy('doc_a', 'doc_b'))
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, *,
