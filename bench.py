@@ -146,6 +146,7 @@ def main() -> None:
                               edge_source='minhash').count()),
       ('cosine_topk',
        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect()),
+      ('sessionize', lambda: R.sessionize(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()
