@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'events_asof_orders': R.events_asof_orders,
       'recent_event_counts': R.recent_event_counts,
       'sessionize': R.sessionize,
+      'funnel_analysis': R.funnel_analysis,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -498,6 +499,54 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN events b ON b.user_id = a.user_id
         GROUP BY a.event_id, a.user_id
         ORDER BY a.event_id
+      """,
+      # Ordered funnel recomputed from scratch: conditional running
+      # minima over the same (user, ts) window construction.
+      'funnel_analysis': """
+        WITH base AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+          FROM events
+        ), rv AS (
+          SELECT *,
+                 MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                   OVER w AS run_view
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ), rc AS (
+          SELECT *,
+                 MIN(CASE WHEN event_type = 'click'
+                           AND run_view IS NOT NULL
+                           AND ts_us > run_view
+                          THEN ts_us END) OVER w AS run_click
+          FROM rv
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ), agg AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+                   AS first_view_us,
+                 MIN(CASE WHEN event_type = 'click'
+                           AND run_view IS NOT NULL
+                           AND ts_us > run_view THEN ts_us END)
+                   AS first_click_us,
+                 MIN(CASE WHEN event_type = 'purchase'
+                           AND run_click IS NOT NULL
+                           AND ts_us > run_click THEN ts_us END)
+                   AS first_purchase_us
+          FROM rc
+          GROUP BY user_id
+        )
+        SELECT user_id, first_view_us, first_click_us,
+               first_purchase_us,
+               CAST(CASE WHEN first_purchase_us IS NOT NULL THEN 3
+                         WHEN first_click_us IS NOT NULL THEN 2
+                         WHEN first_view_us IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS stage_reached
+        FROM agg
+        ORDER BY user_id
       """,
       # Sessionization recomputed from scratch: same lag-flag +
       # running-sum numbering in integer microseconds.

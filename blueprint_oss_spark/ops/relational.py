@@ -327,3 +327,55 @@ def sessionize(spark: SparkSession, sf_dir: str, *,
           .select('user_id', 'session_id', 'start_us', 'end_us',
                   'duration_us', 'n_events', 'n_clicks', 'total_value')
           .orderBy('user_id', 'session_id'))
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str, *,
+                    stages: tuple = ('view', 'click', 'purchase')) \
+        -> DataFrame:
+  """Ordered-funnel analysis per user: the earliest `view`, the
+  earliest `click` STRICTLY AFTER that view, and the earliest
+  `purchase` strictly after that click, plus the stage reached (0–3).
+
+  The ordering constraint is what makes this non-trivial: a click
+  before any view must not count.  The self-join-free composition is
+  conditional running minima over ONE `(partitionBy user_id, orderBy
+  ts)` window — `run_view` at a row is the earliest view so far, so a
+  click qualifies iff `ts > run_view`; the earliest qualifying click
+  (`run_click`) gates purchases the same way — followed by a
+  conditional groupBy aggregation on the same user_id clustering.
+  Exactly one hash shuffle; per-user work is a streaming sort pass
+  (skewed users degrade linearly).  Timestamps are timezone-free
+  integer microseconds as in sessionize.
+  """
+  epoch = F.lit('1970-01-01 00:00:00').cast('timestamp_ntz')
+  ev = _t(spark, sf_dir, 'events').select(
+      'user_id', 'event_id', 'event_type',
+      F.timestamp_diff('MICROSECOND', epoch, F.col('ts'))
+      .alias('ts_us'))
+  s1, s2, s3 = stages
+  w = (Window.partitionBy('user_id').orderBy('ts_us', 'event_id')
+       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  run_view = F.min(F.when(F.col('event_type') == s1,
+                          F.col('ts_us'))).over(w)
+  ev = ev.withColumn(
+      'click_ok',
+      F.when((F.col('event_type') == s2) & run_view.isNotNull()
+             & (F.col('ts_us') > run_view), F.col('ts_us')))
+  run_click = F.min('click_ok').over(w)
+  ev = ev.withColumn(
+      'purchase_ok',
+      F.when((F.col('event_type') == s3) & run_click.isNotNull()
+             & (F.col('ts_us') > run_click), F.col('ts_us')))
+  agg = (ev.groupBy('user_id')
+         .agg(F.min(F.when(F.col('event_type') == s1, F.col('ts_us')))
+              .alias('first_view_us'),
+              F.min('click_ok').alias('first_click_us'),
+              F.min('purchase_ok').alias('first_purchase_us')))
+  stage = (F.when(F.col('first_purchase_us').isNotNull(), 3)
+           .when(F.col('first_click_us').isNotNull(), 2)
+           .when(F.col('first_view_us').isNotNull(), 1)
+           .otherwise(0))
+  return (agg.select('user_id', 'first_view_us', 'first_click_us',
+                     'first_purchase_us',
+                     stage.cast('int').alias('stage_reached'))
+          .orderBy('user_id'))

@@ -53,6 +53,9 @@ def main() -> None:
   print('=== PQ ANN TOP-K (ADC + exact refine) ===')
   V.pq_topk(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== FUNNEL ANALYSIS (one hash shuffle) ===')
+  R.funnel_analysis(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   print('=== SIMHASH NEAR-DUP PAIRS (banded hamming) ===')
   T.simhash_near_dup_pairs(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
