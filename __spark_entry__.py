@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'recent_event_counts': R.recent_event_counts,
       'sessionize': R.sessionize,
       'funnel_analysis': R.funnel_analysis,
+      'cohort_retention': R.cohort_retention,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'doc_token_stats': T.doc_token_stats,
@@ -499,6 +500,25 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN events b ON b.user_id = a.user_id
         GROUP BY a.event_id, a.user_id
         ORDER BY a.event_id
+      """,
+      # Cohort retention recomputed from scratch: identical integer
+      # week arithmetic on epoch micros.
+      'cohort_retention': """
+        WITH base AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT)
+                   AS week
+          FROM events
+        ), cohorts AS (
+          SELECT *, MIN(week) OVER (PARTITION BY user_id)
+                   AS cohort_week
+          FROM base
+        )
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM cohorts
+        GROUP BY cohort_week, week - cohort_week
+        ORDER BY cohort_week, week_offset
       """,
       # Ordered funnel recomputed from scratch: conditional running
       # minima over the same (user, ts) window construction.

@@ -379,3 +379,38 @@ def funnel_analysis(spark: SparkSession, sf_dir: str, *,
                      'first_purchase_us',
                      stage.cast('int').alias('stage_reached'))
           .orderBy('user_id'))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Cohort retention matrix: users are cohorted by the ISO-epoch week
+  of their FIRST event; each cell counts distinct users of cohort week
+  C active in week C + offset.
+
+  Week indices are pure integer arithmetic on timezone-free epoch
+  microseconds (`floor(ts_us / week_us)`), so both engines compute
+  identical keys with no calendar/timezone semantics to reconcile.
+  Plan shape: attaching each user's first-event week is a whole-
+  partition `min over (partitionBy user_id)` window — one hash shuffle
+  on user_id, no sort needed for an unbounded frame — and the matrix
+  is a `groupBy(cohort_week, week_offset)` exact count-distinct whose
+  re-keying is the second, irreducible shuffle (distinct users must
+  meet per cell).  Both stages do map-side partial work; per-user and
+  per-cell state is O(1).
+  """
+  week_us = 7 * 24 * 3600 * 1_000_000
+  epoch = F.lit('1970-01-01 00:00:00').cast('timestamp_ntz')
+  ev = _t(spark, sf_dir, 'events').select(
+      'user_id',
+      F.timestamp_diff('MICROSECOND', epoch, F.col('ts'))
+      .alias('ts_us'))
+  w = Window.partitionBy('user_id')
+  ev = (ev
+        .withColumn('week', F.floor(F.col('ts_us') / week_us))
+        .withColumn('cohort_week', F.min(F.floor(F.col('ts_us')
+                                                 / week_us)).over(w)))
+  return (ev
+          .groupBy('cohort_week',
+                   (F.col('week') - F.col('cohort_week'))
+                   .alias('week_offset'))
+          .agg(F.countDistinct('user_id').alias('n_active'))
+          .orderBy('cohort_week', 'week_offset'))

@@ -56,6 +56,9 @@ def main() -> None:
   print('=== FUNNEL ANALYSIS (one hash shuffle) ===')
   R.funnel_analysis(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== COHORT RETENTION (two hash shuffles) ===')
+  R.cohort_retention(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
   print('=== SIMHASH NEAR-DUP PAIRS (banded hamming) ===')
   T.simhash_near_dup_pairs(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
