@@ -190,8 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'simhash64': T.simhash64,
       'simhash_near_dup_pairs':
           lambda s, d: T.simhash_near_dup_pairs(s, d),
+      # plant_for_verification: the gate corpus has no organic
+      # near-dups, so verification injects deterministic ones that the
+      # DuckDB oracle recomputes; production default is no planting.
       'embedding_near_dup_pairs':
-          lambda s, d: V.embedding_near_dup_pairs(s, d),
+          lambda s, d: V.embedding_near_dup_pairs(
+              s, d, plant_for_verification=True),
       # --- multimodal plumbing (stubbed decode; deterministic) ---
       'media_features': media_features,
       'media_phash': media_phash,
@@ -789,11 +793,11 @@ def oracle_sql() -> dict[str, str]:
       'table_profile': """
         SELECT lang, COUNT(*) AS n_docs,
                COUNT(DISTINCT text) AS n_distinct_texts,
-               SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
-                 AS n_empty,
+               CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_empty,
                MIN(length(text)) AS min_len,
                MAX(length(text)) AS max_len,
-               SUM(length(text)) AS total_len,
+               CAST(SUM(length(text)) AS BIGINT) AS total_len,
                MIN(doc_id) AS first_doc_id,
                MAX(doc_id) AS last_doc_id
         FROM documents GROUP BY lang ORDER BY lang

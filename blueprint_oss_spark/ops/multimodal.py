@@ -476,24 +476,33 @@ def extract_media_phash(media: DataFrame) -> DataFrame:
 def media_near_dup_pairs(phash: DataFrame, *,
                          max_hamming: int = 6) -> DataFrame:
   """Near-dup media pairs by aHash hamming distance, banded like
-  simhash blocking: the 64-bit hash splits into 4×16-bit bands, a
-  candidate pair must collide in ≥1 band (any pair within hamming 6
-  has ≥1 clean band by pigeonhole when errors spread, and exact dups
-  always collide), then the JVM-side `bit_count(xor)` filter keeps
-  true near-dups.  One shuffle (the band groupBy-join); never the
-  O(n²) cross product."""
-  bands = []
-  for b in range(4):
+  simhash blocking (Manku et al.): the 64-bit hash splits into
+  `max_hamming + 1` bands, so by pigeonhole ANY pair within
+  `max_hamming` differing bits leaves at least one band untouched and
+  collides there — recall 1 is guaranteed, not best-effort (with a
+  fixed band count k, only hamming ≤ k-1 is guaranteed; deriving the
+  count from the threshold keeps the invariant for every caller).
+  Candidates then pass the exact JVM-side `bit_count(xor)` filter.
+  One shuffle (the band groupBy-join); never the O(n²) cross product.
+  More bands = narrower bands = more candidate collisions, so a large
+  max_hamming trades shuffle volume for recall — the same dial as the
+  sibling simhash_near_dup_pairs (textops)."""
+  n_bands = max_hamming + 1
+  base_w, rem = divmod(64, n_bands)
+  bands, offset = [], 0
+  widths = [base_w + 1 if b < rem else base_w for b in range(n_bands)]
+  for b, w in enumerate(widths):
     bands.append(
-        F.shiftrightunsigned(F.col('ahash'), 16 * b)
-        .bitwiseAND(F.lit(0xFFFF)).alias(f'band{b}'))
+        F.shiftrightunsigned(F.col('ahash'), offset)
+        .bitwiseAND(F.lit((1 << w) - 1)).alias(f'band{b}'))
+    offset += w
   banded = phash.where(F.col('decode_status') == 'ok') \
       .select('media_ref', 'kind', 'ahash', *bands)
   stacked = banded.select(
       'media_ref', 'kind', 'ahash',
       F.explode(F.array(*[
           F.struct(F.lit(b).alias('b'), F.col(f'band{b}').alias('v'))
-          for b in range(4)])).alias('bv'))
+          for b in range(n_bands)])).alias('bv'))
   a = stacked.alias('a')
   b = stacked.alias('b')
   pairs = (a.join(b, (F.col('a.bv') == F.col('b.bv'))

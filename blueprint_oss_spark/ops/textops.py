@@ -417,8 +417,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
   explicit knob, and callers enabling it can count the dropped heavy
   hitters with the same groupBy('shingle') HAVING df > cap aggregate
   this function builds.  The default (0) disables the cap, keeping the
-  operator exact — which is what the sf0.01/sf0.1 oracles verify."""
-  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  operator exact — which is what the sf0.01/sf0.1 oracles verify.
+
+  `docs` overrides the table read: callers composing this into a larger
+  plan (curation_pipeline's pairs-among-quality-survivors stage) pass
+  the pre-filtered frame so edges are computed over exactly the rows
+  the composition's semantics require — a filtered-out doc must not
+  bridge two dedup groups."""
+  d = (docs if docs is not None
+       else _docs(spark, sf_dir)).select('doc_id', 'text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   sh = d.select(
       'doc_id',

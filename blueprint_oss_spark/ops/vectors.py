@@ -107,6 +107,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str, *,
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
                              threshold: float = 0.9,
                              n_planes: int = 12, bands: int = 3,
+                             plant_for_verification: bool = False,
                              n_planted: int = 40,
                              plant_eps: float = 0.01) -> DataFrame:
   """Embedding-cosine near-dup pairs above a threshold, banded-sign-LSH
@@ -119,22 +120,28 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
   cross join; per-band bucket count 2^(n_planes/bands) bounds the
   within-bucket O(n²/buckets) pair work at scale.
 
-  The input corpus carries no near-dups, so the operator PLANTS
-  deterministic ones derived from the table itself: the first
-  `n_planted` vectors re-enter as vec_id+1_000_000 with `plant_eps`
-  added to every component (cosine ≥ 0.99 to their originals, ≤ 0.52
-  to everything else).  The planting is plain arithmetic, so the DuckDB
-  oracle recomputes the exact brute-force O(n²) pair set independently
-  — the LSH-blocked output must equal it (recall 1 on this corpus is
-  asserted in tests/test_vectors.py)."""
+  On real data the operator reports exactly the pairs present in the
+  table.  The driver's gate corpus carries no near-dups at all, so the
+  gate/test entry points pass `plant_for_verification=True`, which
+  PLANTS deterministic near-dups derived from the table itself: the
+  first `n_planted` vectors re-enter as vec_id+1_000_000 with
+  `plant_eps` added to every component (cosine ≥ 0.99 to their
+  originals, ≤ 0.52 to everything else).  The planting is plain
+  arithmetic, so the DuckDB oracle recomputes the exact brute-force
+  O(n²) pair set independently — the LSH-blocked output must equal it
+  (recall 1 on this corpus is asserted in tests/test_vectors.py).
+  The flag defaults OFF: production callers never see fabricated
+  pairs or nonexistent vec_ids."""
   e = _emb(spark, sf_dir).select(
       'vec_id',
       F.transform(F.col('embedding'),
                   lambda x: x.cast('double')).alias('e'))
-  planted = e.where(F.col('vec_id') < n_planted).select(
-      (F.col('vec_id') + 1_000_000).alias('vec_id'),
-      F.transform(F.col('e'), lambda v: v + plant_eps).alias('e'))
-  u = e.unionByName(planted)
+  u = e
+  if plant_for_verification:
+    planted = e.where(F.col('vec_id') < n_planted).select(
+        (F.col('vec_id') + 1_000_000).alias('vec_id'),
+        F.transform(F.col('e'), lambda v: v + plant_eps).alias('e'))
+    u = e.unionByName(planted)
 
   band_cols = _banded_bucket_cols(F.col('e'), n_planes, bands)
   stacked = u.select(

@@ -39,7 +39,8 @@ def main() -> None:
       .explain('formatted')
   print('=== EMBEDDING NEAR-DUP (banded LSH) ===')
   from blueprint_oss_spark.ops import vectors as V
-  V.embedding_near_dup_pairs(spark, '/root/testdata/sf0.001') \
+  V.embedding_near_dup_pairs(spark, '/root/testdata/sf0.001',
+                             plant_for_verification=True) \
       .explain('formatted')
   print('=== AS-OF JOIN (tagged union + window) ===')
   R.events_asof_orders(spark, '/root/testdata/sf0.001') \

@@ -120,3 +120,57 @@ def test_decontaminate_explicit_eval_table(spark):
   # eval docs themselves collide with their own grams → included here,
   # proving the explicit-table path checks ALL training docs
   assert any(d % 10 == 0 for d in expect)
+
+
+def test_curation_pipeline_filtered_doc_cannot_bridge(spark, tmp_path):
+  """Sequential curation semantics: dedup edges are computed AMONG the
+  quality-filter survivors, so a quality-REJECTED document must not
+  bridge two otherwise-unconnected near-dup groups (and must never be
+  a group representative whose absence silently drops the group).
+
+  Planted corpus: B (doc_id 5, no stopwords -> quality keep=0) is a
+  near-dup of both A (6) and C (9) at Jaccard >= 0.8, while A and C sit
+  at 0.75 < 0.8 of each other.  If edges leaked in from the full table,
+  {5,6,9} would collapse to one component with min id 5 — a filtered
+  doc — and A and C would vanish from the output.  Correct output: A,
+  C and the unrelated D (11) all survive as singleton keepers (ids 6,
+  9, 11 all pass the md5 'en' sample threshold)."""
+  from blueprint_oss_spark.ops.textops import curation_pipeline
+
+  core = ('alpha bravo charlie delta echo foxtrot golf hotel india '
+          'juliet kilo lima mike november oscar papa quebec romeo '
+          'sierra tango').split()
+  assert len(core) == 20
+
+  def shingles(words, n=3):
+    return {' '.join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+  b_words = core
+  a_words = core + ['with', 'red', 'apples']
+  c_words = core + ['by', 'tall', 'trees']
+  j_ab = len(shingles(a_words) & shingles(b_words)) \
+      / len(shingles(a_words) | shingles(b_words))
+  j_bc = len(shingles(b_words) & shingles(c_words)) \
+      / len(shingles(b_words) | shingles(c_words))
+  j_ac = len(shingles(a_words) & shingles(c_words)) \
+      / len(shingles(a_words) | shingles(c_words))
+  assert j_ab >= 0.8 and j_bc >= 0.8 and j_ac < 0.8, (j_ab, j_bc, j_ac)
+
+  rows = [
+      (5, ' '.join(b_words), 'en', 'synthetic', 0),   # bridge, keep=0
+      (6, ' '.join(a_words), 'en', 'synthetic', 0),
+      (9, ' '.join(c_words), 'en', 'synthetic', 0),
+      (11, 'the quick brown ferret jumps over seven lazy hounds today',
+       'en', 'synthetic', 0),
+  ]
+  df = spark.createDataFrame(
+      rows, 'doc_id long, text string, lang string, source string, '
+            'n_chars long')
+  df.write.parquet(str(tmp_path / 'documents.parquet'))
+
+  out = {r['doc_id']: r for r in
+         curation_pipeline(spark, str(tmp_path)).collect()}
+  assert set(out) == {6, 9, 11}, sorted(out)
+  for did in (6, 9, 11):
+    assert out[did]['group_id'] == did
+    assert out[did]['group_size'] == 1

@@ -214,3 +214,31 @@ def test_media_phash_near_dup_pairs(spark):
   assert pairs[('m/base', 'm/copy')] == 0
   assert ('m/base', 'm/near') in pairs and pairs[('m/base', 'm/near')] <= 6
   assert all('m/other' not in pair for pair in pairs), pairs
+
+
+def test_media_near_dup_full_recall_vs_bruteforce(spark):
+  """Recall 1 as a set equality, not constructed positives: for the
+  whole synthetic media table, the banded join's pair set must equal
+  the brute-force O(n²) hamming computation at several thresholds —
+  including max_hamming > 3, which the old fixed-4-band split silently
+  under-recalled (a 4-6 bit difference spread 2+2+1+1 over four bands
+  collides nowhere)."""
+  from blueprint_oss_spark.ops.multimodal import (
+      extract_media_phash, media_near_dup_pairs, synthesize_media_table,
+  )
+
+  media = synthesize_media_table(spark, n=64)
+  ph = extract_media_phash(media).cache()
+  hashes = {r['media_ref']: r['ahash'] for r in ph.collect()
+            if r['decode_status'] == 'ok'}
+  assert len(hashes) >= 16
+  refs = sorted(hashes)
+  for max_h in (3, 6, 11):
+    truth = {(a, b)
+             for i, a in enumerate(refs) for b in refs[i + 1:]
+             if bin((hashes[a] ^ hashes[b])
+                    & 0xFFFFFFFFFFFFFFFF).count('1') <= max_h}
+    got = {(r['ref_a'], r['ref_b'])
+           for r in media_near_dup_pairs(ph, max_hamming=max_h)
+           .collect()}
+    assert got == truth, (max_h, truth - got, got - truth)

@@ -85,12 +85,26 @@ def test_near_dup_planted_equals_bruteforce_sf001(spark):
            for a in range(len(keys)) for b in range(a + 1, len(keys))
            if S[a, b] >= 0.9}
   got = {(r['vec_a'], r['vec_b']): r['cos_r']
-         for r in embedding_near_dup_pairs(spark, sf).collect()}
+         for r in embedding_near_dup_pairs(
+             spark, sf, plant_for_verification=True).collect()}
   assert set(got) == set(truth), (
       f'missing={set(truth) - set(got)} extra={set(got) - set(truth)}')
   assert len(got) >= 40
   for k, cos in got.items():
     assert abs(cos - truth[k]) < 5e-5, (k, cos, truth[k])
+
+
+def test_near_dup_default_is_truthful(spark):
+  """Without the verification flag the operator must report only pairs
+  actually present in the table: no fabricated vec_ids, and on the
+  near-dup-free sf0.01 corpus, no pairs at all."""
+  from blueprint_oss_spark.ops.vectors import embedding_near_dup_pairs
+
+  rows = embedding_near_dup_pairs(spark, '/root/testdata/sf0.01') \
+      .collect()
+  assert all(r['vec_a'] < 1_000_000 and r['vec_b'] < 1_000_000
+             for r in rows), rows
+  assert rows == [], rows
 
 
 def test_topk_exact_vs_ann(spark, planted_dir):
