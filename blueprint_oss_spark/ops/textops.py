@@ -113,7 +113,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_shingles(spark: SparkSession, sf_dir: str, *,
                      n_hashes: int = 16, shingle: int = 3,
-                     bands: int = 4) -> DataFrame:
+                     bands: int = 4,
+                     max_bucket_size: int = 0) -> DataFrame:
   """MinHash + LSH banding near-dup candidates, entirely with built-ins:
   token shingles → xxhash64 per permutation (hash-xor trick) → band
   signature → group by band bucket → candidate pairs.
@@ -121,7 +122,17 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   At 100 TB this shape holds: shingling and min-hashing are map-side,
   the single shuffle is the band-bucket groupBy, and candidate pairs per
   bucket stay tiny when bands/rows are tuned.
-  """
+
+  Skew knob (the analogue of ngram_jaccard_pairs' max_shingle_df): a
+  hub bucket — boilerplate-heavy near-identical docs that survive
+  exact dedup — puts k doc ids in ONE reducer row and k²/2 pairs in
+  one task.  `max_bucket_size` > 0 drops buckets larger than the cap
+  BEFORE the pair expansion and logs how many buckets/ids were
+  dropped (nothing silently vanishes — a hub bucket's members are
+  near-identical by construction, so the right production follow-up
+  is routing those ids to exact dedup, which is O(k) not O(k²)).
+  The default (0) disables the cap, keeping the operator exact —
+  which is what the sf0.01/sf0.1 oracles verify."""
   d = _docs(spark, sf_dir).select('doc_id', 'text')
   # A small corpus arrives as one parquet split, which would starve the
   # map side; spread it across cores first.  Guarded by the partition
@@ -178,6 +189,22 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
              .groupBy('bucket')
              .agg(F.sort_array(F.collect_set('doc_id')).alias('ids'))
              .where(F.size('ids') >= 2))
+  if max_bucket_size > 0:
+    import logging
+    # the drop-count is an action; persist so it and the pair
+    # expansion share one shuffle instead of recomputing the
+    # signatures (bucket rows are small: one per collision bucket)
+    grouped = grouped.persist()
+    dropped = grouped.where(F.size('ids') > max_bucket_size) \
+        .agg(F.count(F.lit(1)).alias('n_buckets'),
+             F.coalesce(F.sum(F.size('ids')), F.lit(0)).alias('n_ids')) \
+        .first()
+    if dropped['n_buckets']:
+      logging.getLogger(__name__).warning(
+          'minhash_shingles: dropped %d hub bucket(s) holding %d ids '
+          '(> max_bucket_size=%d); route their members to exact dedup',
+          dropped['n_buckets'], dropped['n_ids'], max_bucket_size)
+    grouped = grouped.where(F.size('ids') <= max_bucket_size)
   pairs = grouped.select(F.explode(F.expr(
       'flatten(transform(ids, (a, i) -> '
       'transform(slice(ids, i + 2, size(ids)), '

@@ -117,3 +117,33 @@ def test_dedup_groups_minhash_edges_match_jaccard(spark):
         for r in rows)
   assert by_source['minhash'] == by_source['jaccard']
   assert any(g[2] > 1 for g in by_source['jaccard'])  # real groups exist
+
+
+def test_minhash_max_bucket_size_caps_hub_buckets(spark, tmp_path):
+  """Skew guard: a planted hub bucket (30 near-identical docs that all
+  collide on every band) is dropped by max_bucket_size BEFORE the
+  quadratic in-bucket pair expansion, while small buckets keep their
+  pairs; with the cap off, the hub contributes all 30·29/2 pairs."""
+  from blueprint_oss_spark.ops.textops import minhash_shingles
+
+  hub_text = ('lorem ipsum dolor sit amet consectetur adipiscing elit '
+              'sed do eiusmod tempor incididunt ut labore et dolore')
+  pair_text = ('quick brown foxes jump over lazy hounds beside quiet '
+               'rivers under autumn skies while herons watch calmly')
+  rows = [(i, hub_text, 'en', 's', 0) for i in range(30)]
+  rows += [(100, pair_text, 'en', 's', 0),
+           (101, pair_text, 'en', 's', 0)]
+  spark.createDataFrame(
+      rows, 'doc_id long, text string, lang string, source string, '
+            'n_chars long') \
+      .write.parquet(str(tmp_path / 'documents.parquet'))
+
+  uncapped = {(r['doc_a'], r['doc_b'])
+              for r in minhash_shingles(spark, str(tmp_path)).collect()}
+  assert (100, 101) in uncapped
+  assert len(uncapped) == 30 * 29 // 2 + 1
+
+  capped = {(r['doc_a'], r['doc_b'])
+            for r in minhash_shingles(
+                spark, str(tmp_path), max_bucket_size=10).collect()}
+  assert capped == {(100, 101)}
