@@ -62,7 +62,67 @@ def main(argv=None) -> int:
                   choices=['google', 'ibocr', 'hocr', 'pdf'],
                   default='google')
 
+  sy = sub.add_parser(
+      'synthesis',
+      help='labeled extraction + schema + doc → synthesized pattern '
+           'node (reference bp/cli/synthesis.py parity)')
+  sy.add_argument('-d', '--doc-json', required=True, metavar='FILE',
+                  help='Document JSON file')
+  sy.add_argument('-e', '--extraction-json', required=True,
+                  metavar='FILE', help='Target extraction file')
+  sy.add_argument('-s', '--schema-json', required=True, metavar='FILE',
+                  help='Targets schema file (list of '
+                       '{field, type, is_label})')
+  sy.add_argument('-o', '--output-file', required=True, metavar='FILE',
+                  help='Output model JSON file')
+
+  wf = sub.add_parser(
+      'wiif',
+      help='why-is-it-failing: per-node rule scores for a labeled '
+           'extraction (reference bp/cli/wiif.py parity)')
+  wf.add_argument('-d', '--doc-json', required=True, metavar='FILE',
+                  help='Document JSON file')
+  wf.add_argument('-e', '--extraction-json', required=True,
+                  metavar='FILE', help='Extraction file')
+  wf.add_argument('-n', '--node-json', required=True, metavar='FILE',
+                  help='Node (model JSON) file')
+  wf.add_argument('-o', '--output-file', required=True, metavar='FILE',
+                  help='Output WIIF JSON file')
+
   args = ap.parse_args(argv)
+
+  if args.cmd in ('synthesis', 'wiif'):
+    from .engine.doc_json import load_doc, target_assign_from_json
+
+    pool = load_doc(args.doc_json)
+    with open(args.extraction_json) as f:
+      assign = target_assign_from_json(json.load(f), pool)
+
+    if args.cmd == 'synthesis':
+      from .engine.synthesis import SchemaEntry, synthesize_pattern_node
+      from .model.json_io import save_model
+
+      with open(args.schema_json) as f:
+        blob = json.load(f)
+      entries = blob['entries'] if isinstance(blob, dict) else blob
+      schema = tuple(
+          SchemaEntry(e['field'], e.get('type', 'Text'),
+                      bool(e.get('is_label', False)))
+          for e in entries)
+      node = synthesize_pattern_node(assign, schema, pool)
+      save_model(node, args.output_file)
+      print(json.dumps({'doc': pool.name, 'output': args.output_file,
+                        'fields': sorted(assign)}))
+    else:
+      from .engine.wiif import why_is_it_failing
+      from .model.json_io import load_model
+
+      node = load_model(args.node_json)
+      wiif_node = why_is_it_failing(assign, node, pool)
+      with open(args.output_file, 'w') as f:
+        json.dump(wiif_node, f, indent=2, sort_keys=True)
+      print(json.dumps({'doc': pool.name, 'output': args.output_file}))
+    return 0
 
   if args.cmd == 'gen_bp_doc':
     import glob as globmod

@@ -236,3 +236,32 @@ def load_doc(path: str) -> DocPool:
 def save_doc(pool: DocPool, path: str) -> None:
   with open(path, 'w') as f:
     f.write(json.dumps(doc_json_from_pool(pool)) + '\n')
+
+
+def target_assign_from_json(blob: Dict[str, Any],
+                            pool: DocPool) -> Dict[str, int]:
+  """Extraction JSON (field → entity object) → field → pool entity id.
+  Entities are matched by (type, text, bbox) — the identity a
+  serialized extraction carries (reference bp/extraction.py asdict;
+  loaded there by load_extraction, bp/extraction.py:185-195)."""
+  out: Dict[str, int] = {}
+  points = blob.get('assignments') or blob.get('points') or []
+  for p in points:
+    f = p['field']
+    ent = p['entity']
+    t = ent.get('type')
+    text = ent.get('text') or ''
+    b = ent.get('bbox') or {}
+    x0 = float(b.get('ix', {}).get('a', 0.0))
+    y0 = float(b.get('iy', {}).get('a', 0.0))
+    found = None
+    for eid in range(pool.n_entities):
+      if (pool.etype[eid] == t and pool.etext[eid] == text
+          and abs(pool.ex0[eid] - x0) < 1e-9
+          and abs(pool.ey0[eid] - y0) < 1e-9):
+        found = eid
+        break
+    if found is None:
+      raise ValueError(f'entity for field {f!r} not found in document')
+    out[f] = found
+  return out

@@ -26,36 +26,10 @@ import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
 
-from .engine.doc_json import doc_json_from_pool, pool_from_doc_json
-from .engine.docmodel import DocPool
-
-
-def _load_target_assign(blob: Dict[str, Any],
-                        pool: DocPool) -> Dict[str, int]:
-  """Extraction JSON (field → entity object) → field → pool entity id.
-  Entities are matched by (type, text, bbox) — the identity a
-  serialized extraction carries (bp/extraction.py asdict)."""
-  out: Dict[str, int] = {}
-  points = blob.get('assignments') or blob.get('points') or []
-  for p in points:
-    f = p['field']
-    ent = p['entity']
-    t = ent.get('type')
-    text = ent.get('text') or ''
-    b = ent.get('bbox') or {}
-    x0 = float(b.get('ix', {}).get('a', 0.0))
-    y0 = float(b.get('iy', {}).get('a', 0.0))
-    found = None
-    for eid in range(pool.n_entities):
-      if (pool.etype[eid] == t and pool.etext[eid] == text
-          and abs(pool.ex0[eid] - x0) < 1e-9
-          and abs(pool.ey0[eid] - y0) < 1e-9):
-        found = eid
-        break
-    if found is None:
-      raise ValueError(f'entity for field {f!r} not found in document')
-    out[f] = found
-  return out
+from .engine.doc_json import (
+    doc_json_from_pool, pool_from_doc_json,
+    target_assign_from_json as _load_target_assign,
+)
 
 
 def _handle(route: str, payload: Dict[str, Any]) -> Dict[str, Any]:
