@@ -263,7 +263,8 @@ def quality_filter(spark: SparkSession, sf_dir: str, *,
 def dedup_groups(spark: SparkSession, sf_dir: str, *,
                  shingle: int = 3, threshold: float = 0.8,
                  edge_source: str = 'jaccard',
-                 docs: DataFrame = None) -> DataFrame:
+                 docs: DataFrame = None,
+                 edges: DataFrame = None) -> DataFrame:
   """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
   connected components (alternating large-star/small-star, see
   ops/graph.py) → one row per document with its group representative
@@ -279,7 +280,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
   scale path — exact pair-finding is the oracle-friendly small-SF twin.
   """
   base = docs if docs is not None else _docs(spark, sf_dir)
-  if edge_source == 'minhash':
+  if edges is not None:
+    # precomputed candidate pairs (doc_a, doc_b) — a production run
+    # computes the edge set once and feeds both pair reporting and
+    # grouping from it instead of recomputing the signatures
+    pairs = edges.select('doc_a', 'doc_b')
+  elif edge_source == 'minhash':
     # the 100 TB path: banded-LSH candidates instead of the exact
     # inverted-index join (candidates are a probabilistic superset of
     # real near-dups within a band's collision rate — verify within

@@ -147,3 +147,22 @@ def test_minhash_max_bucket_size_caps_hub_buckets(spark, tmp_path):
             for r in minhash_shingles(
                 spark, str(tmp_path), max_bucket_size=10).collect()}
   assert capped == {(100, 101)}
+
+
+def test_dedup_groups_precomputed_edges_match(spark):
+  """The edges= seam (production shape: pair scan runs once, grouping
+  consumes it) must group identically to recomputing the same edges
+  inside dedup_groups."""
+  from blueprint_oss_spark.ops.textops import (
+      dedup_groups, minhash_shingles,
+  )
+
+  sf = '/root/testdata/sf0.001'
+  edges = minhash_shingles(spark, sf)
+  via_seam = sorted(
+      (r['doc_id'], r['group_id'], r['group_size'], r['is_keeper'])
+      for r in dedup_groups(spark, sf, edges=edges).collect())
+  recomputed = sorted(
+      (r['doc_id'], r['group_id'], r['group_size'], r['is_keeper'])
+      for r in dedup_groups(spark, sf, edge_source='minhash').collect())
+  assert via_seam == recomputed
