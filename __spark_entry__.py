@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'cohort_retention': R.cohort_retention,
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
+      'main_content_spans': _main_content_spans,
       'doc_token_stats': T.doc_token_stats,
       'doc_quality': T.doc_quality,
       'quality_filter': lambda s, d: T.quality_filter(s, d),
@@ -213,6 +214,28 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   so the oracle recomputes expected output engine-independently."""
   from blueprint_oss_spark.ops.html_extract import html_main_content
   return html_main_content(spark, sf_dir)
+
+
+def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """The north-rule pipeline end-to-end over the EXACT input-hint
+  shape (doc_id, spans:array<struct<kind,text,media_ref,offset>>):
+  interleaved HTML+media spans in, boilerplate-stripped span sequence
+  (kind, text, media_ref, order) out, media passthrough preserving
+  the interleave.  The table is synthesized deterministically from
+  the documents corpus so the DuckDB oracle recomputes the expected
+  span sequence from the raw table (recoverable ground truth)."""
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  df = interleaved_html_table(spark, sf_dir)
+  out = main_content_from_spans(df)
+  return (out.select('doc_id', F.explode('out_spans').alias('s'))
+          .select('doc_id',
+                  F.col('s.order').alias('span_order'),
+                  F.col('s.kind').alias('kind'),
+                  F.col('s.text').alias('text'),
+                  F.col('s.media_ref').alias('media_ref'))
+          .orderBy('doc_id', 'span_order'))
 
 
 def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +474,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
         FROM documents ORDER BY doc_id
+      """,
+      # North-rule span sequence recomputed from the raw documents
+      # table: the synthesis formulas (interleaved_html_table) are pure
+      # string arithmetic over (doc_id, text), and the main-content
+      # extractor provably recovers whitespace-normalized input text
+      # (html_main_content's oracle), so the whole wrap -> parse ->
+      # strip -> reassemble loop has an engine-independent oracle.
+      'main_content_spans': r"""
+        WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                          doc_id AS did, text FROM documents)
+        SELECT doc_id, CAST(0 AS INTEGER) AS span_order,
+               'text' AS kind,
+               trim(regexp_replace(
+                 'Document ' || doc_id || ' part 0. ' || text,
+                 '\s+', ' ', 'g')) AS text,
+               CAST(NULL AS VARCHAR) AS media_ref
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER), 'media',
+               CAST(NULL AS VARCHAR),
+               'media/' || doc_id || '/0'
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(2 AS INTEGER), 'text',
+               'Document ' || doc_id || ' closing section part 1.',
+               CAST(NULL AS VARCHAR)
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(3 AS INTEGER), 'media',
+               CAST(NULL AS VARCHAR),
+               'media/' || doc_id || '/1'
+        FROM d WHERE did % 3 = 0
+        ORDER BY doc_id, span_order
       """,
       'events_cube': """
         SELECT event_type, dow, COUNT(*) AS n_events,

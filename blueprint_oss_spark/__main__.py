@@ -62,6 +62,20 @@ def main(argv=None) -> int:
                   choices=['google', 'ibocr', 'hocr', 'pdf'],
                   default='google')
 
+  mc = sub.add_parser(
+      'run_main_content',
+      help='bulk main-content extraction over an interleaved '
+           'text+media spans table (HTML boilerplate strip, media '
+           'passthrough), resumable with per-partition lineage')
+  mc.add_argument('--input', required=True,
+                  help='spans parquet path (doc_id, spans:array<'
+                       'struct<kind,text,media_ref,offset>>)')
+  mc.add_argument('--output', required=True, help='output parquet path')
+  mc.add_argument('--master', default='local[*]')
+  mc.add_argument('--buckets', type=int, default=64)
+  mc.add_argument('--groups', type=int, default=4)
+  mc.add_argument('--no-resume', action='store_true')
+
   sy = sub.add_parser(
       'synthesis',
       help='labeled extraction + schema + doc → synthesized pattern '
@@ -166,10 +180,7 @@ def main(argv=None) -> int:
 
   from pyspark.sql import SparkSession
 
-  from .model.json_io import load_model
   from .spark.pipeline import run_extraction_job
-  from .spark.sources import (
-      extract_from_doc_json_files, extract_from_ocr_files)
 
   spark = (SparkSession.builder.master(args.master)
            .appName('blueprint-oss-spark')
@@ -177,6 +188,23 @@ def main(argv=None) -> int:
            .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
            .config('spark.sql.session.timeZone', 'UTC')
            .getOrCreate())
+
+  if args.cmd == 'run_main_content':
+    from .ops.html_extract import main_content_from_spans
+    lineage = run_extraction_job(
+        spark, spark.read.parquet(args.input), args.output,
+        transform=main_content_from_spans,
+        buckets=args.buckets, groups=args.groups,
+        resume=not args.no_resume)
+    print(json.dumps({'groups_processed': len(lineage),
+                      'output': args.output}))
+    spark.stop()
+    return 0
+
+  from .model.json_io import load_model
+  from .spark.sources import (
+      extract_from_doc_json_files, extract_from_ocr_files)
+
   root = load_model(args.model)
 
   if args.ocr_format:

@@ -22,13 +22,10 @@ import numpy as np
 
 from .docmodel import DocPool, median_word_height
 
-# The full set of word-bearing entity types both directions of the
-# round-trip support (load in pool_from_doc_json, save in
-# doc_json_from_pool).  Number/Integer/Time/NamedEntity re-save with
+# Both round-trip directions support the full word-bearing registry
+# (Text/Date/DollarAmount/Number/Integer/Time/PersonName/Address/
+# NamedEntity); Number/Integer/Time/NamedEntity re-save with
 # value=None — DocPool keeps text + scores, not parsed values.
-_WORDY_TYPES = {'Text', 'Date', 'DollarAmount', 'Number', 'Integer',
-                'Time', 'PersonName', 'Address', 'NamedEntity'}
-
 
 def _bbox_dict(x0: float, x1: float, y0: float, y1: float) -> Dict[str, Any]:
   return {'ix': {'a': x0, 'b': x1}, 'iy': {'a': y0, 'b': y1}}

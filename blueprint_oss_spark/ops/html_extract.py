@@ -30,7 +30,9 @@ from typing import Iterator, List
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
 
 _SKIP_SUBTREE = {'script', 'style', 'nav', 'header', 'footer', 'aside',
                  'form', 'noscript', 'iframe', 'button', 'svg',
@@ -188,3 +190,108 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
       yield pd.DataFrame({'doc_id': pdf['doc_id'], 'main_text': outs})
 
   return docs.mapInPandas(run, out_schema).orderBy('doc_id')
+
+
+# ---------------------------------------------------------------------------
+# North-rule pipeline: main-content extraction over the interleaved
+# text+media spans table — input shape exactly
+# (doc_id:string, spans:array<struct<kind,text,media_ref,offset:int>>),
+# output the reassembled span sequence (kind, text, media_ref, order).
+# ---------------------------------------------------------------------------
+
+
+def interleaved_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Deterministic synthesis of the north-rule input table from the
+  documents corpus: each doc becomes an interleaved sequence of
+  boilerplate-heavy HTML spans and opaque media spans —
+
+    offset 0: HTML page wrapping 'Document <id> part 0. <text>'
+    offset 1: media span media/<id>/0 (binary payload lives elsewhere;
+              the span carries the reference, per the input hint)
+    offset 2: HTML page wrapping a closing section
+    offset 3: second media span for every doc_id % 3 == 0
+
+  Everything is derived from (doc_id, text) by pure formulas, so the
+  expected OUTPUT of the main-content pipeline is recomputable in SQL
+  from the raw documents table — the recoverable-ground-truth design
+  the flat html_main_content operator already uses."""
+  from ..spark.pipeline import SPANS_SCHEMA
+
+  docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+      .select(F.col('doc_id').cast('string').alias('doc_id'), 'text') \
+      .withColumn('variant',
+                  F.pmod(F.xxhash64('doc_id'), F.lit(3)).cast('int'))
+
+  def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+      out_ids, out_spans = [], []
+      for doc_id, text, variant in zip(pdf['doc_id'], pdf['text'],
+                                       pdf['variant']):
+        v = int(variant)
+        spans = [
+            {'kind': 'html', 'media_ref': None, 'offset': 0,
+             'text': wrap_in_boilerplate(
+                 doc_id, f'Document {doc_id} part 0. {text}', v)},
+            {'kind': 'media', 'text': None, 'offset': 1,
+             'media_ref': f'media/{doc_id}/0'},
+            {'kind': 'html', 'media_ref': None, 'offset': 2,
+             'text': wrap_in_boilerplate(
+                 doc_id,
+                 f'Document {doc_id} closing section part 1.', v + 1)},
+        ]
+        if int(doc_id) % 3 == 0:
+          spans.append({'kind': 'media', 'text': None, 'offset': 3,
+                        'media_ref': f'media/{doc_id}/1'})
+        out_ids.append(doc_id)
+        out_spans.append(spans)
+      yield pd.DataFrame({'doc_id': out_ids, 'spans': out_spans})
+
+  return docs.mapInPandas(run, SPANS_SCHEMA)
+
+
+def main_content_from_spans(df: DataFrame) -> DataFrame:
+  """The north-rule main-content pipeline over an interleaved spans
+  table: HTML spans are boilerplate-stripped to their main text (DOM
+  block scoring, extract_main_content), plain-text spans are
+  whitespace-normalized, media spans pass through untouched, and the
+  output preserves the interleave as (kind, text, media_ref, order)
+  with order = rank in the offset-sorted input sequence.
+
+  Plan shape: Scan → MapInPandas — ZERO shuffles, embarrassingly
+  parallel over doc_id like the blueprint extraction path (pinned by
+  tests/test_html_extract.py); at 10^12 docs the only lever is
+  executor count.  Arrow-batched; no per-row Python."""
+  from ..spark.pipeline import OUT_SPAN_STRUCT
+
+  out_schema = StructType([
+      StructField('doc_id', df.schema['doc_id'].dataType),
+      StructField('out_spans', ArrayType(OUT_SPAN_STRUCT)),
+      StructField('n_html', IntegerType()),
+  ])
+
+  def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+      ids, outs, n_htmls = [], [], []
+      for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
+        ordered = sorted(spans, key=lambda s: s['offset'])
+        out, n_html = [], 0
+        for order, s in enumerate(ordered):
+          if s['kind'] == 'media':
+            out.append({'kind': 'media', 'text': None,
+                        'media_ref': s['media_ref'], 'order': order})
+          elif s['kind'] == 'html':
+            n_html += 1
+            out.append({'kind': 'text',
+                        'text': extract_main_content(s['text'] or ''),
+                        'media_ref': None, 'order': order})
+          else:  # plain text span: normalize whitespace only
+            out.append({'kind': 'text',
+                        'text': ' '.join((s['text'] or '').split()),
+                        'media_ref': None, 'order': order})
+        ids.append(doc_id)
+        outs.append(out)
+        n_htmls.append(n_html)
+      yield pd.DataFrame({'doc_id': ids, 'out_spans': outs,
+                          'n_html': n_htmls})
+
+  return df.mapInPandas(run, out_schema)

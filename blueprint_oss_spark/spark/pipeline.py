@@ -281,11 +281,12 @@ def dedup_spans(df: DataFrame) -> DataFrame:
 
 
 def run_extraction_job(spark: SparkSession, input_df: DataFrame,
-                       output_path: str, root: Node, *,
+                       output_path: str, root: Optional[Node] = None, *,
                        buckets: int = 64, groups: int = 4,
                        resume: bool = True,
                        table_format: str = 'parquet',
                        iceberg_table: Optional[str] = None,
+                       transform=None,
                        **extract_kwargs) -> List[dict]:
   """Resumable bulk job with per-partition lineage + metrics.
 
@@ -308,8 +309,22 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
   RuntimeError naming the missing setup (this container ships no
   Iceberg jars, so the branch is exercised for its failure contract
   and the parquet path for the full behavior).
+
+  `transform` generalizes the per-group computation: any
+  DataFrame → DataFrame doc-level pipeline (e.g. the main-content
+  spans pipeline, ops/html_extract.main_content_from_spans) rides the
+  same bucketing / checkpoint groups / lineage / atomic-overwrite
+  machinery as blueprint extraction; the default is
+  extract_documents(part, root).  Group metrics adapt to the output
+  schema (docs always; errors/score_sum/elapsed_ms when present).
   """
   import json
+
+  if transform is None:
+    if root is None:
+      raise ValueError('run_extraction_job needs root= or transform=')
+    def transform(part):  # noqa: E306 - default blueprint pipeline
+      return extract_documents(part, root, **extract_kwargs)
 
   # Lineage I/O goes through the Hadoop FileSystem API (via the JVM),
   # not the local os module, so checkpoint/resume works unchanged when
@@ -341,19 +356,22 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
     lo, hi = g * per_group, min((g + 1) * per_group, buckets)
     part = df.where((F.col('part_bucket') >= lo)
                     & (F.col('part_bucket') < hi))
-    out = extract_documents(part.drop('part_bucket'), root,
-                            **extract_kwargs)
+    out = transform(part.drop('part_bucket'))
     out = out.withColumn(
         'part_bucket', F.pmod(F.xxhash64('doc_id'), F.lit(buckets)))
     from pyspark.sql import Observation
     obs = Observation(f'bp_group_{g}')
-    observed = out.observe(
-        obs,
-        F.count(F.lit(1)).alias('docs'),
-        F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
-        .alias('errors'),
-        F.sum('score').alias('score_sum'),
-        F.sum('elapsed_ms').alias('elapsed_ms_sum'))
+    cols = set(out.columns)
+    metrics_exprs = [F.count(F.lit(1)).alias('docs')]
+    if 'error' in cols:
+      metrics_exprs.append(
+          F.sum(F.when(F.col('error').isNotNull(), 1).otherwise(0))
+          .alias('errors'))
+    if 'score' in cols:
+      metrics_exprs.append(F.sum('score').alias('score_sum'))
+    if 'elapsed_ms' in cols:
+      metrics_exprs.append(F.sum('elapsed_ms').alias('elapsed_ms_sum'))
+    observed = out.observe(obs, *metrics_exprs)
     # Dynamic partition overwrite: a re-run of this group replaces
     # exactly its own part_bucket partitions, so resuming after a
     # partially-written group (crash between data write and lineage

@@ -526,6 +526,12 @@ def main() -> None:
   ap.add_argument('--sf-dir', default='/root/testdata/sf0.01')
   ap.add_argument('--paystub-subset', type=int, default=6)
   ap.add_argument('--only', nargs='*', default=None)
+  ap.add_argument('--extra-verify-sf', nargs='*', default=None,
+                  help='additionally run the bp_extract_* corpora at '
+                       'these sf dirs and verify against the reference '
+                       '(no snapshot written — two-scale evidence for '
+                       'the extraction path, recorded in MANIFEST '
+                       'under also_verified)')
   args = ap.parse_args()
 
   from pyspark.sql import SparkSession
@@ -547,8 +553,23 @@ def main() -> None:
     with open(manifest_path) as f:
       manifest = json.load(f)
 
-  def run(name):
-    return queries[name](spark, args.sf_dir).toPandas()
+  def run(name, sf_dir=None):
+    return queries[name](spark, sf_dir or args.sf_dir).toPandas()
+
+  def verify_bp(name, sf_dir, pdf):
+    if name == 'bp_extract_paystubs':
+      from blueprint_oss_spark.bp_examples.paystub_fixtures import \
+          paystub_corpus
+      return verify_bp_extract_flagship(
+          sf_dir, pdf, args.paystub_subset, paystub_corpus,
+          '/root/reference/examples/paystubs/paystubs.py')
+    if name == 'bp_extract_checks':
+      from blueprint_oss_spark.bp_examples.check_fixtures import \
+          check_corpus
+      return verify_bp_extract_flagship(
+          sf_dir, pdf, args.paystub_subset, check_corpus,
+          '/root/reference/examples/checks/checks.py')
+    return verify_bp_extract(name[len('bp_extract_'):], sf_dir, pdf)
 
   jobs = list(entry._SNAPSHOT_ORACLES)
   if args.only:
@@ -557,21 +578,8 @@ def main() -> None:
   for name in jobs:
     t0 = time.monotonic()
     pdf = run(name)
-    if name.startswith('bp_extract_') and \
-        name not in ('bp_extract_paystubs', 'bp_extract_checks'):
-      rec = verify_bp_extract(name[len('bp_extract_'):], args.sf_dir, pdf)
-    elif name == 'bp_extract_paystubs':
-      from blueprint_oss_spark.bp_examples.paystub_fixtures import \
-          paystub_corpus
-      rec = verify_bp_extract_flagship(
-          args.sf_dir, pdf, args.paystub_subset, paystub_corpus,
-          '/root/reference/examples/paystubs/paystubs.py')
-    elif name == 'bp_extract_checks':
-      from blueprint_oss_spark.bp_examples.check_fixtures import \
-          check_corpus
-      rec = verify_bp_extract_flagship(
-          args.sf_dir, pdf, args.paystub_subset, check_corpus,
-          '/root/reference/examples/checks/checks.py')
+    if name.startswith('bp_extract_'):
+      rec = verify_bp(name, args.sf_dir, pdf)
     elif name == 'minhash_pairs':
       rec = verify_minhash(args.sf_dir, pdf, run(name))
     elif name == 'simhash64':
@@ -596,6 +604,19 @@ def main() -> None:
                build_sec=round(time.monotonic() - t0, 1))
     manifest[name] = rec
     print(f'{name}: {rec}')
+
+  for extra_sf in (args.extra_verify_sf or []):
+    for name in jobs:
+      if not name.startswith('bp_extract_'):
+        continue
+      t0 = time.monotonic()
+      pdf = run(name, extra_sf)
+      rec = verify_bp(name, extra_sf, pdf)
+      rec.update(rows=len(pdf), sf_dir=extra_sf,
+                 build_sec=round(time.monotonic() - t0, 1))
+      manifest.setdefault(name, {}) \
+          .setdefault('also_verified', {})[extra_sf] = rec
+      print(f'{name} @ {extra_sf}: {rec}')
 
   with open(manifest_path, 'w') as f:
     json.dump(manifest, f, indent=1, sort_keys=True)

@@ -64,3 +64,101 @@ def test_spark_op_matches_original_text(spark):
   assert len(out) == len(src)
   for r in out:
     assert r['main_text'] == ' '.join(src[r['doc_id']].split())
+
+
+def test_main_content_from_spans_interleave_and_order(spark):
+  """The spans pipeline: out-of-order offsets are re-ranked into a
+  dense order, HTML spans are boilerplate-stripped, plain text spans
+  whitespace-normalized, media spans pass through untouched — the
+  north rule's (kind, text, media_ref, order) span-sequence contract."""
+  from blueprint_oss_spark.ops.html_extract import (
+      main_content_from_spans, wrap_in_boilerplate,
+  )
+  from blueprint_oss_spark.spark.pipeline import SPANS_SCHEMA
+
+  page = wrap_in_boilerplate('d1', 'Hello   main\ncontent world', 1)
+  rows = [(
+      'd1',
+      [  # deliberately NOT offset-sorted
+          {'kind': 'media', 'text': None, 'media_ref': 'm/d1/0',
+           'offset': 5},
+          {'kind': 'html', 'text': page, 'media_ref': None,
+           'offset': 2},
+          {'kind': 'text', 'text': '  plain\t\ttext  span ',
+           'media_ref': None, 'offset': 9},
+      ])]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = main_content_from_spans(df).collect()
+  assert len(out) == 1
+  r = out[0]
+  assert r['n_html'] == 1
+  got = [(s['kind'], s['text'], s['media_ref'], s['order'])
+         for s in r['out_spans']]
+  assert got == [
+      ('text', 'Hello main content world', None, 0),
+      ('media', None, 'm/d1/0', 1),
+      ('text', 'plain text span', None, 2),
+  ]
+
+
+def test_main_content_from_spans_plan_has_no_shuffle(spark):
+  """Scan → MapInPandas, zero Exchange — same embarrassingly-parallel
+  shape as blueprint extraction (the 10^12-doc scale argument)."""
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  df = interleaved_html_table(spark, '/root/testdata/sf0.001')
+  plan = main_content_from_spans(df)._jdf.queryExecution() \
+      .executedPlan().toString()
+  assert 'Exchange' not in plan
+
+
+def test_interleaved_table_shape(spark):
+  """Synthesized input matches the input hint exactly: every doc has
+  html spans at offsets 0/2, a media span at 1, and doc_id % 3 == 0
+  docs a second media span at 3."""
+  from blueprint_oss_spark.ops.html_extract import interleaved_html_table
+
+  rows = interleaved_html_table(spark, '/root/testdata/sf0.001') \
+      .collect()
+  assert len(rows) == 500
+  for r in rows[:50]:
+    spans = sorted(r['spans'], key=lambda s: s['offset'])
+    kinds = [s['kind'] for s in spans]
+    expect = ['html', 'media', 'html'] + (
+        ['media'] if int(r['doc_id']) % 3 == 0 else [])
+    assert kinds == expect, (r['doc_id'], kinds)
+    assert spans[1]['media_ref'] == f"media/{r['doc_id']}/0"
+    assert all(s['text'] is None for s in spans if s['kind'] == 'media')
+    assert all(s['media_ref'] is None for s in spans
+               if s['kind'] == 'html')
+
+
+def test_cli_run_main_content(spark, tmp_path):
+  """spark-submit surface: python -m blueprint_oss_spark
+  run_main_content over a spans parquet dir writes the reassembled
+  span-sequence table with lineage."""
+  import json
+  import subprocess
+  import sys
+
+  from blueprint_oss_spark.ops.html_extract import interleaved_html_table
+
+  inp = str(tmp_path / 'spans_in')
+  interleaved_html_table(spark, '/root/testdata/sf0.001') \
+      .limit(30).write.parquet(inp)
+
+  out = str(tmp_path / 'out')
+  r = subprocess.run(
+      [sys.executable, '-m', 'blueprint_oss_spark', 'run_main_content',
+       '--input', inp, '--output', out, '--master', 'local[2]',
+       '--buckets', '4', '--groups', '2'],
+      capture_output=True, text=True, cwd='/root/repo', timeout=300,
+      env={**__import__('os').environ, 'PYTHONPATH': '/root/repo'})
+  assert r.returncode == 0, r.stderr
+  info = json.loads(r.stdout.strip().splitlines()[-1])
+  assert info['groups_processed'] == 2
+  rows = spark.read.parquet(out).collect()
+  assert len(rows) == 30
+  assert all(any(s['kind'] == 'media' for s in row['out_spans'])
+             for row in rows)

@@ -171,3 +171,50 @@ def test_dedup_spans_keeps_min_doc_per_content(spark):
   for doc_id in kept:
     local = run_doc(doc_id, spans_by_id[doc_id], root)
     assert by_id[doc_id]['fields'] == local['fields']
+
+
+def test_run_job_with_main_content_transform(spark, tmp_path):
+  """The checkpoint/lineage machinery generalizes to any doc-level
+  transform: the main-content spans pipeline runs through
+  run_extraction_job with per-group lineage + resume, and its output
+  equals the direct (un-bucketed) run."""
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  from blueprint_oss_spark.spark.pipeline import run_extraction_job
+
+  inp = str(tmp_path / 'spans_in')
+  interleaved_html_table(spark, '/root/testdata/sf0.001') \
+      .limit(120).write.parquet(inp)
+  src = spark.read.parquet(inp)
+  out_path = str(tmp_path / 'mc_out')
+
+  lineage = run_extraction_job(
+      spark, src, out_path, transform=main_content_from_spans,
+      buckets=8, groups=2)
+  assert len(lineage) == 2
+  assert sum(r['metrics']['docs'] for r in lineage) == 120
+  assert all('errors' not in r['metrics'] for r in lineage)
+
+  got = {r['doc_id']: [(s['kind'], s['text'], s['media_ref'],
+                        s['order']) for s in r['out_spans']]
+         for r in spark.read.parquet(out_path).collect()}
+  want = {r['doc_id']: [(s['kind'], s['text'], s['media_ref'],
+                         s['order']) for s in r['out_spans']]
+          for r in main_content_from_spans(src).collect()}
+  assert got == want and len(got) == 120
+
+  # resume: everything checkpointed, nothing re-runs
+  assert run_extraction_job(
+      spark, src, out_path, transform=main_content_from_spans,
+      buckets=8, groups=2) == []
+
+  # crash recovery: drop one group's lineage -> only it re-runs,
+  # and the dynamic partition overwrite leaves no duplicates
+  import os
+  os.remove(f'{out_path}/_lineage/group-1.json')
+  redo = run_extraction_job(
+      spark, src, out_path, transform=main_content_from_spans,
+      buckets=8, groups=2)
+  assert [r['group'] for r in redo] == [1]
+  assert spark.read.parquet(out_path).count() == 120
