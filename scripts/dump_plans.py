@@ -25,6 +25,12 @@ def main() -> None:
   df = spark.createDataFrame(rows, SPANS_SCHEMA)
   print('=== EXTRACTION PIPELINE ===')
   extract_documents(df, readme_blueprint()).explain('formatted')
+  print('=== MAIN-CONTENT SPANS PIPELINE ===')
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans)
+  main_content_from_spans(
+      interleaved_html_table(spark, '/root/testdata/sf0.001')) \
+      .explain('formatted')
   print('=== Q1 ===')
   R.q1_pricing_summary(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
