@@ -506,6 +506,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR),
                'media/' || doc_id || '/1'
         FROM d WHERE did % 3 = 0
+        UNION ALL
+        -- the PDF branch: write_simple_pdf -> parse_pdf round-trips
+        -- the appendix line exactly, at order 3 or 4 depending on
+        -- whether the doc also carries the second media span
+        SELECT doc_id,
+               CAST(3 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER),
+               'text',
+               'PDF appendix for document ' || doc_id,
+               CAST(NULL AS VARCHAR)
+        FROM d WHERE did % 2 = 0
         ORDER BY doc_id, span_order
       """,
       'events_cube': """

@@ -210,11 +210,16 @@ def interleaved_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
               the span carries the reference, per the input hint)
     offset 2: HTML page wrapping a closing section
     offset 3: second media span for every doc_id % 3 == 0
+    offset 4: a real single-page PDF (spark/pdf.write_simple_pdf,
+              FlateDecode content stream, latin-1-coded into the
+              string span) for every doc_id % 2 == 0 — exercising the
+              pipeline's PDF/layout-parse branch
 
   Everything is derived from (doc_id, text) by pure formulas, so the
   expected OUTPUT of the main-content pipeline is recomputable in SQL
   from the raw documents table — the recoverable-ground-truth design
   the flat html_main_content operator already uses."""
+  from ..spark.pdf import CHAR_ADVANCE, write_simple_pdf
   from ..spark.pipeline import SPANS_SCHEMA
 
   docs = spark.read.parquet(f'{sf_dir}/documents.parquet') \
@@ -242,6 +247,17 @@ def interleaved_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         if int(doc_id) % 3 == 0:
           spans.append({'kind': 'media', 'text': None, 'offset': 3,
                         'media_ref': f'media/{doc_id}/1'})
+        if int(doc_id) % 2 == 0:
+          size, x, y = 12.0, 36.0, 100.0
+          words = []
+          for w in f'PDF appendix for document {doc_id}'.split():
+            x1 = x + CHAR_ADVANCE * size * len(w)
+            words.append((w, x, x1, y, y + size))
+            x = x1 + CHAR_ADVANCE * size
+          pdf = write_simple_pdf(
+              [{'width': 612.0, 'height': 792.0, 'words': words}])
+          spans.append({'kind': 'pdf', 'media_ref': None, 'offset': 4,
+                        'text': pdf.decode('latin-1')})
         out_ids.append(doc_id)
         out_spans.append(spans)
       yield pd.DataFrame({'doc_id': out_ids, 'spans': out_spans})
@@ -252,10 +268,15 @@ def interleaved_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def main_content_from_spans(df: DataFrame) -> DataFrame:
   """The north-rule main-content pipeline over an interleaved spans
   table: HTML spans are boilerplate-stripped to their main text (DOM
-  block scoring, extract_main_content), plain-text spans are
-  whitespace-normalized, media spans pass through untouched, and the
-  output preserves the interleave as (kind, text, media_ref, order)
-  with order = rank in the offset-sorted input sequence.
+  block scoring, extract_main_content), PDF spans are layout-parsed
+  (spark/pdf.parse_pdf; latin-1-coded bytes in the string span) and
+  their words joined in reading order (page, then top-to-bottom, then
+  left-to-right), plain-text spans are whitespace-normalized, media
+  spans pass through untouched, and the output preserves the
+  interleave as (kind, text, media_ref, order) with order = rank in
+  the offset-sorted input sequence.  A PDF span that fails to parse
+  yields an empty text span (documented degradation — the pipeline
+  has no error column; tested).
 
   Plan shape: Scan → MapInPandas — ZERO shuffles, embarrassingly
   parallel over doc_id like the blueprint extraction path (pinned by
@@ -283,6 +304,18 @@ def main_content_from_spans(df: DataFrame) -> DataFrame:
             n_html += 1
             out.append({'kind': 'text',
                         'text': extract_main_content(s['text'] or ''),
+                        'media_ref': None, 'order': order})
+          elif s['kind'] == 'pdf':
+            from ..spark.pdf import parse_pdf
+            try:
+              pages = parse_pdf((s['text'] or '').encode('latin-1'))
+              words = [w[0] for p in pages
+                       for w in sorted(p['words'],
+                                       key=lambda w: (w[3], w[1]))]
+              text = ' '.join(' '.join(words).split())
+            except Exception:
+              text = ''
+            out.append({'kind': 'text', 'text': text,
                         'media_ref': None, 'order': order})
           else:  # plain text span: normalize whitespace only
             out.append({'kind': 'text',

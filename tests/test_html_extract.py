@@ -123,15 +123,19 @@ def test_interleaved_table_shape(spark):
       .collect()
   assert len(rows) == 500
   for r in rows[:50]:
+    did = int(r['doc_id'])
     spans = sorted(r['spans'], key=lambda s: s['offset'])
     kinds = [s['kind'] for s in spans]
-    expect = ['html', 'media', 'html'] + (
-        ['media'] if int(r['doc_id']) % 3 == 0 else [])
+    expect = (['html', 'media', 'html']
+              + (['media'] if did % 3 == 0 else [])
+              + (['pdf'] if did % 2 == 0 else []))
     assert kinds == expect, (r['doc_id'], kinds)
     assert spans[1]['media_ref'] == f"media/{r['doc_id']}/0"
     assert all(s['text'] is None for s in spans if s['kind'] == 'media')
     assert all(s['media_ref'] is None for s in spans
-               if s['kind'] == 'html')
+               if s['kind'] in ('html', 'pdf'))
+    if did % 2 == 0:
+      assert spans[-1]['text'].startswith('%PDF-')
 
 
 def test_cli_run_main_content(spark, tmp_path):
@@ -162,3 +166,33 @@ def test_cli_run_main_content(spark, tmp_path):
   assert len(rows) == 30
   assert all(any(s['kind'] == 'media' for s in row['out_spans'])
              for row in rows)
+
+
+def test_main_content_pdf_span_and_malformed(spark):
+  """PDF spans layout-parse to their reading-order text; a malformed
+  PDF degrades to an empty text span instead of failing the doc."""
+  from blueprint_oss_spark.ops.html_extract import main_content_from_spans
+  from blueprint_oss_spark.spark.pdf import CHAR_ADVANCE, write_simple_pdf
+  from blueprint_oss_spark.spark.pipeline import SPANS_SCHEMA
+
+  size, x, y = 10.0, 20.0, 50.0
+  words = []
+  for w in 'alpha beta gamma'.split():
+    x1 = x + CHAR_ADVANCE * size * len(w)
+    words.append((w, x, x1, y, y + size))
+    x = x1 + CHAR_ADVANCE * size
+  pdf = write_simple_pdf(
+      [{'width': 612.0, 'height': 792.0, 'words': words}])
+
+  rows = [
+      ('ok', [{'kind': 'pdf', 'text': pdf.decode('latin-1'),
+               'media_ref': None, 'offset': 0}]),
+      ('bad', [{'kind': 'pdf', 'text': '%PDF-1.4 garbage \x00\x01',
+                'media_ref': None, 'offset': 0}]),
+  ]
+  df = spark.createDataFrame(rows, SPANS_SCHEMA)
+  out = {r['doc_id']: r['out_spans'] for r in
+         main_content_from_spans(df).collect()}
+  assert [(s['kind'], s['text']) for s in out['ok']] == \
+      [('text', 'alpha beta gamma')]
+  assert [(s['kind'], s['text']) for s in out['bad']] == [('text', '')]
