@@ -156,12 +156,6 @@ def main() -> None:
 
   # --- relational + training-data ops (steady state: one warmup pass
   # then the timed pass) -------------------------------------------------
-  # dedup_groups reuses a precomputed minhash edge set (production
-  # shape: the pair scan runs once, grouping consumes it) so its
-  # timing isolates the connected-components rounds instead of
-  # re-measuring the ~4-5 s signature pass minhash_pairs already times.
-  minhash_edges = T.minhash_shingles(spark, sf_dir).persist()
-  minhash_edges.count()  # materialize outside the timed section
   suite = [
       ('q1_pricing_summary',
        lambda: R.q1_pricing_summary(spark, sf_dir).collect()),
@@ -171,9 +165,6 @@ def main() -> None:
       ('doc_quality', lambda: T.doc_quality(spark, sf_dir).count()),
       ('minhash_pairs',
        lambda: T.minhash_shingles(spark, sf_dir).count()),
-      ('dedup_groups',
-       lambda: T.dedup_groups(spark, sf_dir,
-                              edges=minhash_edges).count()),
       ('cosine_topk',
        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect()),
       ('sessionize', lambda: R.sessionize(spark, sf_dir).count()),
@@ -182,6 +173,23 @@ def main() -> None:
     fn()
   for name, fn in suite:
     timed(name, fn)
+
+  # dedup_groups reuses a precomputed minhash edge set (production
+  # shape: the pair scan runs once, grouping consumes it) so its
+  # timing isolates the connected-components rounds instead of
+  # re-measuring the ~4-5 s signature pass minhash_pairs already
+  # times.  The persist happens strictly AFTER minhash_pairs was
+  # timed: Spark's cache manager matches by canonicalized plan, so a
+  # pre-existing cached edge set would silently serve the
+  # minhash_pairs query and fake its number.
+  minhash_edges = T.minhash_shingles(spark, sf_dir).persist()
+  minhash_edges.count()  # materialize outside the timed section
+
+  def dedup_groups_run():
+    return T.dedup_groups(spark, sf_dir, edges=minhash_edges).count()
+
+  dedup_groups_run()  # warmup
+  timed('dedup_groups', dedup_groups_run)
   minhash_edges.unpersist()
 
   total = round(sum(timings.values()), 4)
