@@ -39,7 +39,7 @@ STEADY_RANGES = {
     'minhash_pairs': [3.3, 5.8],
     'dedup_groups': [3.5, 7.5],
     'cosine_topk': [0.4, 0.8],
-    'sessionize': [1.2, 1.7],
+    'sessionize': [0.6, 1.7],
 }
 
 

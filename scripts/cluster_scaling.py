@@ -79,10 +79,12 @@ if model == 'main_content':
     df = src.repartition(n_parts).cache()
     df.count()
     def run_pass():
+        # per-row hashes sum as decimal(38,0): exact, order-insensitive,
+        # and immune to the long overflow ANSI mode rejects
         return main_content_from_spans(df).agg(
             F.count('*').alias('n'),
-            F.sum(F.xxhash64('doc_id', F.to_json('out_spans')))
-            .alias('s')).collect()[0]
+            F.sum(F.xxhash64('doc_id', F.to_json('out_spans'))
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
 else:
     if model == 'paystubs':
         from blueprint_oss_spark.bp_examples.paystub_fixtures import \
@@ -111,8 +113,9 @@ for _ in range(3):
     t0 = time.monotonic()
     agg = run_pass()
     dt = time.monotonic() - t0
-    n, checksum = agg['n'], (round(agg['s'], 9)
-                             if isinstance(agg['s'], float) else agg['s'])
+    n = agg['n']
+    checksum = (round(agg['s'], 9) if isinstance(agg['s'], float)
+                else str(agg['s']))  # Decimal -> str for json
     if best is None or dt < best:
         best = dt
 print('RESULT ' + json.dumps({
