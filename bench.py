@@ -32,6 +32,7 @@ STEADY_RANGES = {
     'extraction': [1.0, 1.8],
     'extraction_paystubs': [2.5, 5.0],
     'extraction_checks': [2.6, 3.3],
+    'main_content_spans': [0.8, 2.5],
     'q1_pricing_summary': [0.9, 1.3],
     'q3_shipping_priority': [0.7, 1.1],
     'dedup_exact': [0.3, 0.6],
@@ -150,6 +151,22 @@ def main() -> None:
   chk_docs_per_sec = n_chk_out / chk_sec if chk_sec > 0 else 0.0
   cdf.unpersist()
 
+  # Main-content pipeline benchmark (the north rule's own workload):
+  # interleaved HTML+PDF+media spans -> boilerplate strip / layout
+  # parse -> reassembled span sequence.  Input synthesized once and
+  # cached so the timed section measures the pipeline, not the
+  # synthesis.
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans)
+  mdf = interleaved_html_table(spark, sf_dir) \
+      .repartition(int(cpus)).cache()
+  n_mc = mdf.count()
+  main_content_from_spans(mdf).count()  # warmup
+  mc_sec = timed('main_content_spans',
+                 lambda: main_content_from_spans(mdf).count())
+  mc_docs_per_sec = n_mc / mc_sec if mc_sec > 0 else 0.0
+  mdf.unpersist()
+
   # Release extraction-phase memory before the relational suite so GC
   # pressure from the cached corpora doesn't pollute those timings.
   spark.catalog.clearCache()
@@ -208,6 +225,8 @@ def main() -> None:
       'paystubs_docs': n_stub_out,
       'checks_docs_per_sec': round(chk_docs_per_sec, 2),
       'checks_docs': n_chk_out,
+      'main_content_docs_per_sec': round(mc_docs_per_sec, 2),
+      'main_content_docs': n_mc,
       'cpus': int(cpus),
   }))
   spark.stop()

@@ -235,3 +235,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
   run_once()
   got = [r['doc_id'] for r in spark.read.parquet(out_dir).collect()]
   assert sorted(got) == ['A', 'B', 'C']
+
+
+def test_streaming_main_content_matches_batch(spark, tmp_path):
+  """The main-content pipeline as a continuous job: file-source stream
+  -> stateless mapInPandas -> checkpointed sink equals the batch run,
+  and a second availableNow trigger with the same checkpoint emits
+  nothing new (exactly-once resume)."""
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  from blueprint_oss_spark.spark.streaming import start_main_content_stream
+
+  inp = tmp_path / 'in'
+  out = tmp_path / 'out'
+  ckpt = tmp_path / 'ckpt'
+  src = interleaved_html_table(spark, '/root/testdata/sf0.001') \
+      .limit(40).cache()
+  src.write.parquet(str(inp))
+
+  q = start_main_content_stream(spark, str(inp), str(out), str(ckpt),
+                                trigger_once=True)
+  q.awaitTermination(120)
+
+  def norm(rows):
+    return {r['doc_id']: [(s['kind'], s['text'], s['media_ref'],
+                           s['order']) for s in r['out_spans']]
+            for r in rows}
+
+  got = norm(spark.read.parquet(str(out)).collect())
+  want = norm(main_content_from_spans(src).collect())
+  assert got == want and len(got) == 40
+
+  q2 = start_main_content_stream(spark, str(inp), str(out), str(ckpt),
+                                 trigger_once=True)
+  q2.awaitTermination(120)
+  assert len(spark.read.parquet(str(out)).collect()) == 40
+  src.unpersist()
