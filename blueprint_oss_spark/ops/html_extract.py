@@ -294,33 +294,7 @@ def main_content_from_spans(df: DataFrame) -> DataFrame:
     for pdf in batches:
       ids, outs, n_htmls = [], [], []
       for doc_id, spans in zip(pdf['doc_id'], pdf['spans']):
-        ordered = sorted(spans, key=lambda s: s['offset'])
-        out, n_html = [], 0
-        for order, s in enumerate(ordered):
-          if s['kind'] == 'media':
-            out.append({'kind': 'media', 'text': None,
-                        'media_ref': s['media_ref'], 'order': order})
-          elif s['kind'] == 'html':
-            n_html += 1
-            out.append({'kind': 'text',
-                        'text': extract_main_content(s['text'] or ''),
-                        'media_ref': None, 'order': order})
-          elif s['kind'] == 'pdf':
-            from ..spark.pdf import parse_pdf
-            try:
-              pages = parse_pdf((s['text'] or '').encode('latin-1'))
-              words = [w[0] for p in pages
-                       for w in sorted(p['words'],
-                                       key=lambda w: (w[3], w[1]))]
-              text = ' '.join(' '.join(words).split())
-            except Exception:
-              text = ''
-            out.append({'kind': 'text', 'text': text,
-                        'media_ref': None, 'order': order})
-          else:  # plain text span: normalize whitespace only
-            out.append({'kind': 'text',
-                        'text': ' '.join((s['text'] or '').split()),
-                        'media_ref': None, 'order': order})
+        out, n_html = main_content_doc(spans)
         ids.append(doc_id)
         outs.append(out)
         n_htmls.append(n_html)
@@ -328,3 +302,37 @@ def main_content_from_spans(df: DataFrame) -> DataFrame:
                           'n_html': n_htmls})
 
   return df.mapInPandas(run, out_schema)
+
+
+def main_content_doc(spans) -> tuple:
+  """The per-document kernel of main_content_from_spans (spans dicts →
+  (out_spans dicts, n_html)); module-level so property tests exercise
+  the exact code the Arrow batches run."""
+  ordered = sorted(spans, key=lambda s: s['offset'])
+  out, n_html = [], 0
+  for order, s in enumerate(ordered):
+    if s['kind'] == 'media':
+      out.append({'kind': 'media', 'text': None,
+                  'media_ref': s['media_ref'], 'order': order})
+    elif s['kind'] == 'html':
+      n_html += 1
+      out.append({'kind': 'text',
+                  'text': extract_main_content(s['text'] or ''),
+                  'media_ref': None, 'order': order})
+    elif s['kind'] == 'pdf':
+      from ..spark.pdf import parse_pdf
+      try:
+        pages = parse_pdf((s['text'] or '').encode('latin-1'))
+        words = [w[0] for p in pages
+                 for w in sorted(p['words'],
+                                 key=lambda w: (w[3], w[1]))]
+        text = ' '.join(' '.join(words).split())
+      except Exception:
+        text = ''
+      out.append({'kind': 'text', 'text': text,
+                  'media_ref': None, 'order': order})
+    else:  # plain text span: normalize whitespace only
+      out.append({'kind': 'text',
+                  'text': ' '.join((s['text'] or '').split()),
+                  'media_ref': None, 'order': order})
+  return out, n_html
