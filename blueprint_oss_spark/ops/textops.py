@@ -114,7 +114,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_shingles(spark: SparkSession, sf_dir: str, *,
                      n_hashes: int = 16, shingle: int = 3,
                      bands: int = 4,
-                     max_bucket_size: int = 0) -> DataFrame:
+                     max_bucket_size: int = 0,
+                     docs: DataFrame = None) -> DataFrame:
   """MinHash + LSH banding near-dup candidates, entirely with built-ins:
   token shingles → xxhash64 per permutation (hash-xor trick) → band
   signature → group by band bucket → candidate pairs.
@@ -132,8 +133,13 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   near-identical by construction, so the right production follow-up
   is routing those ids to exact dedup, which is O(k) not O(k²)).
   The default (0) disables the cap, keeping the operator exact —
-  which is what the sf0.01/sf0.1 oracles verify."""
-  d = _docs(spark, sf_dir).select('doc_id', 'text')
+  which is what the sf0.01/sf0.1 oracles verify.
+
+  `docs` overrides the table read (same seam as ngram_jaccard_pairs):
+  composed callers pass their pre-filtered frame so candidate pairs
+  are found among exactly the rows in play."""
+  d = (docs if docs is not None
+       else _docs(spark, sf_dir)).select('doc_id', 'text')
   # A small corpus arrives as one parquet split, which would starve the
   # map side; spread it across cores first.  Guarded by the partition
   # count: at 100 TB the scan already has thousands of splits and no
@@ -290,7 +296,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
     # inverted-index join (candidates are a probabilistic superset of
     # real near-dups within a band's collision rate — verify within
     # groups downstream if precision matters)
-    pairs = minhash_shingles(spark, sf_dir, shingle=shingle) \
+    pairs = minhash_shingles(spark, sf_dir, shingle=shingle,
+                             docs=docs) \
         .select('doc_a', 'doc_b')
   else:
     pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,

@@ -166,3 +166,32 @@ def test_dedup_groups_precomputed_edges_match(spark):
       (r['doc_id'], r['group_id'], r['group_size'], r['is_keeper'])
       for r in dedup_groups(spark, sf, edge_source='minhash').collect())
   assert via_seam == recomputed
+
+
+def test_dedup_groups_minhash_respects_docs_seam(spark, tmp_path):
+  """edge_source='minhash' must find candidate pairs among the docs=
+  frame only — the same sequential-semantics guarantee the jaccard
+  path got in round 3 (a filtered-out doc must not bridge groups)."""
+  from blueprint_oss_spark.ops.textops import dedup_groups
+
+  text_a = ('alpha bravo charlie delta echo foxtrot golf hotel india '
+            'juliet kilo lima')
+  rows = [(1, text_a, 'en', 's', 0),
+          (2, text_a, 'en', 's', 0),          # near-dup of 1
+          (3, text_a + ' extra', 'en', 's', 0),
+          (9, 'unrelated words entirely different content here now',
+           'en', 's', 0)]
+  spark.createDataFrame(
+      rows, 'doc_id long, text string, lang string, source string, '
+            'n_chars long') \
+      .write.parquet(str(tmp_path / 'documents.parquet'))
+
+  all_docs = spark.read.parquet(str(tmp_path / 'documents.parquet'))
+  subset = all_docs.where('doc_id != 1')
+
+  got = {r['doc_id']: r['group_id'] for r in dedup_groups(
+      spark, str(tmp_path), edge_source='minhash',
+      docs=subset).collect()}
+  # doc 1 excluded: not in output, and 2/3 group together WITHOUT it
+  assert 1 not in got
+  assert got[2] == 2 and got[3] == 2 and got[9] == 9
