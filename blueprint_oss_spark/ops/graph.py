@@ -56,6 +56,7 @@ def connected_components(edges: DataFrame, src: str = 'src',
        .where(F.col('src') != F.col('dst'))
        .distinct()
        .localCheckpoint(eager=True))
+  n_old = None  # lazily counted; carried across rounds (new == next old)
 
   for _ in range(max_iter):
     # -- large-star: symmetric adjacency, larger neighbors -> min ------
@@ -84,12 +85,16 @@ def connected_components(edges: DataFrame, src: str = 'src',
              .distinct())
     new_e = small.localCheckpoint(eager=True)
     # set equality: both sides distinct, so equal counts + equal
-    # union-distinct count <=> equal sets
-    n_old, n_new = e.count(), new_e.count()
+    # union-distinct count <=> equal sets.  The old count is carried
+    # from the previous round (counting a checkpointed frame twice
+    # would burn one fixed-overhead job per round for nothing).
+    if n_old is None:
+      n_old = e.count()
+    n_new = new_e.count()
     if n_old == n_new and e.union(new_e).distinct().count() == n_new:
       e = new_e
       break
-    e = new_e
+    e, n_old = new_e, n_new
 
   members = e.select(F.col('src').alias('node'),
                      F.col('dst').alias('component'))
