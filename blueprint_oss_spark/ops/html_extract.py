@@ -8,8 +8,12 @@ external libs:
     boundaries (div/article/section/main/p/td/li/...);
   * hard boilerplate containers (script/style/nav/header/footer/aside/
     form/noscript/iframe/button/svg) are skipped subtree-wide;
-  * every block scores text_len · (1 − link_density)² — long
-    low-link-density prose wins, menus/footers (all-link, short) lose;
+  * every block scores text_len · (1 − link_density)² · class_weight —
+    long low-link-density prose wins, menus/footers (all-link, short)
+    lose, and readability-style class/id hints re-weight containers
+    (comment/sidebar/ad-ish names ×0.1 with the penalty propagating to
+    descendants, so a long prose comment thread cannot outscore the
+    article; article/content-ish names ×2 at the node itself);
   * the winning CONTAINER is the parent owning the best direct block,
     and its contiguous text is returned.
 
@@ -42,6 +46,21 @@ _BLOCK_TAGS = {'div', 'article', 'section', 'main', 'p', 'td', 'li',
                'h1', 'h2', 'h3', 'h4', 'h5', 'h6'}
 
 
+import re as _re
+
+# Readability-style class/id hints: a container whose class/id names a
+# known boilerplate role is down-weighted (and the penalty propagates
+# to its descendants — a long prose comment must not outscore a short
+# article); content-ish names and the semantic article/main tags get a
+# mild boost at the node itself (boosts do NOT propagate).
+_NEG_HINT = _re.compile(
+    r'comment|sidebar|share|related|promo|banner|advert|sponsor'
+    r'|widget|breadcrumb|pager|popup|\bads?\b', _re.I)
+_POS_HINT = _re.compile(
+    r'article|\bmain\b|content|story|\bpost\b', _re.I)
+_NEG_WEIGHT, _POS_WEIGHT = 0.1, 2.0
+
+
 class _Blocks(HTMLParser):
   """Accumulate (container_id, text, link_text) per block."""
 
@@ -52,13 +71,27 @@ class _Blocks(HTMLParser):
     self._stack: List[int] = []   # ids of open block containers
     self._next_id = 0
     self.parent_of = {}           # block container id -> parent id
+    self.weight = {}              # container id -> score multiplier
     self.blocks: List[List] = []  # [container_id, [text], [link_text]]
     self._open_block()
 
-  def _open_block(self):
+  def _open_block(self, tag: str = '', attrs=()):
     cid = self._next_id
     self._next_id += 1
-    self.parent_of[cid] = self._stack[-1] if self._stack else None
+    parent = self._stack[-1] if self._stack else None
+    self.parent_of[cid] = parent
+    hints = ' '.join([tag] + [v for k, v in attrs
+                              if k in ('class', 'id') and v])
+    if (parent is not None
+        and self.weight.get(parent, 1.0) == _NEG_WEIGHT):
+      w = _NEG_WEIGHT                   # penalties propagate down
+    elif _NEG_HINT.search(hints):
+      w = _NEG_WEIGHT
+    elif _POS_HINT.search(hints):
+      w = _POS_WEIGHT                   # boosts apply at the node only
+    else:
+      w = 1.0
+    self.weight[cid] = w
     self._stack.append(cid)
     self.blocks.append([cid, [], []])
     return cid
@@ -72,7 +105,7 @@ class _Blocks(HTMLParser):
     if tag == 'a':
       self._link += 1
     elif tag in _BLOCK_TAGS:
-      self._open_block()
+      self._open_block(tag, attrs)
 
   def handle_endtag(self, tag):
     if tag in _SKIP_SUBTREE:
@@ -119,7 +152,7 @@ def extract_main_content(html: str) -> str:
     if n == 0:
       continue
     link_density = nl / n
-    score = n * (1.0 - link_density) ** 2
+    score = n * (1.0 - link_density) ** 2 * p.weight.get(cid, 1.0)
     if score > best_score:
       best_score, best_cid = score, cid
   if best_cid is None:
@@ -147,6 +180,14 @@ def wrap_in_boilerplate(doc_id: str, text: str, variant: int) -> str:
   related = ''.join(
       f'<p><a href="/story/{i}">Related story number {i} about '
       f'{menu[i % len(menu)]}</a></p>' for i in range(5))
+  # prose comment thread (low link density, real sentences): only the
+  # class-hint penalty keeps it from outscoring short articles — the
+  # oracle's exact-recovery check exercises that heuristic on every doc
+  comments = ''.join(
+      f'<div class="comment"><p>User {i} says this piece about '
+      f'{menu[i % len(menu)]} raises a fair point worth another read. '
+      f'<a href="/user/{i}">reply to thread {i}</a></p></div>'
+      for i in range(2))
   body = html_mod.escape(text)
   return f'''<!DOCTYPE html>
 <html><head><title>{html_mod.escape(doc_id)}</title>
@@ -158,6 +199,7 @@ def wrap_in_boilerplate(doc_id: str, text: str, variant: int) -> str:
 <div class="ad"><a href="/buy">BUY NOW limited offer</a></div>
 <main><article><p>{body}</p></article></main>
 <aside><h3>Related</h3>{related}</aside>
+<div class="comments"><h3>Comments</h3>{comments}</div>
 <div class="ad"><a href="/subscribe">Subscribe for more</a></div>
 <footer><p>© 2026 Example Site — <a href="/terms">Terms</a>
 <a href="/privacy">Privacy</a> <a href="/contact">Contact</a></p>

@@ -196,3 +196,33 @@ def test_main_content_pdf_span_and_malformed(spark):
   assert [(s['kind'], s['text']) for s in out['ok']] == \
       [('text', 'alpha beta gamma')]
   assert [(s['kind'], s['text']) for s in out['bad']] == [('text', '')]
+
+
+def test_class_hint_penalty_beats_long_comments():
+  """A prose comment thread LONGER than the article must lose to the
+  article: the comment/sidebar class penalty propagates to descendant
+  blocks (without it, text_len·(1−ld)² alone would pick the thread)."""
+  art = 'Short article about the committee budget decision today.'
+  comments = ''.join(
+      f'<div><p>Commenter {i} writes a long and thoughtful paragraph '
+      f'weighing the budget arguments, the amendments, and the likely '
+      f'outcome of the final committee vote in extensive detail.</p>'
+      f'</div>' for i in range(6))
+  page = (f'<body><main><article><p>{art}</p></article></main>'
+          f'<div class="comments">{comments}</div></body>')
+  got = extract_main_content(page)
+  assert got == art, got
+
+  # positive hint: text directly inside a content-classed div beats a
+  # LONGER unclassed digression (boost applies at the hinted node, so
+  # the text must be its direct content, not a child <p>'s)
+  a = 'alpha ' * 30
+  b = 'bravo ' * 45  # 1.5x longer; 2x boost must still win
+  page2 = (f'<body><div class="post-content">{a}</div>'
+           f'<div>{b}</div></body>')
+  got2 = extract_main_content(page2)
+  assert got2 == a.strip(), got2
+  # ...and without the hint the longer digression wins (sanity check
+  # that the assertion above is the boost, not ordering)
+  page3 = f'<body><div class="x">{a}</div><div>{b}</div></body>'
+  assert extract_main_content(page3) == b.strip()
