@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- training-data text ops (DuckDB-oracled) ---
       'html_main_content': _html_main_content,
       'main_content_spans': _main_content_spans,
+      'web_curation_pipeline': C.web_curation_pipeline,
       'doc_token_stats': T.doc_token_stats,
       'doc_quality': T.doc_quality,
       'quality_filter': lambda s, d: T.quality_filter(s, d),
@@ -872,6 +873,94 @@ def oracle_sql() -> dict[str, str]:
       # The whole curation chain recomputed from scratch: quality
       # verdicts -> kept docs -> shingle pairs AMONG KEPT docs ->
       # recursive-CTE reachability -> keep-one -> md5-threshold sample.
+      # The web-scale end-to-end chain recomputed from the RAW table:
+      # the main-content text each doc's interleaved HTML/PDF spans
+      # extract to is a pure string formula (recoverable ground
+      # truth), feeding the same quality -> shingles -> reachability
+      # -> keep-one chain as curation_pipeline.  doc_ids are VARCHAR
+      # (the spans schema), so group minima are lexicographic in both
+      # engines.
+      'web_curation_pipeline': rf"""
+        WITH RECURSIVE derived AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 trim(regexp_replace(
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                     || ' part 0. ' || text, '\s+', ' ', 'g'))
+                 || ' Document ' || CAST(doc_id AS VARCHAR)
+                 || ' closing section part 1.'
+                 || CASE WHEN doc_id % 2 = 0
+                    THEN ' PDF appendix for document '
+                         || CAST(doc_id AS VARCHAR)
+                    ELSE '' END AS text,
+                 lang
+          FROM documents
+        ), q AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '),
+                       x -> len(x) > 0)) AS n,
+                   list_aggregate(list_transform(
+                     list_filter(string_split(text,' '),
+                                 x -> len(x) > 0),
+                     x -> len(x)), 'sum') AS sum_len,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text,'[^a-zA-Z]','','g'))
+                     AS n_alpha,
+                   len(list_filter(string_split(text,' '),
+                       x -> x IN ({_STOP_EN}))) AS n_stop
+            FROM derived) t
+          WHERE n >= 5 AND n <= 100000
+            AND sum_len >= 2 * n AND sum_len <= 12 * n
+            AND n_stop >= 1 AND 2 * n_alpha >= n_chars
+        ), kept AS (
+          SELECT d.* FROM derived d JOIN q USING (doc_id)
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS t
+          FROM kept
+        ), sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON inter.doc_a = sa.doc_id
+          JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE)
+                / (sa.n + sb.n - n_common) >= 0.8
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach AS (
+          SELECT doc_id, doc_id AS r FROM kept
+          UNION
+          SELECT reach.doc_id, e.dst AS r
+          FROM reach JOIN edges e ON e.src = reach.r
+        ), comp AS (
+          SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+        ), sized AS (
+          SELECT doc_id, group_id,
+                 COUNT(*) OVER (PARTITION BY group_id) AS group_size
+          FROM comp
+        )
+        SELECT s.doc_id, k.lang, s.group_id,
+               CAST(s.group_size AS BIGINT) AS group_size
+        FROM sized s JOIN kept k ON s.doc_id = k.doc_id
+        WHERE s.doc_id = s.group_id
+        ORDER BY s.doc_id
+      """,
       'curation_pipeline': f"""
         WITH RECURSIVE q AS (
           SELECT doc_id FROM (

@@ -140,3 +140,46 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
           .groupBy('doc_id')
           .agg(F.count(F.lit(1)).alias('n_shared'))
           .orderBy('doc_id'))
+
+
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """The web-scale training-data path END TO END as one declarative
+  plan: interleaved HTML+PDF+media spans → main-content extraction
+  (boilerplate strip / layout parse, ops/html_extract) → per-doc text
+  reassembly → Gopher-style quality filter → exact-Jaccard dedup
+  groups among the survivors → keep-one representative.
+
+  This is the composition a real 100 TB web-corpus run executes: the
+  extraction stage is the zero-shuffle mapInPandas pipeline, the
+  curation stages are the already-oracled JVM-side operators riding
+  their docs= seams, and the whole chain is ONE Catalyst plan.  The
+  DuckDB oracle recomputes EVERYTHING from the raw documents table —
+  the derived main-content text is a pure string formula
+  (interleaved_html_table's recoverable-ground-truth design), feeding
+  the same quality CTE → shingle CTE → recursive reachability chain
+  curation_pipeline uses.  doc_ids are strings here (the input-hint
+  schema), so group representatives are lexicographic minima in both
+  engines."""
+  from .html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  from .textops import dedup_groups, quality_filter
+
+  spans = interleaved_html_table(spark, sf_dir)
+  mc = main_content_from_spans(spans)
+  text = F.concat_ws(' ', F.transform(
+      F.filter('out_spans', lambda s: s['kind'] == F.lit('text')),
+      lambda s: s['text']))
+  derived = mc.select('doc_id', text.alias('text'))
+
+  lang = _docs(spark, sf_dir).select(
+      F.col('doc_id').cast('string').alias('doc_id'), 'lang')
+
+  q = quality_filter(spark, sf_dir, docs=derived) \
+      .where(F.col('keep') == 1).select('doc_id')
+  kept = derived.join(q, 'doc_id')
+  groups = dedup_groups(spark, sf_dir, docs=kept)
+  return (groups.where(F.col('doc_id') == F.col('group_id'))
+          .join(lang, 'doc_id')
+          .select('doc_id', 'lang', 'group_id', 'group_size')
+          .orderBy('doc_id'))
