@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       'dedup_groups': lambda s, d: T.dedup_groups(s, d),
+      'pack_sequences': lambda s, d: T.pack_sequences(s, d),
       'curation_pipeline': T.curation_pipeline,
       'tfidf_top_terms': lambda s, d: T.tfidf_top_terms(s, d),
       # --- curation: sampling + profiling (DuckDB-oracled) ---
@@ -873,6 +874,35 @@ def oracle_sql() -> dict[str, str]:
       # The whole curation chain recomputed from scratch: quality
       # verdicts -> kept docs -> shingle pairs AMONG KEPT docs ->
       # recursive-CTE reachability -> keep-one -> md5-threshold sample.
+      # GPT-style concat-and-chunk sequence packing recomputed with the
+      # same per-shard window sum; integer-exact (floor of non-negative
+      # integer division).
+      'pack_sequences': """
+        WITH sized AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> len(x) > 0)) AS INTEGER) AS n_tokens,
+                 doc_id % 8 AS shard
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM sized
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(cum - n_tokens AS BIGINT) AS tokens_before,
+               CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_first,
+               CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                    ELSE (cum - n_tokens) // 256 END AS BIGINT)
+                 AS chunk_last,
+               CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                     ELSE (cum - n_tokens) // 256 END)
+                    - ((cum - n_tokens) // 256) + 1 AS BIGINT)
+                 AS n_chunks
+        FROM c ORDER BY doc_id
+      """,
       # The web-scale end-to-end chain recomputed from the RAW table:
       # the main-content text each doc's interleaved HTML/PDF spans
       # extract to is a pure string formula (recoverable ground

@@ -533,3 +533,51 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where(F.md5(F.col('doc_id').cast('string')) < thr)
           .select('doc_id', 'lang', 'group_id', 'group_size')
           .orderBy('doc_id'))
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, *,
+                   max_tokens: int = 256, shards: int = 8,
+                   docs: DataFrame = None) -> DataFrame:
+  """GPT-style sequence packing (concat-and-chunk): documents are
+  concatenated in deterministic order and chunked into fixed
+  `max_tokens` training sequences, ignoring doc boundaries — the
+  standard pretraining tokenizer-sharding step.  Per doc this reports
+  its shard, token offset, and the first/last chunk it lands in
+  (n_chunks > 1 means the doc straddles a chunk boundary).
+
+  Scale shape: one window shuffle, partitioned by shard — each shard's
+  running token sum is independent, so 100 TB packs as thousands of
+  parallel shards (exactly how production packing runs); there is NO
+  global ordering bottleneck.  Shard = doc_id % shards and order =
+  doc_id within shard, so the layout is deterministic and the DuckDB
+  oracle recomputes it with the same window sum.
+
+  Token counts are exact whitespace-token counts (the BPE-ish regex
+  count in doc_token_stats composes here if subword-accurate packing
+  is needed — swap the expression, the window shape is unchanged)."""
+  from pyspark.sql import Window
+
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  sized = d.select(
+      'doc_id',
+      F.size(toks).alias('n_tokens'),
+      F.pmod(F.col('doc_id'), F.lit(shards)).alias('shard'))
+  w = (Window.partitionBy('shard').orderBy('doc_id')
+       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  cum = F.sum('n_tokens').over(w)
+  return (sized
+          .withColumn('tokens_before', cum - F.col('n_tokens'))
+          .withColumn('chunk_first',
+                      F.floor(F.col('tokens_before') / max_tokens))
+          .withColumn(
+              'chunk_last',
+              F.when(F.col('n_tokens') > 0,
+                     F.floor((cum - 1) / max_tokens))
+              .otherwise(F.floor(F.col('tokens_before') / max_tokens)))
+          .withColumn('n_chunks',
+                      F.col('chunk_last') - F.col('chunk_first') + 1)
+          .select('doc_id', 'shard', 'n_tokens', 'tokens_before',
+                  'chunk_first', 'chunk_last', 'n_chunks')
+          .orderBy('doc_id'))
