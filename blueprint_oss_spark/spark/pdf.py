@@ -2,12 +2,14 @@
 
 Scope, honestly stated: the parser handles the self-contained subset a
 text-first PDF producer emits — PDF 1.4 page trees, content streams
-(raw or FlateDecode, inflated with stdlib zlib), and `BT ... Tf/Td/Tj
-... ET` text runs with standard string escapes.  That covers the
-files `write_simple_pdf` produces (and comparable simple generators);
-fonts with custom encodings / CIDs, TJ arrays with kerning, rotated
-text matrices, and image XObjects are out of scope — a page using them
-yields whatever plain Tj runs it contains.
+(raw or FlateDecode, inflated with stdlib zlib), and `BT ... Tf/Td ...
+ET` text runs — both plain `(text) Tj` and kerned `[(a) -120 (b)] TJ`
+arrays (kern numbers are thousandths of the font size subtracted from
+the advance, per the spec) — with standard string escapes.  That
+covers the files `write_simple_pdf` produces and comparable simple
+generators; fonts with custom encodings / CIDs, rotated text matrices,
+and image XObjects are out of scope — a page using them yields
+whatever Tj/TJ runs it contains.
 
 Geometry: PDF y grows upward; words are emitted in the engine's
 page-local convention (y down from the page top):
@@ -125,7 +127,13 @@ _KIDS_RE = re.compile(rb'/Kids\s*\[(.*?)\]', re.S)
 _REF_RE = re.compile(rb'(\d+) 0 R')
 _RUN_RE = re.compile(
     r'BT\s+/\w+\s+([\d.+-]+)\s+Tf\s+([\d.+-]+)\s+([\d.+-]+)\s+Td\s*'
-    r'\(((?:\\.|[^()\\])*)\)\s*Tj\s*ET', re.S)
+    r'(?:\(((?:\\.|[^()\\])*)\)\s*Tj'
+    r'|\[((?:\([^()\\]*(?:\\.[^()\\]*)*\)|[^\[\]()])*)\]\s*TJ)'
+    r'\s*ET', re.S)
+# TJ array items: a PDF string or a kern number (thousandths of the
+# font size, SUBTRACTED from the advance per the PDF spec)
+_TJ_ITEM_RE = re.compile(
+    r'\(((?:\\.|[^()\\])*)\)|([+-]?\d+(?:\.\d+)?)')
 
 
 def parse_pdf(payload: bytes) -> List[dict]:
@@ -169,10 +177,22 @@ def parse_pdf(payload: bytes) -> List[dict]:
           size = float(run.group(1))
           x = float(run.group(2))
           y_pdf = float(run.group(3))
-          t = _unescape_pdf_string(run.group(4))
           top = h - y_pdf - size
-          words.append((t, x, x + CHAR_ADVANCE * size * len(t),
-                        top, top + size))
+          if run.group(4) is not None:  # (text) Tj
+            t = _unescape_pdf_string(run.group(4))
+            words.append((t, x, x + CHAR_ADVANCE * size * len(t),
+                          top, top + size))
+          else:  # [ (a) -120 (b) ... ] TJ — kerned runs
+            for item in _TJ_ITEM_RE.finditer(run.group(5)):
+              if item.group(1) is not None:
+                t = _unescape_pdf_string(item.group(1))
+                x1 = x + CHAR_ADVANCE * size * len(t)
+                if t:
+                  words.append((t, x, x1, top, top + size))
+                x = x1
+              else:
+                # kern in thousandths of font size, subtracted
+                x -= float(item.group(2)) / 1000.0 * size
     pages.append({'page_number': pno, 'width': w, 'height': h,
                   'words': words})
   return pages

@@ -125,3 +125,43 @@ def test_pdf_cli_source(spark, tmp_path):
     assign, _, score = best_extraction(readme_blueprint(), pool)
     assert dict(r['fields']) == {f: pool.etext[e]
                                  for f, e in assign.items()}
+
+
+def test_tj_array_with_kerning():
+  """Kerned [(a) k (b)] TJ arrays: each string item becomes a word at
+  the running x; kern numbers (thousandths of font size) subtract from
+  the advance — exact geometry per the spec formula."""
+  from blueprint_oss_spark.spark.pdf import CHAR_ADVANCE, parse_pdf
+
+  stream = (b'BT /F1 10 Tf 50 700 Td '
+            b'[(Hello) -200 (World) 150 (!)] TJ ET')
+  doc = (b'%PDF-1.4\n1 0 obj\n<< /Type /Pages /Kids [2 0 R] >>\n'
+         b'endobj\n2 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] '
+         b'/Contents 3 0 R >>\nendobj\n3 0 obj\n<< /Length 0 >>\n'
+         b'stream\n' + stream + b'\nendstream\nendobj\n')
+  pages = parse_pdf(doc)
+  assert len(pages) == 1
+  words = pages[0]['words']
+  assert [w[0] for w in words] == ['Hello', 'World', '!']
+
+  size = 10.0
+  x = 50.0
+  h = 792.0
+  top = h - 700.0 - size
+  # Hello
+  x1 = x + CHAR_ADVANCE * size * 5
+  assert words[0][1:] == (x, x1, top, top + size)
+  # kern -200 -> x ADVANCES by +2.0 (subtracting a negative)
+  x = x1 - (-200.0) / 1000.0 * size
+  x1 = x + CHAR_ADVANCE * size * 5
+  assert abs(words[1][1] - x) < 1e-9 and abs(words[1][2] - x1) < 1e-9
+  # kern 150 -> x pulls BACK by 1.5
+  x = x1 - 150.0 / 1000.0 * size
+  assert abs(words[2][1] - x) < 1e-9
+
+  # mixed content: a Tj run and a TJ run in the same stream both parse
+  stream2 = (b'BT /F1 12 Tf 36 100 Td (plain) Tj ET\n'
+             b'BT /F1 12 Tf 36 80 Td [(kerned)] TJ ET')
+  doc2 = doc.replace(stream, stream2)
+  ws = parse_pdf(doc2)[0]['words']
+  assert [w[0] for w in ws] == ['plain', 'kerned']
