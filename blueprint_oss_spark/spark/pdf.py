@@ -2,14 +2,16 @@
 
 Scope, honestly stated: the parser handles the self-contained subset a
 text-first PDF producer emits — PDF 1.4 page trees, content streams
-(raw or FlateDecode, inflated with stdlib zlib), and `BT ... Tf/Td ...
-ET` text runs — both plain `(text) Tj` and kerned `[(a) -120 (b)] TJ`
-arrays (kern numbers are thousandths of the font size subtracted from
-the advance, per the spec) — with standard string escapes.  That
-covers the files `write_simple_pdf` produces and comparable simple
-generators; fonts with custom encodings / CIDs, rotated text matrices,
-and image XObjects are out of scope — a page using them yields
-whatever Tj/TJ runs it contains.
+(raw or FlateDecode, inflated with stdlib zlib), and the text-line
+operator state machine: Tf (size), Td/TD (line moves), TL (leading),
+T* (next line), plain `(text) Tj`, next-line shows `'` / `"`, and
+kerned `[(a) -120 (b)] TJ` arrays (kern numbers are thousandths of
+the font size subtracted from the advance, per the spec) — with
+standard string escapes and many runs / multi-line text per BT..ET
+block.  That covers the files `write_simple_pdf` produces and
+comparable simple generators; fonts with custom encodings / CIDs,
+rotated text matrices (Tm), and image XObjects are out of scope — a
+page using them yields whatever plain text runs it contains.
 
 Geometry: PDF y grows upward; words are emitted in the engine's
 page-local convention (y down from the page top):
@@ -125,15 +127,92 @@ _MEDIABOX_RE = re.compile(
 _CONTENTS_RE = re.compile(rb'/Contents\s+(\d+) 0 R')
 _KIDS_RE = re.compile(rb'/Kids\s*\[(.*?)\]', re.S)
 _REF_RE = re.compile(rb'(\d+) 0 R')
-_RUN_RE = re.compile(
-    r'BT\s+/\w+\s+([\d.+-]+)\s+Tf\s+([\d.+-]+)\s+([\d.+-]+)\s+Td\s*'
-    r'(?:\(((?:\\.|[^()\\])*)\)\s*Tj'
-    r'|\[((?:\([^()\\]*(?:\\.[^()\\]*)*\)|[^\[\]()])*)\]\s*TJ)'
-    r'\s*ET', re.S)
+# Content-stream tokens: PDF string | array (may contain strings) |
+# name | number | operator.
+_TOK_RE = re.compile(
+    r'(?P<str>\((?:\\.|[^()\\])*\))'
+    r'|(?P<arr>\[(?:\((?:\\.|[^()\\])*\)|[^\[\]])*\])'
+    r'|(?P<name>/[^\s\[\]()<>/]+)'
+    r'|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))'
+    r'|(?P<op>[A-Za-z\'"*]+)')
 # TJ array items: a PDF string or a kern number (thousandths of the
 # font size, SUBTRACTED from the advance per the PDF spec)
 _TJ_ITEM_RE = re.compile(
     r'\(((?:\\.|[^()\\])*)\)|([+-]?\d+(?:\.\d+)?)')
+
+
+def _words_from_content(text: str, h: float) -> List[Word]:
+  """Interpret a content stream's text operators sequentially: Tf
+  (font size), Td/TD (line moves), TL (leading), T* (next line),
+  Tj / ' / " (show string), TJ (kerned array).  Positions track the
+  PDF text-line state machine, so one BT..ET block may carry many
+  runs and multi-line text; malformed operands skip their operator
+  instead of aborting the page."""
+  words: List[Word] = []
+  size, leading = 12.0, 0.0
+  line_x = line_y = x = y = 0.0
+  stack: List[Tuple[str, str]] = []  # (token_kind, raw_text)
+
+  def fnum(tok) -> float:
+    return float(tok[1])
+
+  def emit(t: str) -> None:
+    nonlocal x
+    if t:
+      top = h - y - size
+      x1 = x + CHAR_ADVANCE * size * len(t)
+      words.append((t, x, x1, top, top + size))
+      x = x1
+
+  def emit_tj(arr_body: str) -> None:
+    nonlocal x
+    for item in _TJ_ITEM_RE.finditer(arr_body):
+      if item.group(1) is not None:
+        emit(_unescape_pdf_string(item.group(1)))
+      else:
+        x -= float(item.group(2)) / 1000.0 * size
+
+  def newline() -> None:
+    nonlocal line_y, x, y
+    line_y -= leading
+    x, y = line_x, line_y
+
+  for m in _TOK_RE.finditer(text):
+    kind = m.lastgroup
+    tok = m.group()
+    if kind != 'op':
+      stack.append((kind, tok))
+      continue
+    try:
+      if tok == 'BT':
+        line_x = line_y = x = y = 0.0
+      elif tok == 'Tf' and stack and stack[-1][0] == 'num':
+        size = fnum(stack[-1])
+      elif tok == 'TL' and stack and stack[-1][0] == 'num':
+        leading = fnum(stack[-1])
+      elif tok in ('Td', 'TD') and len(stack) >= 2 \
+          and stack[-1][0] == stack[-2][0] == 'num':
+        tx, ty = fnum(stack[-2]), fnum(stack[-1])
+        line_x += tx
+        line_y += ty
+        x, y = line_x, line_y
+        if tok == 'TD':
+          leading = -ty
+      elif tok == 'T*':
+        newline()
+      elif tok == 'Tj' and stack and stack[-1][0] == 'str':
+        emit(_unescape_pdf_string(stack[-1][1][1:-1]))
+      elif tok in ("'", '"'):
+        # ' = T* + show; " = set spacing (ignored: fixed metrics) + same
+        if stack and stack[-1][0] == 'str':
+          newline()
+          emit(_unescape_pdf_string(stack[-1][1][1:-1]))
+      elif tok == 'TJ' and stack and stack[-1][0] == 'arr':
+        emit_tj(stack[-1][1][1:-1])
+    except (ValueError, IndexError):
+      pass
+    stack.clear()
+  return words
 
 
 def parse_pdf(payload: bytes) -> List[dict]:
@@ -173,26 +252,7 @@ def parse_pdf(payload: bytes) -> List[dict]:
         if b'FlateDecode' in head:
           data = zlib.decompress(data)
         text = data.decode('latin-1', errors='replace')
-        for run in _RUN_RE.finditer(text):
-          size = float(run.group(1))
-          x = float(run.group(2))
-          y_pdf = float(run.group(3))
-          top = h - y_pdf - size
-          if run.group(4) is not None:  # (text) Tj
-            t = _unescape_pdf_string(run.group(4))
-            words.append((t, x, x + CHAR_ADVANCE * size * len(t),
-                          top, top + size))
-          else:  # [ (a) -120 (b) ... ] TJ — kerned runs
-            for item in _TJ_ITEM_RE.finditer(run.group(5)):
-              if item.group(1) is not None:
-                t = _unescape_pdf_string(item.group(1))
-                x1 = x + CHAR_ADVANCE * size * len(t)
-                if t:
-                  words.append((t, x, x1, top, top + size))
-                x = x1
-              else:
-                # kern in thousandths of font size, subtracted
-                x -= float(item.group(2)) / 1000.0 * size
+        words.extend(_words_from_content(text, h))
     pages.append({'page_number': pno, 'width': w, 'height': h,
                   'words': words})
   return pages

@@ -165,3 +165,28 @@ def test_tj_array_with_kerning():
   doc2 = doc.replace(stream, stream2)
   ws = parse_pdf(doc2)[0]['words']
   assert [w[0] for w in ws] == ['plain', 'kerned']
+
+
+def test_multiline_bt_block_with_leading():
+  """One BT..ET block carrying multiple lines via TL/T*/'/TD — the
+  text-line state machine: line starts accumulate Td moves, T* drops
+  by the leading, ' shows on the next line."""
+  from blueprint_oss_spark.spark.pdf import parse_pdf
+
+  stream = (b'BT /F1 10 Tf 14 TL 50 700 Td (line1) Tj '
+            b"T* (line2) Tj (line3) ' "
+            b'0 -20 TD (line4) Tj T* (line5) Tj ET')
+  doc = (b'%PDF-1.4\n1 0 obj\n<< /Type /Pages /Kids [2 0 R] >>\n'
+         b'endobj\n2 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] '
+         b'/Contents 3 0 R >>\nendobj\n3 0 obj\n<< /Length 0 >>\n'
+         b'stream\n' + stream + b'\nendstream\nendobj\n')
+  words = parse_pdf(doc)[0]['words']
+  assert [w[0] for w in words] == ['line1', 'line2', 'line3',
+                                   'line4', 'line5']
+  size, h = 10.0, 792.0
+  # PDF y per line: 700, 686 (T*), 672 ('), 652 (TD -20 from line
+  # start 672), 632 (T* with leading rebound to 20 via TD)
+  ys = [700.0, 686.0, 672.0, 652.0, 632.0]
+  for w, y_pdf in zip(words, ys):
+    assert abs(w[3] - (h - y_pdf - size)) < 1e-9, (w, y_pdf)
+  assert all(abs(w[1] - 50.0) < 1e-9 for w in words)  # line x fixed
