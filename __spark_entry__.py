@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'q6_forecast_revenue': R.q6_forecast_revenue,
       'events_cube': R.events_cube,
       'churned_buyers': R.churned_buyers,
+      'q10_returned_items': R.q10_returned_items,
+      'q4_priority_semi': R.q4_priority_semi,
       'events_asof_orders': R.events_asof_orders,
       'recent_event_counts': R.recent_event_counts,
       'sessionize': R.sessionize,
@@ -529,6 +531,36 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, dayofweek(ts) + 1 AS dow FROM events) t
         GROUP BY CUBE(event_type, dow)
         ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+      """,
+      'q10_returned_items': """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(c_acctbal AS DOUBLE) AS acctbal,
+               n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """,
+      'q4_priority_semi': """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
       """,
       'churned_buyers': """
         SELECT DISTINCT o_custkey FROM orders

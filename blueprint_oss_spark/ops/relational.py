@@ -414,3 +414,54 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias('week_offset'))
           .agg(F.countDistinct('user_id').alias('n_active'))
           .orderBy('cohort_week', 'week_offset'))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q10-style: revenue lost to returned items per customer for
+  one quarter, top 20.  Shape: fact-fact join (lineitem x orders)
+  left to AQE, customer joined on the grouped key, nation broadcast
+  (true dimension); the top-k is a global sort of an already tiny
+  aggregate.  Deterministic tiebreak on c_custkey so LIMIT 20 is
+  stable cross-engine."""
+  li = _t(spark, sf_dir, 'lineitem').where(F.col('l_returnflag') == 'R')
+  orders = _t(spark, sf_dir, 'orders').where(
+      (F.col('o_orderdate') >= F.lit('1996-01-01'))
+      & (F.col('o_orderdate') < F.lit('1996-04-01')))
+  cust = _t(spark, sf_dir, 'customer')
+  nation = _t(spark, sf_dir, 'nation')
+  dec = lambda c: F.col(c).cast('decimal(18,2)')
+  rev = (li.join(orders.select('o_orderkey', 'o_custkey'),
+                 li.l_orderkey == F.col('o_orderkey'))
+         .groupBy('o_custkey')
+         .agg(F.sum((dec('l_extendedprice')
+                     * (F.lit(1).cast('decimal(18,2)')
+                        - dec('l_discount'))).cast('decimal(28,4)'))
+              .cast('double').alias('revenue')))
+  return (rev
+          .join(cust, rev.o_custkey == cust.c_custkey)
+          .join(F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey)
+          .select('c_custkey', 'c_name', 'revenue',
+                  F.col('c_acctbal').cast('double').alias('acctbal'),
+                  'n_name')
+          .orderBy(F.desc('revenue'), 'c_custkey')
+          .limit(20))
+
+
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q4-style order-priority check, expressed as a LEFT SEMI
+  join: count orders in one quarter having at least one large-quantity
+  lineitem.  The semi join is the right physical shape for EXISTS —
+  the probe side never duplicates rows, so no post-join distinct, and
+  the build side carries only l_orderkey (column-pruned at the
+  scan)."""
+  orders = _t(spark, sf_dir, 'orders').where(
+      (F.col('o_orderdate') >= F.lit('1996-01-01'))
+      & (F.col('o_orderdate') < F.lit('1996-04-01')))
+  big = _t(spark, sf_dir, 'lineitem') \
+      .where(F.col('l_quantity') >= 45).select('l_orderkey')
+  return (orders
+          .join(big, orders.o_orderkey == big.l_orderkey, 'left_semi')
+          .groupBy('o_orderpriority')
+          .agg(F.count(F.lit(1)).alias('n_orders'))
+          .orderBy('o_orderpriority'))
