@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'churned_buyers': R.churned_buyers,
       'q10_returned_items': R.q10_returned_items,
       'q4_priority_semi': R.q4_priority_semi,
+      'q18_large_volume': R.q18_large_volume,
       'events_asof_orders': R.events_asof_orders,
       'recent_event_counts': R.recent_event_counts,
       'sessionize': R.sessionize,
@@ -561,6 +562,22 @@ def oracle_sql() -> dict[str, str]:
                         AND l.l_quantity >= 45)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+      """,
+      'q18_large_volume': """
+        WITH big AS (
+          SELECT l_orderkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 20
       """,
       'churned_buyers': """
         SELECT DISTINCT o_custkey FROM orders

@@ -465,3 +465,28 @@ def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy('o_orderpriority')
           .agg(F.count(F.lit(1)).alias('n_orders'))
           .orderBy('o_orderpriority'))
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """TPC-H Q18-style: customers whose single orders exceed a quantity
+  threshold (groupBy + HAVING on the fact table, then enrich).  The
+  HAVING filter runs on the aggregated (tiny) side before any join, so
+  only qualifying orders join back to customer — the
+  aggregate-then-join ordering is the 100 TB-correct shape (joining
+  first would shuffle the whole lineitem-orders product)."""
+  li = _t(spark, sf_dir, 'lineitem')
+  orders = _t(spark, sf_dir, 'orders')
+  cust = _t(spark, sf_dir, 'customer')
+  big = (li.groupBy('l_orderkey')
+         .agg(F.sum(F.col('l_quantity').cast('decimal(18,2)'))
+              .alias('sum_qty'))
+         .where(F.col('sum_qty') >= 150))
+  return (big
+          .join(orders, big.l_orderkey == orders.o_orderkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .select('c_custkey', 'c_name', 'o_orderkey',
+                  F.col('o_totalprice').cast('double')
+                  .alias('totalprice'),
+                  F.col('sum_qty').cast('double').alias('sum_qty'))
+          .orderBy(F.desc('totalprice'), 'o_orderkey')
+          .limit(20))
