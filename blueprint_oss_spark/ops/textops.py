@@ -270,7 +270,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
                  shingle: int = 3, threshold: float = 0.8,
                  edge_source: str = 'jaccard',
                  docs: DataFrame = None,
-                 edges: DataFrame = None) -> DataFrame:
+                 edges: DataFrame = None,
+                 max_bucket_size: int = 0) -> DataFrame:
   """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
   connected components (alternating large-star/small-star, see
   ops/graph.py) → one row per document with its group representative
@@ -297,7 +298,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
     # real near-dups within a band's collision rate — verify within
     # groups downstream if precision matters)
     pairs = minhash_shingles(spark, sf_dir, shingle=shingle,
-                             docs=docs) \
+                             docs=docs,
+                             max_bucket_size=max_bucket_size) \
         .select('doc_a', 'doc_b')
   else:
     pairs = ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
