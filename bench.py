@@ -22,26 +22,16 @@ import os
 import sys
 import time
 
-# Documented per-query steady-state ranges (sec at sf0.1, local[32],
-# idle box; BASELINE.md "Measured" sections).  A bench sample far
-# outside its range landed in one of the host's documented
-# hypervisor-steal burst windows and should be read against the range,
-# not taken as a regression.  dedup_groups is CC-rounds-only since
-# round 3 (edge set precomputed and persisted).
-STEADY_RANGES = {
-    'extraction': [1.0, 1.8],
-    'extraction_paystubs': [2.5, 5.0],
-    'extraction_checks': [2.6, 3.3],
-    'main_content_spans': [0.8, 2.5],
-    'q1_pricing_summary': [0.9, 1.3],
-    'q3_shipping_priority': [0.7, 1.1],
-    'dedup_exact': [0.3, 0.6],
-    'doc_quality': [0.3, 0.8],
-    'minhash_pairs': [3.3, 5.8],
-    'dedup_groups': [3.5, 7.5],
-    'cosine_topk': [0.4, 0.8],
-    'sessionize': [0.6, 1.7],
-}
+# Documented per-query steady-state ranges + timing-semantics notes
+# live in STEADY_RANGES.json next to BASELINE.md (single source — the
+# constants used to be duplicated here and drifted as semantics
+# changed); the emitted JSON embeds both so a burst-window driver
+# sample is readable in place.
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       'STEADY_RANGES.json')) as _f:
+  _STEADY = json.load(_f)
+STEADY_RANGES = _STEADY['ranges_sec']
+TIMING_SEMANTICS = _STEADY['timing_semantics']
 
 
 def main() -> None:
@@ -218,6 +208,7 @@ def main() -> None:
       'queries': timings,
       'queries_median': medians,
       'steady_range_sec': STEADY_RANGES,
+      'timing_semantics': TIMING_SEMANTICS,
       'sf': sf,
       'extraction_docs_per_sec': round(docs_per_sec, 2),
       'extraction_docs': n_out,

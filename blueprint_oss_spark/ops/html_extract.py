@@ -296,10 +296,10 @@ def interleaved_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             x1 = x + CHAR_ADVANCE * size * len(w)
             words.append((w, x, x1, y, y + size))
             x = x1 + CHAR_ADVANCE * size
-          pdf = write_simple_pdf(
+          pdf_bytes = write_simple_pdf(
               [{'width': 612.0, 'height': 792.0, 'words': words}])
           spans.append({'kind': 'pdf', 'media_ref': None, 'offset': 4,
-                        'text': pdf.decode('latin-1')})
+                        'text': pdf_bytes.decode('latin-1')})
         out_ids.append(doc_id)
         out_spans.append(spans)
       yield pd.DataFrame({'doc_id': out_ids, 'spans': out_spans})
@@ -358,8 +358,15 @@ def main_content_doc(spans) -> tuple:
                   'media_ref': s['media_ref'], 'order': order})
     elif s['kind'] == 'html':
       n_html += 1
-      out.append({'kind': 'text',
-                  'text': extract_main_content(s['text'] or ''),
+      # same degradation contract as the PDF branch: via the
+      # run_main_content CLI the input is arbitrary user parquet, and
+      # one pathological page must not abort the whole Spark task — it
+      # degrades to an empty text span instead (tested)
+      try:
+        text = extract_main_content(s['text'] or '')
+      except Exception:
+        text = ''
+      out.append({'kind': 'text', 'text': text,
                   'media_ref': None, 'order': order})
     elif s['kind'] == 'pdf':
       from ..spark.pdf import parse_pdf

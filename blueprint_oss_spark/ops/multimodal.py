@@ -486,7 +486,15 @@ def media_near_dup_pairs(phash: DataFrame, *,
   One shuffle (the band groupBy-join); never the O(n²) cross product.
   More bands = narrower bands = more candidate collisions, so a large
   max_hamming trades shuffle volume for recall — the same dial as the
-  sibling simhash_near_dup_pairs (textops)."""
+  sibling simhash_near_dup_pairs (textops).
+
+  max_hamming must be in [0, 63]: at >= 64 every 64-bit pair qualifies
+  trivially and banding degenerates to a zero-width-mask cross join, so
+  that is rejected rather than silently exploding."""
+  if not 0 <= max_hamming < 64:
+    raise ValueError(f'max_hamming must be in [0, 63], got {max_hamming}'
+                     ' (>= 64 matches every pair — banding degenerates'
+                     ' to a full cross join)')
   n_bands = max_hamming + 1
   base_w, rem = divmod(64, n_bands)
   bands, offset = [], 0

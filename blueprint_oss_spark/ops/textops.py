@@ -111,6 +111,50 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
   return d.select('doc_id', 'lang', *cols).orderBy('doc_id')
 
 
+def _cap_hub_buckets(grouped: DataFrame, ids_col: str,
+                     max_bucket_size: int, op_name: str,
+                     remedy: str) -> DataFrame:
+  """Drop hub buckets (collected-id rows larger than the cap) BEFORE a
+  quadratic in-bucket pair expansion, with drop accounting that rides
+  the caller's own action.
+
+  Round 3 did the accounting with an eager count against a persisted
+  frame — an extra action, plus a cached frame that leaked executor
+  memory and (per the cache-manager plan-matching hazard) could
+  silently serve later identical sub-plans.  This version attaches an
+  Observation instead: the over-cap bucket/id counts are aggregated
+  map-side in the SAME pass that feeds the pair expansion (zero extra
+  actions, zero cached frames — strictly better at 100 TB), and a
+  daemon thread emits the warning once the caller's first action
+  completes (if the plan is never executed, the thread parks until
+  process exit — nothing to log for a plan that never ran)."""
+  import threading
+
+  from pyspark.sql import Observation
+
+  over = F.size(ids_col) > max_bucket_size
+  obs = Observation()
+  grouped = grouped.observe(
+      obs,
+      F.coalesce(F.sum(over.cast('long')), F.lit(0)).alias('n_buckets'),
+      F.coalesce(F.sum(F.when(over, F.size(ids_col)).otherwise(0)),
+                 F.lit(0)).alias('n_ids'))
+
+  def log_drops():
+    import logging
+    got = obs.get  # blocks until the observed plan's first action ends
+    if got['n_buckets']:
+      logging.getLogger(__name__).warning(
+          '%s: dropped %d hub bucket(s) holding %d ids '
+          '(> max_bucket_size=%d); %s',
+          op_name, got['n_buckets'], got['n_ids'], max_bucket_size,
+          remedy)
+
+  threading.Thread(target=log_drops, daemon=True,
+                   name=f'{op_name}-hub-drop-log').start()
+  return grouped.where(~over)
+
+
 def minhash_shingles(spark: SparkSession, sf_dir: str, *,
                      n_hashes: int = 16, shingle: int = 3,
                      bands: int = 4,
@@ -141,11 +185,16 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   d = (docs if docs is not None
        else _docs(spark, sf_dir)).select('doc_id', 'text')
   # A small corpus arrives as one parquet split, which would starve the
-  # map side; spread it across cores first.  Guarded by the partition
-  # count: at 100 TB the scan already has thousands of splits and no
+  # map side; spread it across cores first.  Metadata-only guard (no
+  # DataFrame→RDD conversion — .rdd would force a full plan-to-RDD
+  # translation on every call): a file-backed scan with fewer input
+  # files than cores gets repartitioned; non-file frames
+  # (createDataFrame / composed plans) already carry their creator's
+  # parallelism.  At 100 TB the scan has thousands of splits and no
   # repartition (= no shuffle) happens.
   target = spark.sparkContext.defaultParallelism
-  if d.rdd.getNumPartitions() < target:
+  in_files = d.inputFiles()
+  if in_files and len(in_files) < target:
     d = d.repartition(target)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   # Map-side signatures: build the shingle array per row and take the
@@ -196,21 +245,9 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
              .agg(F.sort_array(F.collect_set('doc_id')).alias('ids'))
              .where(F.size('ids') >= 2))
   if max_bucket_size > 0:
-    import logging
-    # the drop-count is an action; persist so it and the pair
-    # expansion share one shuffle instead of recomputing the
-    # signatures (bucket rows are small: one per collision bucket)
-    grouped = grouped.persist()
-    dropped = grouped.where(F.size('ids') > max_bucket_size) \
-        .agg(F.count(F.lit(1)).alias('n_buckets'),
-             F.coalesce(F.sum(F.size('ids')), F.lit(0)).alias('n_ids')) \
-        .first()
-    if dropped['n_buckets']:
-      logging.getLogger(__name__).warning(
-          'minhash_shingles: dropped %d hub bucket(s) holding %d ids '
-          '(> max_bucket_size=%d); route their members to exact dedup',
-          dropped['n_buckets'], dropped['n_ids'], max_bucket_size)
-    grouped = grouped.where(F.size('ids') <= max_bucket_size)
+    grouped = _cap_hub_buckets(grouped, 'ids', max_bucket_size,
+                               'minhash_shingles',
+                               'route their members to exact dedup')
   pairs = grouped.select(F.explode(F.expr(
       'flatten(transform(ids, (a, i) -> '
       'transform(slice(ids, i + 2, size(ids)), '

@@ -107,6 +107,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str, *,
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
                              threshold: float = 0.9,
                              n_planes: int = 12, bands: int = 3,
+                             max_bucket_size: int = 0,
                              plant_for_verification: bool = False,
                              n_planted: int = 40,
                              plant_eps: float = 0.01) -> DataFrame:
@@ -131,7 +132,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
   O(n²) pair set independently — the LSH-blocked output must equal it
   (recall 1 on this corpus is asserted in tests/test_vectors.py).
   The flag defaults OFF: production callers never see fabricated
-  pairs or nonexistent vec_ids."""
+  pairs or nonexistent vec_ids.
+
+  Skew knob (mirrors minhash_shingles): an exact-dup swarm surviving
+  upstream collapses into ONE LSH bucket on every band, putting k ids
+  in one reducer row and k²/2 pairs in one task.  `max_bucket_size` > 0
+  drops buckets larger than the cap BEFORE the quadratic in-bucket pair
+  expansion, with observation-based drop accounting riding the caller's
+  own action (textops._cap_hub_buckets) — a dropped hub's members are
+  near-identical by construction, so the production follow-up is
+  exact-hash dedup, O(k) not O(k²).  Default 0 disables the cap,
+  keeping the operator exact — which is what the brute-force O(n²)
+  oracle verifies."""
   e = _emb(spark, sf_dir).select(
       'vec_id',
       F.transform(F.col('embedding'),
@@ -146,10 +158,16 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
   band_cols = _banded_bucket_cols(F.col('e'), n_planes, bands)
   stacked = u.select(
       'vec_id', F.explode(F.array(*band_cols)).alias('bucket'))
-  cand = (stacked
-          .groupBy('bucket')
-          .agg(F.sort_array(F.collect_set('vec_id')).alias('ids'))
-          .where(F.size('ids') >= 2)
+  grouped = (stacked
+             .groupBy('bucket')
+             .agg(F.sort_array(F.collect_set('vec_id')).alias('ids'))
+             .where(F.size('ids') >= 2))
+  if max_bucket_size > 0:
+    from blueprint_oss_spark.ops.textops import _cap_hub_buckets
+    grouped = _cap_hub_buckets(grouped, 'ids', max_bucket_size,
+                               'embedding_near_dup_pairs',
+                               'route their members to exact-hash dedup')
+  cand = (grouped
           .select(F.explode(F.expr(
               'flatten(transform(ids, (a, i) -> '
               'transform(slice(ids, i + 2, size(ids)), '

@@ -242,3 +242,16 @@ def test_media_near_dup_full_recall_vs_bruteforce(spark):
            for r in media_near_dup_pairs(ph, max_hamming=max_h)
            .collect()}
     assert got == truth, (max_h, truth - got, got - truth)
+
+
+def test_media_near_dup_rejects_degenerate_threshold():
+  """max_hamming >= 64 would make every band mask zero-width (all rows
+  collide in those bands — a full cross join); the operator must refuse
+  rather than silently degenerate."""
+  import pytest
+
+  from blueprint_oss_spark.ops.multimodal import media_near_dup_pairs
+
+  for bad in (64, 100, -1):
+    with pytest.raises(ValueError):
+      media_near_dup_pairs(None, max_hamming=bad)

@@ -193,3 +193,37 @@ def test_pq_codebooks_deterministic_and_shaped():
   # an exact duplicate of a training vector encodes to the centroid
   # nearest its own subvectors in every subspace — codes of identical
   # vectors are identical by construction (pure function of the vector)
+
+
+def test_embedding_max_bucket_size_caps_hub_buckets(spark, tmp_path):
+  """Skew guard (mirror of minhash_shingles' planted-hub test): 30
+  identical vectors collapse into ONE LSH bucket on every band — a
+  30·29/2 quadratic pair expansion in one task; with max_bucket_size
+  the hub bucket is dropped BEFORE the expansion while a small
+  two-member near-dup bucket keeps its pair."""
+  from blueprint_oss_spark.ops.vectors import embedding_near_dup_pairs
+
+  rng = np.random.default_rng(42)
+  hub = rng.normal(size=16)
+  pair = rng.normal(size=16)
+  rows = [(i, 'hub', [float(x) for x in hub]) for i in range(30)]
+  rows.append((100, 'pair', [float(x) for x in pair]))
+  rows.append((101, 'pair',
+               [float(x) for x in pair
+                + rng.normal(scale=0.001, size=16)]))
+  rows += [(200 + j, 'noise', [float(x) for x in rng.normal(size=16)])
+           for j in range(20)]
+  spark.createDataFrame(
+      rows, 'vec_id long, label string, embedding array<float>') \
+      .write.parquet(str(tmp_path / 'embeddings.parquet'))
+
+  uncapped = {(r['vec_a'], r['vec_b'])
+              for r in embedding_near_dup_pairs(
+                  spark, str(tmp_path)).collect()}
+  assert (100, 101) in uncapped
+  assert len(uncapped) == 30 * 29 // 2 + 1
+
+  capped = {(r['vec_a'], r['vec_b'])
+            for r in embedding_near_dup_pairs(
+                spark, str(tmp_path), max_bucket_size=10).collect()}
+  assert capped == {(100, 101)}
