@@ -394,38 +394,75 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
   return d.select('doc_id', sim.alias('simhash'))
 
 
+def _simhash_block_keys(bands: int, key_blocks: int, max_hamming: int):
+  """Column factory for the Manku blocking keys: split the 64-bit
+  signature into `bands` equal blocks and emit one (table_id, key)
+  struct per `key_blocks`-sized block combination — C(bands,
+  key_blocks) tables, each keyed on key_blocks·(64/bands) signature
+  bits.
+
+  Pigeonhole recall proof: a pair within `max_hamming` differing bits
+  has those bits inside at most max_hamming blocks, so the two
+  signatures agree exactly on >= bands - max_hamming blocks; whenever
+  key_blocks <= bands - max_hamming, at least one combination draws
+  all its blocks from the agreeing set and the pair collides on that
+  table.  Violating that inequality silently loses recall, so it is
+  rejected here."""
+  if 64 % bands:
+    raise ValueError(f'bands must divide 64, got {bands}')
+  if not 1 <= key_blocks <= bands - max_hamming:
+    raise ValueError(
+        f'key_blocks must be in [1, bands - max_hamming] = '
+        f'[1, {bands - max_hamming}] for recall 1.0 at hamming <= '
+        f'{max_hamming}; got key_blocks={key_blocks}')
+  from itertools import combinations
+  width = 64 // bands
+  block = [F.shiftrightunsigned('simhash', i * width)
+           .bitwiseAND(F.lit((1 << width) - 1))
+           for i in range(bands)]
+  keys = []
+  for t, combo in enumerate(combinations(range(bands), key_blocks)):
+    v = None
+    for slot, i in enumerate(combo):
+      part = F.shiftleft(block[i], slot * width).cast('long')
+      v = part if v is None else v.bitwiseOR(part)
+    keys.append(F.struct(F.lit(t).alias('b'), v.alias('v')))
+  return keys
+
+
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
                            max_hamming: int = 3,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           key_blocks: int = 1) -> DataFrame:
   """Near-dup pairs by SimHash hamming distance, banded (Manku et al.,
   WWW 2007 — the web-scale simhash dedup construction).
 
-  The 64-bit signature splits into `bands` equal slices; by pigeonhole
-  any pair within `max_hamming <= bands - 1` differing bits agrees
-  exactly on at least one slice, so blocking on (band_idx, band_value)
-  equality has recall 1.0 by construction — the exact `bit_count(xor)`
-  filter then removes band-collision false positives.  One shuffle on
-  the band key; the distinct() dedup of multi-band hits runs AFTER the
-  hamming filter, so it shuffles only true near-dup pairs.
+  The 64-bit signature splits into `bands` equal blocks; blocking keys
+  are every combination of `key_blocks` of them (C(bands, key_blocks)
+  tables, each key key_blocks·64/bands bits wide).  By pigeonhole any
+  pair within `max_hamming <= bands - key_blocks` differing bits
+  agrees exactly on at least one combination, so the blocking has
+  recall 1.0 by construction (enforced in _simhash_block_keys); the
+  exact `bit_count(xor)` filter then removes key-collision false
+  positives.  One shuffle on the key; the distinct() dedup of
+  multi-table hits runs AFTER the hamming filter, so it shuffles only
+  true near-dup pairs.
 
-  Scale note: a 16-bit band key is fine at gate scale but saturates at
-  web scale (random collisions grow as n²/2^16); at 10^12 docs you
-  widen the effective key the way Manku et al. do — block on the band
-  PLUS a few extra signature bits per table (equivalently more, wider,
-  permuted tables) so candidate fanout stays near-linear, keeping this
-  exact-verify shape unchanged.  The signature computation itself
-  stays one map-side pass either way.
-  """
-  width = 64 // bands
+  Key-width dial (the Manku scale trade): key_blocks=1 with bands=4 is
+  4 tables of 16-bit keys — fine at gate scale, saturating at web
+  scale where random collisions grow as n²/2^16.  At 10^12 docs run
+  e.g. bands=8, key_blocks=5: 56 tables of 40-bit keys, expected
+  random-collision candidates 56·n²/2^41 — near-linear fanout, same
+  exact-verify shape, and the signature computation stays one map-side
+  pass either way.  More tables cost shuffle volume (rows × C(bands,
+  key_blocks)), which is the explicit price of the recall guarantee at
+  scale."""
   sig = _simhash_sig(spark, sf_dir)  # (doc_id, simhash), map-side
   banded = sig.select(
       'doc_id', 'simhash',
-      F.explode(F.array(*[
-          F.struct(
-              F.lit(i).alias('b'),
-              F.shiftrightunsigned('simhash', i * width)
-              .bitwiseAND(F.lit((1 << width) - 1)).alias('v'))
-          for i in range(bands)])).alias('band'))
+      F.explode(F.array(
+          *_simhash_block_keys(bands, key_blocks, max_hamming)))
+      .alias('band'))
   a = banded.select(F.col('doc_id').alias('doc_a'),
                     F.col('simhash').alias('h_a'), 'band')
   b = banded.select(F.col('doc_id').alias('doc_b'),

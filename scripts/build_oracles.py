@@ -28,8 +28,13 @@ first:
       over random non-dup pairs must stay near 32 bits; determinism.
   ann_topk_lsh
       every reported cosine re-checked against exact numpy to 5e-5.
-  media_features
-      full pure-Python recomputation of the deterministic stub features.
+  dedup_groups_minhash
+      the 100 TB dedup path: pure-python xxhash64 minhash edges +
+      union-find connected components, per-doc equality.
+  media_features_phash
+      features recomputed analytically from the generator formulas;
+      perceptual hashes recomputed by an independent plain-python
+      integer implementation.
   extraction_accuracy
       per-field accuracy recomputed in Python from the (reference-
       verified) labelvalue extraction output.
@@ -93,7 +98,12 @@ def verify_bp_extract_flagship(sf_dir: str, pdf, subset: int,
   assert len(pdf) == len(docs), (len(pdf), len(docs))
   ns = load_reference_example(example_path)
   checked = agreed = 0
-  for row in pdf.itertuples():
+  # deterministic EVENLY-STRIDED sample across the doc_id-ordered
+  # corpus (not the first `subset` rows): every vendor template /
+  # long-tail region of the fixture generator gets coverage
+  rows = list(pdf.itertuples())
+  stride = max(1, len(rows) // max(1, subset))
+  for row in rows[::stride]:
     if checked >= subset:
       break
     rf, rs, outs = reference_best_set(row.doc_id, docs[row.doc_id],
@@ -488,6 +498,47 @@ def verify_media_phash(pdf) -> dict:
           'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
+def verify_dedup_groups_minhash(sf_dir: str, pdf) -> dict:
+  """FULL independent recomputation of the 100 TB dedup path: the
+  banded-minhash candidate edges come from the pure-python xxhash64
+  replica (_minhash_pairs_python, same function that verifies
+  minhash_pairs), the connected components from a plain union-find —
+  per-doc group_id (component-min), group_size, and is_keeper must all
+  match the Spark large-star/small-star output exactly."""
+  docs = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['doc_id', 'text']).to_pandas()
+  text = dict(zip(docs.doc_id, docs.text))
+  pairs = _minhash_pairs_python(text)
+
+  parent = {d: d for d in text}
+  def find(x):
+    while parent[x] != x:
+      parent[x] = parent[parent[x]]
+      x = parent[x]
+    return x
+  for a, b in pairs:
+    ra, rb = find(a), find(b)
+    if ra != rb:
+      parent[max(ra, rb)] = min(ra, rb)
+  group = {d: find(d) for d in text}
+  sizes: dict = {}
+  for g in group.values():
+    sizes[g] = sizes.get(g, 0) + 1
+
+  assert len(pdf) == len(text), (len(pdf), len(text))
+  n_multi = 0
+  for row in pdf.itertuples():
+    g = group[row.doc_id]
+    assert row.group_id == g, (row.doc_id, row.group_id, g)
+    assert row.group_size == sizes[g], (row.doc_id, row.group_size)
+    assert row.is_keeper == int(row.doc_id == g), row.doc_id
+    n_multi += sizes[g] > 1
+  return {'method': 'FULL pure-python recomputation: xxhash64 minhash '
+                    'edges + union-find components',
+          'edges': len(pairs), 'docs_in_multi_groups': n_multi,
+          'groups': len(sizes)}
+
+
 def verify_accuracy(spark, sf_dir: str, pdf, extract_pdf) -> dict:
   """Recompute per-field accuracy in Python from the (reference-
   verified) labelvalue extraction output.  Only the corruption selector
@@ -589,10 +640,19 @@ def main() -> None:
                             full_lsh=name == 'ann_topk_lsh')
     elif name == 'pq_topk':
       rec = verify_pq_topk(args.sf_dir, pdf)
-    elif name == 'media_features':
-      rec = verify_media(pdf)
-    elif name == 'media_phash':
-      rec = verify_media_phash(pdf)
+    elif name == 'media_features_phash':
+      # the merged multimodal query: each half verified by its own
+      # independent recomputation (features analytically from the
+      # generator formulas; hashes by the plain-python integer replica)
+      rec_f = verify_media(
+          pdf.rename(columns={'feature_status': 'decode_status'}))
+      rec_p = verify_media_phash(
+          pdf.rename(columns={'phash_status': 'decode_status'}))
+      rec = {'method': f"features: {rec_f['method']}; "
+                       f"phash: {rec_p['method']}",
+             'ok': rec_f['ok'], 'unsupported': rec_f['unsupported']}
+    elif name == 'dedup_groups_minhash':
+      rec = verify_dedup_groups_minhash(args.sf_dir, pdf)
     elif name == 'extraction_accuracy':
       rec = verify_accuracy(spark, args.sf_dir, pdf,
                             run('bp_extract_labelvalue'))

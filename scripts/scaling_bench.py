@@ -41,15 +41,18 @@ df.count()
 root = readme_blueprint()
 # full warmup pass: fork + import every python worker, JIT codegen
 extract_documents(df, root).count()
-best = None
-for _ in range(2):
+times = []
+for _ in range(3):
     t0 = time.monotonic()
     n = extract_documents(df, root).count()
-    dt = time.monotonic() - t0
-    if best is None or dt < best:
-        best = dt
+    times.append(time.monotonic() - t0)
+best = min(times)
+median = sorted(times)[len(times) // 2]
 print(json.dumps({'cpus': int(cpus), 'docs': n, 'sec': best,
-                  'docs_per_sec': n / best}))
+                  'sec_median': round(median, 4),
+                  'sec_all': [round(t, 4) for t in times],
+                  'docs_per_sec': n / best,
+                  'docs_per_sec_median': n / median}))
 spark.stop()
 '''
 
@@ -71,12 +74,15 @@ def main() -> None:
   lo = run_level(n, n_docs)
   hi = run_level(4 * n, n_docs)
   efficiency = (hi['docs_per_sec'] / lo['docs_per_sec']) / 4.0
+  eff_median = (hi['docs_per_sec_median']
+                / lo['docs_per_sec_median']) / 4.0
   result = {
       'n_docs': n_docs,
       'low': lo,
       'high': hi,
       'speedup': round(hi['docs_per_sec'] / lo['docs_per_sec'], 3),
       'scaling_efficiency_N_to_4N': round(efficiency, 3),
+      'scaling_efficiency_N_to_4N_median': round(eff_median, 3),
       'target': 0.8,
   }
   print(json.dumps(result))
