@@ -226,3 +226,26 @@ def test_class_hint_penalty_beats_long_comments():
   # that the assertion above is the boost, not ordering)
   page3 = f'<body><div class="x">{a}</div><div>{b}</div></body>'
   assert extract_main_content(page3) == b.strip()
+
+
+def test_main_content_html_degrades_on_extractor_failure(monkeypatch):
+  """The HTML branch carries the same degradation contract as the PDF
+  branch: via the run_main_content CLI the input is arbitrary user
+  parquet, so a pathological page that makes the extractor raise must
+  degrade to an empty text span, not abort the Spark task.  The
+  extractor is forced to raise here (no known organic crasher — the
+  guard is the contract)."""
+  from blueprint_oss_spark.ops import html_extract as H
+
+  def boom(_html):
+    raise RuntimeError('pathological page')
+
+  monkeypatch.setattr(H, 'extract_main_content', boom)
+  out, n_html = H.main_content_doc([
+      {'kind': 'html', 'text': '<html><body>x</body></html>',
+       'media_ref': None, 'offset': 0},
+      {'kind': 'media', 'text': None, 'media_ref': 'm/1', 'offset': 1},
+  ])
+  assert n_html == 1
+  assert [(s['kind'], s['text'], s['media_ref'], s['order'])
+          for s in out] == [('text', '', None, 0), ('media', None, 'm/1', 1)]
