@@ -187,9 +187,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           lambda s, d: T.simhash_near_dup_pairs(
               s, d, bands=8, key_blocks=5),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
-      'ann_topk_lsh': lambda s, d: V.ann_topk_lsh(s, d),
-      'ivf_topk': lambda s, d: V.ivf_topk(s, d),
-      'pq_topk': lambda s, d: V.pq_topk(s, d),
+      # one driver row covering all three ANN index families (sign-LSH
+      # banding / IVF coarse quantizer / PQ-ADC) — merged so
+      # semantic_dedup + repetition_stats fit inside the 50-row gate
+      # budget; each method's top-k is verified by its own FULL
+      # pure-python recomputation (see scripts/build_oracles.py)
+      'ann_topk_methods': _ann_topk_methods,
+      # SemDeDup-style semantic dedup: k-means cells -> in-cell exact
+      # cosine edges -> connected components -> keep-one; snapshot
+      # verified by a FULL pure-python recomputation (same seeded
+      # trainer, left-to-right float64 folds, union-find)
+      'semantic_dedup':
+          lambda s, d: V.semantic_dedup(s, d, plant_for_verification=True),
       # --- north-rule pipeline + curation capstones (DuckDB-oracled
       # from the raw tables) ---
       'main_content_spans': _main_content_spans,
@@ -216,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- training-data text ops (DuckDB-oracled; the per-doc scan
       # operators ride in joined composites, one row-set each) ---
       'doc_token_quality': _doc_token_quality,
+      'repetition_stats': T.repetition_stats,
       'dedup_exact': T.dedup_exact,
       'doc_fingerprint_lang': _doc_fingerprint_lang,
       'pii_scrub': C.pii_scrub,
@@ -231,6 +241,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'stratified_sample': P.stratified_sample,
       'table_profile': P.table_profile,
   }
+
+
+def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """All three ANN index families over the same query vector in one
+  driver row-set: sign-LSH banded probe, IVF coarse-quantizer probe,
+  and PQ asymmetric-distance shortlist + exact refine.  Each method's
+  rows are its own operator's output tagged with a method column, so
+  every family stays independently value-checked."""
+  from blueprint_oss_spark.ops import vectors as V
+  lsh = V.ann_topk_lsh(spark, sf_dir).withColumn('method', F.lit('lsh'))
+  ivf = V.ivf_topk(spark, sf_dir).withColumn('method', F.lit('ivf'))
+  pqa = V.pq_topk(spark, sf_dir).withColumn('method', F.lit('pq'))
+  return (lsh.unionByName(ivf).unionByName(pqa)
+          .select('method', 'vec_id', 'cosine_r')
+          .orderBy('method', F.desc('cosine_r'), 'vec_id'))
 
 
 def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +359,12 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
 #:   * minhash/simhash — verified by duplicate-closure + cross-op
 #:     consistency properties (exact dups collide, reported pairs have
 #:     independently-recomputed high Jaccard);
-#:   * ann_topk_lsh — reported cosines verified against exact numpy;
+#:   * ann_topk_methods — each method slice verified by its own FULL
+#:     pure-python recomputation (LSH bucket probe / IVF cell probe /
+#:     PQ encode+ADC+refine) ending in the same round-then-sort top-k;
+#:   * semantic_dedup — FULL pure-python recomputation (same seeded
+#:     k-means trainer, left-to-right float64 folds for cell
+#:     assignment and in-cell cosine, union-find groups);
 #:   * dedup_groups_minhash — FULL pure-python recomputation (xxhash64
 #:     minhash edges + union-find components);
 #:   * media_features_phash / extraction_accuracy — verified against
@@ -351,9 +381,8 @@ _SNAPSHOT_ORACLES = {
     'minhash_pairs': 'doc_a, doc_b',
     'dedup_groups_minhash': 'doc_id',
     'simhash64': 'doc_id',
-    'ann_topk_lsh': 'cosine_r DESC, vec_id',
-    'ivf_topk': 'cosine_r DESC, vec_id',
-    'pq_topk': 'cosine_r DESC, vec_id',
+    'ann_topk_methods': 'method, cosine_r DESC, vec_id',
+    'semantic_dedup': 'vec_id',
     'media_features_phash': 'media_ref',
     'extraction_accuracy': 'field',
 }
@@ -847,6 +876,64 @@ def oracle_sql() -> dict[str, str]:
         JOIN dq ON ts.doc_id = dq.doc_id
         JOIN qf ON ts.doc_id = qf.doc_id
         ORDER BY ts.doc_id
+      """,
+      # Gopher repetition filters recomputed from scratch: identical
+      # tokenization (split on ' ', drop empties), bigrams/5-grams by
+      # list comprehension, identical exact-integer verdicts.
+      'repetition_stats': """
+        WITH w AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 list_filter(string_split(text, ' '),
+                             x -> length(x) > 0) AS ws
+          FROM documents),
+        b AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                   THEN list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM w),
+        bc AS (SELECT doc_id, g, COUNT(*) AS cnt
+               FROM b GROUP BY doc_id, g),
+        btop AS (
+          SELECT doc_id, g AS top2_gram, cnt AS top2_count,
+                 CAST(cnt * length(g) AS BIGINT) AS top2_chars
+          FROM (SELECT doc_id, g, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g) AS rn
+                FROM bc) WHERE rn = 1),
+        f AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+                   THEN list_transform(range(1, len(ws) - 3),
+                        i -> array_to_string(list_slice(ws, i, i + 4),
+                                             ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM w),
+        fc AS (SELECT doc_id, g, COUNT(*) AS cnt
+               FROM f GROUP BY doc_id, g),
+        fdup AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt * length(g)) AS BIGINT) AS dup5_chars
+          FROM fc WHERE cnt >= 2 GROUP BY doc_id)
+        SELECT w.doc_id, w.n_chars,
+               COALESCE(btop.top2_gram, '') AS top2_gram,
+               CAST(COALESCE(btop.top2_count, 0) AS BIGINT)
+                 AS top2_count,
+               CAST(COALESCE(btop.top2_chars, 0) AS BIGINT)
+                 AS top2_chars,
+               CAST(COALESCE(fdup.dup5_chars, 0) AS BIGINT)
+                 AS dup5_chars,
+               CAST(5 * COALESCE(btop.top2_chars, 0) <= w.n_chars
+                    AS INT) AS ok_top_bigram,
+               CAST(20 * COALESCE(fdup.dup5_chars, 0) <= 3 * w.n_chars
+                    AS INT) AS ok_dup_5gram,
+               CAST(5 * COALESCE(btop.top2_chars, 0) <= w.n_chars
+                    AND 20 * COALESCE(fdup.dup5_chars, 0)
+                        <= 3 * w.n_chars
+                    AS INT) AS keep
+        FROM w
+        LEFT JOIN btop ON w.doc_id = btop.doc_id
+        LEFT JOIN fdup ON w.doc_id = fdup.doc_id
+        ORDER BY w.doc_id
       """,
       'dedup_exact': """
         SELECT md5(text) AS content_hash,

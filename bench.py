@@ -175,6 +175,12 @@ def main() -> None:
       ('cosine_topk',
        lambda: V.cosine_topk_bruteforce(spark, sf_dir).collect()),
       ('sessionize', lambda: R.sessionize(spark, sf_dir).count()),
+      ('repetition_stats',
+       lambda: T.repetition_stats(spark, sf_dir).count()),
+      # production default (no planting): k-means cells + in-cell
+      # exact cosine + CC keep-one over the raw corpus
+      ('semantic_dedup',
+       lambda: V.semantic_dedup(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

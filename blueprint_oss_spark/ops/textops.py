@@ -657,3 +657,88 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
           .select('doc_id', 'shard', 'n_tokens', 'tokens_before',
                   'chunk_first', 'chunk_last', 'n_chunks')
           .orderBy('doc_id'))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str, *,
+                     docs: DataFrame = None) -> DataFrame:
+  """Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+  table A1): per-document top-2-gram character fraction and
+  duplicate-5-gram character fraction, as EXACT integer stats plus
+  integer keep verdicts (the corpus carries no newlines, so the word
+  n-gram family is the applicable half of Gopher's repetition table;
+  the line/paragraph half degenerates).
+
+  Definitions (all exact ints, engine-stable):
+    * top2_gram   — the most frequent word 2-gram (ties -> the
+      lexicographically smallest), '' when the doc has < 2 words;
+    * top2_chars  — occurrences x length(top2_gram), every occurrence
+      counted (overlaps included: a defined, exactly-recomputable
+      analog of Gopher's fraction-of-chars-in-top-2-gram);
+    * dup5_chars  — sum over DUPLICATED 5-grams (count >= 2) of
+      count x length(gram);
+    * ok_top_bigram = 5*top2_chars <= n_chars       (fraction <= 0.20)
+    * ok_dup_5gram  = 20*dup5_chars <= 3*n_chars    (fraction <= 0.15)
+
+  Scale shape: n-gram construction is map-side array arithmetic
+  (zip_with/transform over the token array — no Python); the shuffles
+  key on (doc_id, gram), whose cardinality dominates any single key —
+  the classic word-count shape with map-side partial aggregation.  The
+  per-doc top-1 runs a window over doc_id (same key, second shuffle
+  reuses the first's partitioning).  Composes with quality_filter via
+  the docs= seam."""
+  from pyspark.sql import Window
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = d.select('doc_id',
+                  F.length('text').cast('long').alias('n_chars'),
+                  toks.alias('w'))
+
+  n = F.size('w')
+  bigrams = F.when(n >= 2, F.zip_with(
+      F.slice('w', 1, n - 1), F.slice('w', 2, n - 1),
+      lambda a, b: F.concat(a, F.lit(' '), b))) \
+      .otherwise(F.array().cast('array<string>'))
+  fivegrams = F.when(n >= 5, F.transform(
+      F.sequence(F.lit(1), n - 4),
+      lambda i: F.array_join(F.slice('w', i, 5), ' '))) \
+      .otherwise(F.array().cast('array<string>'))
+
+  b_counts = (base.select('doc_id', F.explode(bigrams).alias('g'))
+              .groupBy('doc_id', 'g').count())
+  win = Window.partitionBy('doc_id').orderBy(F.desc('count'), F.asc('g'))
+  top2 = (b_counts
+          .withColumn('rn', F.row_number().over(win))
+          .where(F.col('rn') == 1)
+          .select('doc_id', F.col('g').alias('top2_gram'),
+                  F.col('count').alias('top2_count'),
+                  (F.col('count') * F.length('g')).cast('long')
+                  .alias('top2_chars')))
+
+  dup5 = (base.select('doc_id', F.explode(fivegrams).alias('g'))
+          .groupBy('doc_id', 'g').count()
+          .where(F.col('count') >= 2)
+          .groupBy('doc_id')
+          .agg(F.sum(F.col('count') * F.length('g')).cast('long')
+               .alias('dup5_chars')))
+
+  out = (base.select('doc_id', 'n_chars')
+         .join(top2, 'doc_id', 'left')
+         .join(dup5, 'doc_id', 'left')
+         .select('doc_id', 'n_chars',
+                 F.coalesce('top2_gram', F.lit('')).alias('top2_gram'),
+                 F.coalesce('top2_count', F.lit(0)).cast('long')
+                 .alias('top2_count'),
+                 F.coalesce('top2_chars', F.lit(0)).cast('long')
+                 .alias('top2_chars'),
+                 F.coalesce('dup5_chars', F.lit(0)).cast('long')
+                 .alias('dup5_chars')))
+  ok_top = 5 * F.col('top2_chars') <= F.col('n_chars')
+  ok_dup = 20 * F.col('dup5_chars') <= 3 * F.col('n_chars')
+  return (out.select(
+      'doc_id', 'n_chars', 'top2_gram', 'top2_count', 'top2_chars',
+      'dup5_chars',
+      ok_top.cast('int').alias('ok_top_bigram'),
+      ok_dup.cast('int').alias('ok_dup_5gram'),
+      (ok_top & ok_dup).cast('int').alias('keep'))
+      .orderBy('doc_id'))

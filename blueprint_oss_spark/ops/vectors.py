@@ -148,12 +148,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
       'vec_id',
       F.transform(F.col('embedding'),
                   lambda x: x.cast('double')).alias('e'))
-  u = e
-  if plant_for_verification:
-    planted = e.where(F.col('vec_id') < n_planted).select(
-        (F.col('vec_id') + 1_000_000).alias('vec_id'),
-        F.transform(F.col('e'), lambda v: v + plant_eps).alias('e'))
-    u = e.unionByName(planted)
+  u = e.unionByName(_planted(e, n_planted, plant_eps)) \
+      if plant_for_verification else e
 
   band_cols = _banded_bucket_cols(F.col('e'), n_planes, bands)
   stacked = u.select(
@@ -409,3 +405,125 @@ def pq_topk(spark: SparkSession, sf_dir: str, *,
   return (scored.orderBy(F.desc(F.round('cosine', 6)), 'vec_id')
           .limit(k)
           .select('vec_id', F.round('cosine', 4).alias('cosine_r')))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — cluster-then-pairwise embedding dedup (SemDeDup-style).
+# ---------------------------------------------------------------------------
+
+def _planted(e: DataFrame, n_planted: int, plant_eps: float) -> DataFrame:
+  """Deterministic near-dup planting shared by the embedding dedup
+  operators: the first `n_planted` vectors re-enter as vec_id+1_000_000
+  with `plant_eps` added to every component (cosine >= 0.99 to their
+  originals on this corpus, <= ~0.52 to everything else)."""
+  return e.where(F.col('vec_id') < n_planted).select(
+      (F.col('vec_id') + 1_000_000).alias('vec_id'),
+      F.transform(F.col('e'), lambda v: v + plant_eps).alias('e'))
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str, *,
+                   threshold: float = 0.9, n_cells: int = 16,
+                   train_limit: int = 10_000,
+                   max_bucket_size: int = 0,
+                   plant_for_verification: bool = False,
+                   n_planted: int = 40,
+                   plant_eps: float = 0.01) -> DataFrame:
+  """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  arXiv:2303.09540): spherical k-means clusters the embedding space,
+  exact pairwise cosine runs ONLY within each cluster, pairs above
+  `threshold` become dedup edges, connected components pick one keeper
+  (the minimum vec_id) per semantic-duplicate group.
+
+  Returns (vec_id, group, keep) for EVERY vector: `group` is the
+  component's minimum vec_id (self for singletons), `keep` = 1 exactly
+  on the representative.  `.where(keep = 1)` is the dataset-pruning
+  step the SemDeDup paper applies before pretraining.
+
+  Scale shape: centroid training touches a bounded `.limit()` sample
+  (driver-side numpy on <=train_limit rows — at 100 TB a .limit()
+  scan, not a full pass); per-row cell assignment is map-side JVM
+  arithmetic against broadcast centroid literals; the ONE substantive
+  shuffle keys on `cell`, and the quadratic pair work is bounded per
+  cell (n_cells scales with corpus size — the paper runs 50k clusters
+  over LAION; a near-dup pair split across two cells is missed, which
+  is the algorithm's documented recall trade).  Dedup groups reuse the
+  alternating-star connected components (ops/graph.py) — O(log n)
+  min-agg rounds, no per-node adjacency arrays.
+
+  Skew knob: `max_bucket_size` drops cells larger than the cap BEFORE
+  the quadratic in-cell pair expansion (observation-based drop
+  accounting riding the caller's action, textops._cap_hub_buckets) —
+  an exact-dup swarm collapsing into one cell otherwise puts k ids in
+  one reducer row and k^2/2 pairs in one task; the production
+  follow-up for a dropped swarm is exact-hash dedup, O(k) not O(k^2).
+  Default 0 keeps the operator exact, which is what the pure-python
+  full recomputation in scripts/build_oracles.py verifies.
+
+  Verification planting mirrors embedding_near_dup_pairs (default OFF:
+  production callers never see fabricated vec_ids); centroids train on
+  the UNPLANTED head sample so planting cannot move the cells."""
+  import numpy as np
+
+  raw = _emb(spark, sf_dir)
+  e = raw.select(
+      'vec_id',
+      F.transform(F.col('embedding'),
+                  lambda x: x.cast('double')).alias('e'))
+  u = e.unionByName(_planted(e, n_planted, plant_eps)) \
+      if plant_for_verification else e
+
+  sample = np.array(
+      [np.asarray(r['embedding'], dtype=np.float64)
+       for r in raw.select('embedding').limit(train_limit).collect()])
+  C = train_ivf_centroids(sample, n_cells)
+
+  # staged projections (norm, then the normalized vector) so Catalyst
+  # evaluates the norm fold ONCE per row instead of inlining it into
+  # every per-centroid dot fold (the pq_topk expression-blowup lesson)
+  base = (u.select('vec_id', 'e')
+          .select('vec_id', 'e', _norm(F.col('e')).alias('nrm'))
+          .select('vec_id', 'e',
+                  F.transform('e', lambda x: x / F.col('nrm'))
+                  .alias('nv')))
+  dots = F.array(*[
+      _dot(F.col('nv'), F.array(*[F.lit(float(w)) for w in c]))
+      for c in C])
+  assigned = base.select(
+      'vec_id', F.array_position(dots, F.array_max(dots)).alias('cell'))
+
+  grouped = (assigned
+             .groupBy('cell')
+             .agg(F.sort_array(F.collect_set('vec_id')).alias('ids'))
+             .where(F.size('ids') >= 2))
+  if max_bucket_size > 0:
+    from blueprint_oss_spark.ops.textops import _cap_hub_buckets
+    grouped = _cap_hub_buckets(grouped, 'ids', max_bucket_size,
+                               'semantic_dedup',
+                               'route their members to exact-hash dedup')
+  cand = (grouped
+          .select(F.explode(F.expr(
+              'flatten(transform(ids, (a, i) -> '
+              'transform(slice(ids, i + 2, size(ids)), '
+              'b -> struct(a AS vec_a, b AS vec_b))))')).alias('p'))
+          .select('p.vec_a', 'p.vec_b'))
+  ea = u.select(F.col('vec_id').alias('vec_a'), F.col('e').alias('e_a'))
+  eb = u.select(F.col('vec_id').alias('vec_b'), F.col('e').alias('e_b'))
+  # cand is tiny -> AQE broadcasts it; the embedding table itself never
+  # shuffles for these joins.
+  edges = (cand.join(ea, 'vec_a').join(eb, 'vec_b')
+           .select('vec_a', 'vec_b',
+                   (_dot(F.col('e_a'), F.col('e_b'))
+                    / (_norm(F.col('e_a')) * _norm(F.col('e_b'))))
+                   .alias('cosine'))
+           .where(F.col('cosine') >= threshold)
+           .select('vec_a', 'vec_b'))
+
+  from blueprint_oss_spark.ops.graph import connected_components
+  comp = connected_components(edges, 'vec_a', 'vec_b')
+  return (u.select('vec_id')
+          .join(comp, u['vec_id'] == comp['node'], 'left')
+          .select('vec_id',
+                  F.coalesce('component', 'vec_id').alias('group'))
+          .withColumn('keep',
+                      (F.col('vec_id') == F.col('group')).cast('int'))
+          .orderBy('vec_id'))

@@ -366,6 +366,141 @@ def verify_pq_topk(sf_dir: str, pdf, query_vec_id: int = 0) -> dict:
           'rows': len(pdf)}
 
 
+def _fold_cos(a, b) -> float:
+  """Cosine with left-to-right float64 folds matching F.aggregate's
+  evaluation order (ops/vectors._dot/_norm), hence bit-equal."""
+  d = na = nb = 0.0
+  for x, y in zip(a, b):
+    d += x * y
+  for x in a:
+    na += x * x
+  for y in b:
+    nb += y * y
+  return d / (na ** 0.5 * nb ** 0.5)
+
+
+def _cell_python(v, C) -> int:
+  """Replicates ops/vectors' IVF cell assignment: norm and per-centroid
+  dots as left-to-right float64 folds, cell = 1-based FIRST-max
+  position (F.array_position semantics)."""
+  s = 0.0
+  for x in v:
+    s += x * x
+  nrm = s ** 0.5
+  nv = [x / nrm for x in v]
+  dots = []
+  for c in C:
+    d = 0.0
+    for x, w in zip(nv, c):
+      d += x * float(w)
+    dots.append(d)
+  return dots.index(max(dots)) + 1
+
+
+def _read_embeddings(sf_dir: str):
+  t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  return {int(i): [float(x) for x in np.asarray(e, dtype=np.float64)]
+          for i, e in zip(t.vec_id, t.embedding)}
+
+
+def verify_ivf_topk(sf_dir: str, pdf, query_vec_id: int = 0,
+                    k: int = 10, n_cells: int = 16,
+                    nprobe: int = 4) -> dict:
+  """FULL sequential pure-python IVF recomputation: same seeded
+  trainer, fold-order cell assignment, same numpy probe selection,
+  fold-order cosine inside the probed cells, round-then-sort top-k."""
+  from blueprint_oss_spark.ops.vectors import train_ivf_centroids
+  E = _read_embeddings(sf_dir)
+  sample = np.array([E[i] for i in E])
+  C = train_ivf_centroids(sample, n_cells)
+  cells = {i: _cell_python(E[i], C) for i in E}
+  q = np.asarray(E[query_vec_id])
+  qn = q / np.linalg.norm(q)
+  probe = [int(c) + 1 for c in np.argsort(-(C @ qn))[:nprobe]]
+  cand = [i for i in E if cells[i] in probe and i != query_vec_id]
+  scored = sorted(
+      ((round(_fold_cos(E[i], E[query_vec_id]), 6), i) for i in cand),
+      key=lambda cv: (-cv[0], cv[1]))[:k]
+  expect = [(i, round(c, 4)) for c, i in scored]
+  got = [(int(r.vec_id), float(r.cosine_r)) for r in pdf.itertuples()]
+  assert got == expect, (got, expect)
+  return {'method': 'FULL pure-python IVF recomputation (seeded '
+                    'trainer + fold-order cells/cosine + probe + '
+                    'top-k)', 'rows': len(pdf)}
+
+
+def verify_ann_topk_methods(sf_dir: str, pdf) -> dict:
+  """The merged ANN gate row: each method slice re-verified by its own
+  FULL pure-python recomputation."""
+  def sl(m):
+    return pdf[pdf.method == m][['vec_id', 'cosine_r']] \
+        .reset_index(drop=True)
+  rec_l = verify_ann_topk(sf_dir, sl('lsh'), full_lsh=True)
+  rec_i = verify_ivf_topk(sf_dir, sl('ivf'))
+  rec_p = verify_pq_topk(sf_dir, sl('pq'))
+  return {'method': f"lsh: {rec_l['method']}; ivf: {rec_i['method']}; "
+                    f"pq: {rec_p['method']}"}
+
+
+def verify_semantic_dedup(sf_dir: str, pdf, *, threshold: float = 0.9,
+                          n_cells: int = 16, n_planted: int = 40,
+                          plant_eps: float = 0.01) -> dict:
+  """FULL sequential pure-python recomputation of semantic_dedup: same
+  seeded k-means trainer on the unplanted table, identical planting
+  arithmetic, fold-order cell assignment and in-cell cosine, union-find
+  connected components, keep = (vec_id == component min).  Exact
+  equality of the whole (vec_id, group, keep) frame required."""
+  from blueprint_oss_spark.ops.vectors import train_ivf_centroids
+  E = _read_embeddings(sf_dir)
+  sample = np.array([E[i] for i in E])
+  C = train_ivf_centroids(sample, n_cells)
+  for i in sorted(E):
+    if i < n_planted:
+      E[i + 1_000_000] = [x + plant_eps for x in E[i]]
+  cells: dict = {}
+  for i in E:
+    cells.setdefault(_cell_python(E[i], C), []).append(i)
+
+  parent = {i: i for i in E}
+
+  def find(i):
+    while parent[i] != i:
+      parent[i] = parent[parent[i]]
+      i = parent[i]
+    return i
+
+  n_edges = 0
+  for members in cells.values():
+    ms = sorted(members)
+    for ii, a in enumerate(ms):
+      for b in ms[ii + 1:]:
+        if _fold_cos(E[a], E[b]) >= threshold:
+          ra, rb = find(a), find(b)
+          if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+          n_edges += 1
+  comps: dict = {}
+  for i in E:
+    comps.setdefault(find(i), []).append(i)
+  expect = {}
+  for members in comps.values():
+    g = min(members)
+    for i in members:
+      expect[i] = g
+  got = {int(r.vec_id): (int(r.group), int(r.keep))
+         for r in pdf.itertuples()}
+  assert set(got) == set(expect), 'vec_id set mismatch'
+  for i, g in expect.items():
+    assert got[i] == (g, 1 if i == g else 0), (i, got[i], g)
+  n_groups = sum(1 for ms in comps.values() if len(ms) > 1)
+  assert n_groups >= n_planted, \
+      f'planted dups did not group: {n_groups} < {n_planted}'
+  return {'method': 'FULL pure-python recomputation (seeded trainer + '
+                    'fold-order cells/cosine + union-find)',
+          'rows': len(pdf), 'dup_groups': n_groups,
+          'in_cell_edges': n_edges}
+
+
 def verify_media(pdf) -> dict:
   """f0 recomputed ANALYTICALLY from the generator's seed formulas —
   independent of the decoders: image f0 = width/1024 with width
@@ -635,11 +770,10 @@ def main() -> None:
       rec = verify_minhash(args.sf_dir, pdf, run(name))
     elif name == 'simhash64':
       rec = verify_simhash(args.sf_dir, pdf, run(name))
-    elif name in ('ann_topk_lsh', 'ivf_topk'):
-      rec = verify_ann_topk(args.sf_dir, pdf,
-                            full_lsh=name == 'ann_topk_lsh')
-    elif name == 'pq_topk':
-      rec = verify_pq_topk(args.sf_dir, pdf)
+    elif name == 'ann_topk_methods':
+      rec = verify_ann_topk_methods(args.sf_dir, pdf)
+    elif name == 'semantic_dedup':
+      rec = verify_semantic_dedup(args.sf_dir, pdf)
     elif name == 'media_features_phash':
       # the merged multimodal query: each half verified by its own
       # independent recomputation (features analytically from the

@@ -227,3 +227,116 @@ def test_embedding_max_bucket_size_caps_hub_buckets(spark, tmp_path):
             for r in embedding_near_dup_pairs(
                 spark, str(tmp_path), max_bucket_size=10).collect()}
   assert capped == {(100, 101)}
+
+
+def _bruteforce_groups(M, vec_ids, threshold):
+  """Ground-truth semantic-dup groups: union-find over ALL pairs with
+  cosine >= threshold, group = component min."""
+  N = M / np.linalg.norm(M, axis=1, keepdims=True)
+  S = N @ N.T
+  parent = {int(v): int(v) for v in vec_ids}
+
+  def find(i):
+    while parent[i] != i:
+      parent[i] = parent[parent[i]]
+      i = parent[i]
+    return i
+
+  n = len(vec_ids)
+  for a in range(n):
+    for b in range(a + 1, n):
+      if S[a, b] >= threshold:
+        ra, rb = find(int(vec_ids[a])), find(int(vec_ids[b]))
+        if ra != rb:
+          parent[max(ra, rb)] = min(ra, rb)
+  comps = {}
+  for v in vec_ids:
+    comps.setdefault(find(int(v)), []).append(int(v))
+  return {i: min(ms) for ms in comps.values() for i in ms}
+
+
+def test_semantic_dedup_single_cell_equals_bruteforce(spark, planted_dir):
+  """n_cells=1 disables the clustering recall trade: every pair is
+  in-cell, so the output must EQUAL brute-force connected components
+  over the all-pairs cosine graph."""
+  from blueprint_oss_spark.ops.vectors import semantic_dedup
+  d, M, labels = planted_dir
+  got = {r['vec_id']: (r['group'], r['keep'])
+         for r in semantic_dedup(spark, d, threshold=0.95,
+                                 n_cells=1).collect()}
+  expect = _bruteforce_groups(M, sorted(got), 0.95)
+  assert set(got) == set(expect)
+  for i, g in expect.items():
+    assert got[i] == (g, 1 if i == g else 0), (i, got[i], g)
+  # the planted clusters actually deduplicate: ≥40 multi-member groups
+  n_groups = sum(1 for i, g in expect.items() if i == g
+                 and any(j != i and gg == g for j, gg in expect.items()))
+  assert n_groups >= 40
+
+
+def test_semantic_dedup_clustered_recall(spark, planted_dir):
+  """At a realistic cell count the only recall loss allowed is a
+  near-dup pair split across cells; merges must never cross a true
+  group (precision 1: in-cell edges are exact cosine)."""
+  from blueprint_oss_spark.ops.vectors import semantic_dedup
+  d, M, labels = planted_dir
+  got = {r['vec_id']: r['group']
+         for r in semantic_dedup(spark, d, threshold=0.95,
+                                 n_cells=8).collect()}
+  expect = _bruteforce_groups(M, sorted(got), 0.95)
+  # precision: members of one reported group belong to one true group
+  for i, g in got.items():
+    assert expect[i] == expect[g], (i, g)
+  # recall: same-cluster pairs grouped together (k-means puts
+  # near-identical vectors in the same cell on this corpus)
+  true_pairs = {(a, b) for a in expect for b in expect
+                if a < b and expect[a] == expect[b]}
+  got_pairs = {(a, b) for a in got for b in got
+               if a < b and got[a] == got[b]}
+  recall = len(got_pairs & true_pairs) / len(true_pairs)
+  assert recall >= 0.9, f'recall {recall:.3f}'
+
+
+def test_semantic_dedup_hub_cap(spark, tmp_path):
+  """Skew guard: 30 exact-identical vectors collapse into one k-means
+  cell; max_bucket_size drops the hub cell BEFORE the quadratic
+  expansion (members fall back to keep-themselves — the production
+  follow-up is exact-hash dedup), while a small near-dup pair in
+  another cell still deduplicates."""
+  from blueprint_oss_spark.ops.vectors import semantic_dedup
+
+  rng = np.random.default_rng(42)
+  hub = rng.normal(size=16)
+  pair = rng.normal(size=16)
+  rows = [(i, 'hub', [float(x) for x in hub]) for i in range(30)]
+  rows.append((100, 'pair', [float(x) for x in pair]))
+  rows.append((101, 'pair',
+               [float(x) for x in pair
+                + rng.normal(scale=0.001, size=16)]))
+  rows += [(200 + j, 'noise', [float(x) for x in rng.normal(size=16)])
+           for j in range(20)]
+  spark.createDataFrame(
+      rows, 'vec_id long, label string, embedding array<float>') \
+      .write.parquet(str(tmp_path / 'embeddings.parquet'))
+
+  uncapped = {r['vec_id']: (r['group'], r['keep'])
+              for r in semantic_dedup(spark, str(tmp_path),
+                                      n_cells=4).collect()}
+  assert uncapped[101] == (100, 0) and uncapped[100] == (100, 1)
+  assert all(uncapped[i] == (0, 1 if i == 0 else 0) for i in range(30))
+
+  capped = {r['vec_id']: (r['group'], r['keep'])
+            for r in semantic_dedup(spark, str(tmp_path), n_cells=4,
+                                    max_bucket_size=10).collect()}
+  # hub cell dropped: members keep themselves; the small pair survives
+  assert all(capped[i] == (i, 1) for i in range(30))
+  assert capped[101] == (100, 0) and capped[100] == (100, 1)
+
+
+def test_semantic_dedup_default_is_truthful(spark):
+  """Production default: no planting, and on a corpus with no
+  semantic dups every vector is its own keeper."""
+  from blueprint_oss_spark.ops.vectors import semantic_dedup
+  out = semantic_dedup(spark, '/root/testdata/sf0.001').collect()
+  assert len(out) == 500
+  assert all(r['vec_id'] == r['group'] and r['keep'] == 1 for r in out)
