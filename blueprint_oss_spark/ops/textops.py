@@ -689,6 +689,13 @@ def repetition_stats(spark: SparkSession, sf_dir: str, *,
   from pyspark.sql import Window
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
+  # same metadata-only small-scan spread as minhash_shingles: the
+  # n-gram construction is the map-heavy stage and a one-split corpus
+  # would run it on one core
+  target = spark.sparkContext.defaultParallelism
+  in_files = d.inputFiles()
+  if in_files and len(in_files) < target:
+    d = d.repartition(target)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   base = d.select('doc_id',
                   F.length('text').cast('long').alias('n_chars'),

@@ -144,10 +144,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
   exact-hash dedup, O(k) not O(k²).  Default 0 disables the cap,
   keeping the operator exact — which is what the brute-force O(n²)
   oracle verifies."""
-  e = _emb(spark, sf_dir).select(
+  raw = _emb(spark, sf_dir)
+  e = raw.select(
       'vec_id',
       F.transform(F.col('embedding'),
                   lambda x: x.cast('double')).alias('e'))
+  e = _spread_small_scan(raw, e)
   u = e.unionByName(_planted(e, n_planted, plant_eps)) \
       if plant_for_verification else e
 
@@ -411,6 +413,21 @@ def pq_topk(spark: SparkSession, sf_dir: str, *,
 # Semantic dedup — cluster-then-pairwise embedding dedup (SemDeDup-style).
 # ---------------------------------------------------------------------------
 
+def _spread_small_scan(raw: DataFrame, projected: DataFrame) -> DataFrame:
+  """A small corpus arrives as one parquet split, which starves the
+  map side AND the pair-cosine joins downstream (a broadcast join runs
+  on the probe side's partitioning — one input split means the whole
+  quadratic in-bucket cosine work lands on ONE core).  Metadata-only
+  guard mirroring textops.minhash_shingles: a file-backed scan with
+  fewer input files than cores gets repartitioned; at 100 TB the scan
+  has thousands of splits and no repartition (= no shuffle) happens."""
+  target = projected.sparkSession.sparkContext.defaultParallelism
+  in_files = raw.inputFiles()
+  if in_files and len(in_files) < target:
+    return projected.repartition(target)
+  return projected
+
+
 def _planted(e: DataFrame, n_planted: int, plant_eps: float) -> DataFrame:
   """Deterministic near-dup planting shared by the embedding dedup
   operators: the first `n_planted` vectors re-enter as vec_id+1_000_000
@@ -469,6 +486,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, *,
       'vec_id',
       F.transform(F.col('embedding'),
                   lambda x: x.cast('double')).alias('e'))
+  e = _spread_small_scan(raw, e)
   u = e.unionByName(_planted(e, n_planted, plant_eps)) \
       if plant_for_verification else e
 
