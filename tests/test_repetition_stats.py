@@ -85,3 +85,38 @@ def test_repetition_stats_plan_shape(spark):
   assert 'Python' not in plan
   # partial aggregation before each shuffle (map-side combine)
   assert 'partial_count' in plan or 'HashAggregate' in plan
+
+
+def test_repetition_stats_fuzz_corpus(spark, tmp_path):
+  """Seeded fuzz: one Spark pass over 120 adversarial docs (unicode,
+  repeated single tokens, long runs, whitespace soup, high-dup n-gram
+  patterns) must equal the sequential python recomputation exactly —
+  the whole-corpus analogue of a per-example hypothesis run, without
+  paying one Spark job per example."""
+  import random
+  rng = random.Random(20260818)
+  alphabet = ['a', 'bb', 'ccc', 'Ω', '字', 'x!', '.', '--', '\t', '𝔘']
+  docs = []
+  for i in range(120):
+    mode = i % 4
+    if mode == 0:        # uniform random tokens
+      words = [rng.choice(alphabet) for _ in range(rng.randrange(0, 40))]
+    elif mode == 1:      # heavy repetition of one token
+      words = [rng.choice(alphabet)] * rng.randrange(1, 60)
+    elif mode == 2:      # repeated phrase blocks (dup 5-grams)
+      block = [rng.choice(alphabet) for _ in range(5)]
+      words = block * rng.randrange(1, 8)
+    else:                # whitespace soup
+      words = []
+      for _ in range(rng.randrange(0, 20)):
+        words.append(rng.choice(alphabet))
+        if rng.random() < 0.4:
+          words.append('')      # doubled separator
+    docs.append((i, ' '.join(words)))
+  spark.createDataFrame(docs, 'doc_id long, text string') \
+      .write.parquet(str(tmp_path / 'documents.parquet'))
+  from blueprint_oss_spark.ops.textops import repetition_stats
+  got = [tuple(r) for r in
+         repetition_stats(spark, str(tmp_path)).collect()]
+  expect = [_rep_python(d, t) for d, t in docs]
+  assert got == expect
