@@ -228,8 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'repetition_stats': T.repetition_stats,
       'dedup_exact': T.dedup_exact,
       'doc_fingerprint_lang': _doc_fingerprint_lang,
-      'pii_scrub': C.pii_scrub,
-      'decontaminate': lambda s, d: C.decontaminate(s, d),
+      'pii_scrub_decontaminate': _pii_scrub_decontaminate,
+      'exact_substring_dedup':
+          lambda s, d: T.remove_duplicated_spans(s, d),
       # --- similarity / near-dup ---
       'cosine_topk': _cosine_topk_with_norms,
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
@@ -275,6 +276,23 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
   from blueprint_oss_spark.ops import textops as T
   return (T.doc_fingerprints(spark, sf_dir)
           .join(T.lang_id_heuristic(spark, sf_dir), 'doc_id')
+          .orderBy('doc_id'))
+
+
+def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """PII scrubbing + benchmark decontamination joined on doc_id into
+  one driver row-set (gate-budget merge, same rationale as
+  _doc_token_quality): every pii_scrub column plus each doc's eval-set
+  membership and shared-gram count (0 for clean train docs AND for
+  eval docs, disambiguated by is_eval)."""
+  from blueprint_oss_spark.ops import curation as C
+  scrub = C.pii_scrub(spark, sf_dir)
+  dec = C.decontaminate(spark, sf_dir)
+  return (scrub.join(dec, 'doc_id', 'left')
+          .select('doc_id', 'n_emails', 'n_phones', 'n_ips', 'scrubbed',
+                  (F.col('doc_id') % 4 == 0).cast('int').alias('is_eval'),
+                  F.coalesce('n_shared', F.lit(0)).cast('long')
+                  .alias('n_shared'))
           .orderBy('doc_id'))
 
 
@@ -506,10 +524,12 @@ def oracle_sql() -> dict[str, str]:
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
       """,
-      # PII scrub recomputed from scratch: same deterministic injection
-      # (pure doc_id arithmetic), same Java-regex∩RE2 patterns; counts
-      # on the raw text, replacements email → ip → phone.
-      'pii_scrub': r"""
+      # PII scrub recomputed from scratch (same deterministic
+      # injection, Java-regex∩RE2 patterns, email → ip → phone order)
+      # JOINED with decontamination recomputed from scratch (distinct
+      # 8-grams via list slicing, eval side = doc_id % 4 = 0) — the
+      # gate-budget merge keeps every column of both value-checked.
+      'pii_scrub_decontaminate': r"""
         WITH p AS (
           SELECT doc_id,
                  text
@@ -525,27 +545,24 @@ def oracle_sql() -> dict[str, str]:
                       ' from 10.' || (doc_id % 256) || '.0.'
                       || (doc_id % 100)
                     ELSE '' END AS t
-          FROM documents)
-        SELECT doc_id,
-               len(regexp_extract_all(t,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                 AS n_emails,
-               len(regexp_extract_all(t, '\b\d{3}-\d{4}-\d{4}\b'))
-                 AS n_phones,
-               len(regexp_extract_all(t,
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-               regexp_replace(regexp_replace(regexp_replace(t,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                 '<EMAIL>', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                 '\b\d{3}-\d{4}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
-        FROM p ORDER BY doc_id
-      """,
-      # Decontamination recomputed from scratch: distinct 8-grams per
-      # doc via list slicing, eval side = doc_id % 4 = 0; per-doc
-      # distinct grams make COUNT(*) ≡ count of distinct shared grams.
-      'decontaminate': r"""
-        WITH d AS (
+          FROM documents),
+        pii AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_emails,
+                 len(regexp_extract_all(t, '\b\d{3}-\d{4}-\d{4}\b'))
+                   AS n_phones,
+                 len(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                 regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>',
+                   'g'),
+                   '\b\d{3}-\d{4}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+          FROM p),
+        d AS (
           SELECT doc_id,
                  string_split_regex(lower(trim(text)), '\s+') AS toks
           FROM documents),
@@ -555,10 +572,63 @@ def oracle_sql() -> dict[str, str]:
           FROM d, (SELECT unnest(generate_series(1, 4096)) AS i) i
           WHERE i.i <= len(toks) - 7),
         ev AS (SELECT DISTINCT gram FROM g8 WHERE doc_id % 4 = 0),
-        tr AS (SELECT doc_id, gram FROM g8 WHERE doc_id % 4 <> 0)
-        SELECT tr.doc_id, count(*) AS n_shared
-        FROM tr JOIN ev USING (gram)
-        GROUP BY tr.doc_id ORDER BY doc_id
+        tr AS (SELECT doc_id, gram FROM g8 WHERE doc_id % 4 <> 0),
+        dec AS (
+          SELECT tr.doc_id, count(*) AS n_shared
+          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+        SELECT pii.doc_id, n_emails, n_phones, n_ips, scrubbed,
+               CAST(pii.doc_id % 4 = 0 AS INTEGER) AS is_eval,
+               CAST(coalesce(dec.n_shared, 0) AS BIGINT) AS n_shared
+        FROM pii LEFT JOIN dec USING (doc_id)
+        ORDER BY pii.doc_id
+      """,
+      # Exact substring dedup (Lee et al. 2022 ExactSubstr, n-gram
+      # posting formulation) recomputed from scratch: corpus-wide
+      # 10-gram occurrence counts (within-doc repeats included),
+      # covered token positions removed, survivors re-joined in order.
+      'exact_substring_dedup': r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+                 array_to_string(w[i.i:i.i+9], ' ') AS gram
+          FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(w) - 9),
+        dup AS (
+          SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+        cov AS (
+          SELECT DISTINCT o.doc_id, o.pos + k.k AS p
+          FROM occ o JOIN dup USING (gram),
+               (SELECT unnest(generate_series(0, 9)) AS k) k),
+        tokrows AS (
+          SELECT doc_id, w[i.i] AS tok, CAST(i.i - 1 AS BIGINT) AS pos
+          FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(w)),
+        kept AS (
+          SELECT tr.doc_id, tr.tok, tr.pos
+          FROM tokrows tr
+          LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.pos = c.p
+          WHERE c.p IS NULL),
+        reb AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+                   AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        covn AS (
+          SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(reb.clean_text, '') AS clean_text,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                                    x -> len(x) > 0)) AS BIGINT)
+                 AS n_tokens,
+               CAST(coalesce(covn.n_removed, 0) AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN reb USING (doc_id)
+        LEFT JOIN covn USING (doc_id)
+        ORDER BY d.doc_id
       """,
       'html_main_content': r"""
         SELECT doc_id,

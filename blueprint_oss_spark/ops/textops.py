@@ -749,3 +749,90 @@ def repetition_stats(spark: SparkSession, sf_dir: str, *,
       ok_dup.cast('int').alias('ok_dup_5gram'),
       (ok_top & ok_dup).cast('int').alias('keep'))
       .orderBy('doc_id'))
+
+
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
+                            n: int = 10, min_count: int = 2,
+                            docs: DataFrame = None) -> DataFrame:
+  """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better", arXiv:2107.06499 §3.1
+  ExactSubstr): any word n-gram whose occurrence count across the
+  WHOLE corpus (within-doc repeats included) reaches `min_count` marks
+  every token position it covers, and covered tokens are removed from
+  the document; the surviving tokens are re-joined in order.  The
+  paper's suffix-array match is replaced by the shuffle-friendly
+  n-gram-posting formulation: a duplicated substring of length >= n
+  words is a run of duplicated n-grams, so its interior is removed
+  identically; only sub-n tails differ, which is the standard
+  MapReduce-scale approximation.
+
+  Output per input doc (all docs preserved, exact ints):
+    doc_id, clean_text (covered tokens removed, '' when everything is
+    covered or the doc is empty), n_tokens (before), n_removed.
+
+  Scale shape: n-gram construction is map-side array arithmetic
+  (transform over the token array); the corpus-df aggregation is the
+  classic word-count shape keyed on the gram string with map-side
+  partial aggregation (at 10^12 docs you'd key this shuffle on
+  xxhash64(gram) to cut shuffle bytes — output is unchanged since the
+  hash never reaches the result).  The duplicated-gram set joins back
+  to occurrences on the same gram key (no broadcast hint: at web scale
+  the dup set is NOT small — AQE may still elect one at toy scale).
+  Coverage expansion is a bounded n-fold posting-list explode keyed on
+  (doc_id, pos), and the rebuild is one per-doc aggregation over
+  bounded token arrays.  No Python, no driver collect, no all-pairs."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  # spread a single-split scan before the map-heavy n-gram stage (same
+  # metadata-only check as minhash_shingles)
+  target = spark.sparkContext.defaultParallelism
+  in_files = d.inputFiles()
+  if in_files and len(in_files) < target:
+    d = d.repartition(target)
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = d.select('doc_id', toks.alias('w'))
+
+  sz = F.size('w')
+  # 0-based start positions of every n-gram occurrence
+  grams = F.when(sz >= n, F.transform(
+      F.sequence(F.lit(0), sz - n),
+      lambda i: F.struct(i.alias('pos'),
+                         F.array_join(F.slice('w', i + 1, n), ' ')
+                         .alias('gram')))) \
+      .otherwise(F.array().cast(
+          'array<struct<pos:int,gram:string>>'))
+  occ = (base.select('doc_id', F.explode(grams).alias('o'))
+         .select('doc_id', F.col('o.pos').alias('pos'),
+                 F.col('o.gram').alias('gram')))
+
+  dup = (occ.groupBy('gram').count()
+         .where(F.col('count') >= min_count)
+         .select('gram'))
+
+  covered = (occ.join(dup, 'gram')
+             .select('doc_id',
+                     F.explode(F.sequence(F.col('pos'),
+                                          F.col('pos') + (n - 1)))
+                     .alias('pos'))
+             .dropDuplicates(['doc_id', 'pos']))
+
+  tok_rows = base.select('doc_id', F.posexplode('w').alias('pos', 'tok'))
+  kept = tok_rows.join(covered, ['doc_id', 'pos'], 'left_anti')
+  rebuilt = (kept.groupBy('doc_id')
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct('pos', 'tok'))),
+                     lambda s: s['tok']), ' ').alias('clean_text'),
+                  F.count('*').cast('long').alias('n_kept')))
+
+  stats = base.select('doc_id', sz.cast('long').alias('n_tokens'))
+  return (stats
+          .join(rebuilt, 'doc_id', 'left')
+          .select('doc_id',
+                  F.coalesce('clean_text', F.lit('')).alias('clean_text'),
+                  'n_tokens',
+                  (F.col('n_tokens')
+                   - F.coalesce('n_kept', F.lit(0)).cast('long'))
+                  .alias('n_removed'))
+          .orderBy('doc_id'))
