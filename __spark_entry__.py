@@ -226,8 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # operators ride in joined composites, one row-set each) ---
       'doc_token_quality': _doc_token_quality,
       'repetition_stats': T.repetition_stats,
-      'dedup_exact': T.dedup_exact,
       'doc_fingerprint_lang': _doc_fingerprint_lang,
+      'dsir_select':
+          lambda s, d: C.dsir_importance_select(s, d),
       'pii_scrub_decontaminate': _pii_scrub_decontaminate,
       'exact_substring_dedup':
           lambda s, d: T.remove_duplicated_spans(s, d),
@@ -271,11 +272,17 @@ def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Fingerprinting + language-ID joined on doc_id into one driver
-  row-set (same gate-budget rationale as _doc_token_quality)."""
+  """Fingerprinting + language-ID + exact-dedup joined into one driver
+  row-set (gate-budget merge): dedup_exact's content_hash IS fp_full,
+  so its keeper/count columns ride per-doc without losing a value
+  check (every dedup_exact output cell appears on some row)."""
+  from pyspark.sql import functions as FF
   from blueprint_oss_spark.ops import textops as T
   return (T.doc_fingerprints(spark, sf_dir)
           .join(T.lang_id_heuristic(spark, sf_dir), 'doc_id')
+          .join(T.dedup_exact(spark, sf_dir),
+                FF.col('fp_full') == FF.col('content_hash'))
+          .drop('content_hash')
           .orderBy('doc_id'))
 
 
@@ -1005,14 +1012,9 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN fdup ON w.doc_id = fdup.doc_id
         ORDER BY w.doc_id
       """,
-      'dedup_exact': """
-        SELECT md5(text) AS content_hash,
-               MIN(doc_id) AS keeper_doc_id,
-               COUNT(*) AS n_copies
-        FROM documents GROUP BY md5(text) ORDER BY content_hash
-      """,
-      # Joined composite: fingerprints + language-ID, one subquery per
-      # operator, joined on doc_id (gate-budget merge).
+      # Joined composite: fingerprints + language-ID + exact-dedup
+      # (content_hash ≡ fp_full), one subquery per operator
+      # (gate-budget merge).
       'doc_fingerprint_lang': f"""
         WITH fp AS (
           SELECT doc_id, md5(text) AS fp_full,
@@ -1041,10 +1043,62 @@ def oracle_sql() -> dict[str, str]:
                            'dans'))) AS hits_fr
           FROM documents
         )
+        , dd AS (
+          SELECT md5(text) AS content_hash,
+                 MIN(doc_id) AS keeper_doc_id,
+                 COUNT(*) AS n_copies
+          FROM documents GROUP BY md5(text)
+        )
         SELECT fp.doc_id, fp.fp_full, fp.fp_prefix8, fp.fp_rolling31,
-               li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr
+               li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr,
+               dd.keeper_doc_id, dd.n_copies
         FROM fp JOIN li ON fp.doc_id = li.doc_id
+        JOIN dd ON fp.fp_full = dd.content_hash
         ORDER BY fp.doc_id
+      """,
+      # DSIR-style selection recomputed from scratch: hashed
+      # unigram+bigram features (Rabin-Karp base-31 mod 2^31-1, then
+      # mod 64 buckets), target = lang 'en', exact-integer
+      # cross-multiplied weights w_b = cnt_t*n_r - cnt_r*n_t.
+      'dsir_select': r"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS w
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 list_concat(w, list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS feats
+          FROM d),
+        o1 AS (SELECT doc_id, lang, unnest(feats) AS feat FROM f),
+        occ AS (
+          SELECT doc_id, lang,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(split(feat, ''),
+                                    x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) % 64
+                   AS bucket
+          FROM o1),
+        b AS (
+          SELECT bucket, count(*) AS cnt_r,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+          FROM occ GROUP BY bucket),
+        tot AS (SELECT sum(cnt_r) AS n_r, sum(cnt_t) AS n_t FROM b),
+        wgt AS (
+          SELECT bucket, cnt_t * n_r - cnt_r * n_t AS w_b FROM b, tot),
+        pdb AS (
+          SELECT doc_id, bucket, count(*) AS c
+          FROM occ GROUP BY doc_id, bucket),
+        sc AS (
+          SELECT doc_id, sum(c * w_b) AS score, sum(c) AS n_feats
+          FROM pdb JOIN wgt USING (bucket) GROUP BY doc_id)
+        SELECT d0.doc_id, d0.lang,
+               CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+               CAST(coalesce(sc.score, 0) > 0 AS INTEGER) AS selected
+        FROM documents d0 LEFT JOIN sc USING (doc_id)
+        ORDER BY d0.doc_id
       """,
       # Exact top-k (membership from the round-6 cosine ordering)
       # joined with per-vector norms (embedding_norms merged in);

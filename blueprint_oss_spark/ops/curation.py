@@ -183,3 +183,113 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(lang, 'doc_id')
           .select('doc_id', 'lang', 'group_id', 'group_size')
           .orderBy('doc_id'))
+
+
+def dsir_importance_select(spark: SparkSession, sf_dir: str, *,
+                           m: int = 64, target_lang: str = 'en',
+                           docs: DataFrame = None,
+                           target_docs: DataFrame = None) -> DataFrame:
+  """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling", arXiv:2302.03169):
+  hashed n-gram features (word unigrams + bigrams hashed into m
+  buckets), a bag-of-hashed-ngrams model fit on a target domain and on
+  the raw pool, and a per-document target-affinity score used to
+  select target-like documents.
+
+  Exact-integer surrogate (same reason tfidf_top_terms uses log-free
+  BM25 idf — bit-equal cross-engine verification): DSIR's per-feature
+  log(p_f/q_f) is replaced by its cross-multiplied linearization
+  w[b] = cnt_T[b]*N_R - cnt_R[b]*N_T, which has the same sign and the
+  same zero set (w > 0 iff the bucket is over-represented in the
+  target).  score_d = sum over d's feature occurrences of w[bucket],
+  selected = score > 0.  All arithmetic is int64 (documented bound:
+  valid to ~10^9 feature occurrences; a 100 TB run normalizes the
+  weights to doubles — the plan shape is unchanged).
+
+  The target side defaults to lang == target_lang rows of the same
+  table (self-contained oracle shape); pass target_docs for the
+  production shape (a fixed high-quality corpus).
+
+  Scale shape: two passes, exactly like DSIR at scale (fit, then
+  score).  Pass 1 aggregates occurrence counts into m buckets — the
+  shuffle carries at most m rows per map task after partial
+  aggregation.  Pass 2 pre-aggregates (doc_id, bucket) counts
+  map-side, broadcast-joins the m-row weight table, and sums per
+  doc_id.  Feature hashing is the fold-style Rabin-Karp base-31 hash
+  (doc_fingerprints), computed JVM-side per occurrence.  No Python,
+  no driver collect; the only scalar (N_T, N_R) rides a broadcast
+  1-row cross join."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'lang', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  sz = F.size('w')
+  bigrams = F.when(sz >= 2, F.zip_with(
+      F.slice('w', 1, sz - 1), F.slice('w', 2, sz - 1),
+      lambda a, b: F.concat(a, F.lit(' '), b))) \
+      .otherwise(F.array().cast('array<string>'))
+  feats = d.select('doc_id', 'lang', toks.alias('w')) \
+      .select('doc_id', 'lang',
+              F.concat(F.col('w'), bigrams).alias('feats'))
+
+  rolling = F.aggregate(
+      F.split(F.col('feat'), ''),
+      F.lit(0).cast('long'),
+      lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch),
+                             F.lit(2147483647).cast('long')))
+  occ = (feats.select('doc_id', 'lang',
+                      F.explode('feats').alias('feat'))
+         .select('doc_id', 'lang',
+                 F.pmod(rolling, F.lit(m).cast('long')).alias('bucket')))
+
+  if target_docs is not None:
+    t_toks = F.filter(F.split(F.col('text'), ' '),
+                      lambda x: F.length(x) > 0)
+    t_sz = F.size('w')
+    t_big = F.when(t_sz >= 2, F.zip_with(
+        F.slice('w', 1, t_sz - 1), F.slice('w', 2, t_sz - 1),
+        lambda a, b: F.concat(a, F.lit(' '), b))) \
+        .otherwise(F.array().cast('array<string>'))
+    t_occ = (target_docs.select(t_toks.alias('w'))
+             .select(F.explode(F.concat(F.col('w'), t_big))
+                     .alias('feat'))
+             .select(F.pmod(rolling, F.lit(m).cast('long'))
+                     .alias('bucket'))
+             .withColumn('is_t', F.lit(1)))
+    pool = occ.select('bucket', F.lit(0).alias('is_t')) \
+        .unionByName(t_occ.select('bucket', 'is_t'))
+    buckets = (pool.groupBy('bucket')
+               .agg(F.count(F.lit(1)).alias('cnt_all'),
+                    F.sum('is_t').cast('long').alias('cnt_t')))
+    # raw pool counts exclude the separate target table's rows
+    buckets = buckets.select(
+        'bucket', (F.col('cnt_all') - F.col('cnt_t')).alias('cnt_r'),
+        'cnt_t')
+  else:
+    buckets = (occ.groupBy('bucket')
+               .agg(F.count(F.lit(1)).cast('long').alias('cnt_r'),
+                    F.sum((F.col('lang') == target_lang).cast('long'))
+                    .alias('cnt_t')))
+  totals = buckets.agg(F.sum('cnt_r').alias('n_r'),
+                       F.sum('cnt_t').alias('n_t'))
+  weights = (buckets.crossJoin(F.broadcast(totals))
+             .select('bucket',
+                     (F.col('cnt_t') * F.col('n_r')
+                      - F.col('cnt_r') * F.col('n_t')).alias('w_b')))
+
+  per_doc_bucket = occ.groupBy('doc_id', 'bucket') \
+      .agg(F.count(F.lit(1)).alias('c'))
+  scores = (per_doc_bucket.join(F.broadcast(weights), 'bucket')
+            .groupBy('doc_id')
+            .agg(F.sum(F.col('c') * F.col('w_b')).alias('score'),
+                 F.sum('c').cast('long').alias('n_feats')))
+
+  return (d.select('doc_id', 'lang')
+          .join(scores, 'doc_id', 'left')
+          .select('doc_id', 'lang',
+                  F.coalesce('n_feats', F.lit(0)).cast('long')
+                  .alias('n_feats'),
+                  F.coalesce('score', F.lit(0)).cast('long')
+                  .alias('score'),
+                  (F.coalesce('score', F.lit(0)) > 0).cast('int')
+                  .alias('selected'))
+          .orderBy('doc_id'))
