@@ -178,14 +178,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # recomputation (xxhash64 minhash + union-find)
       'dedup_groups_minhash':
           lambda s, d: T.dedup_groups(s, d, edge_source='minhash'),
-      'simhash64': T.simhash64,
-      # wide-key Manku blocking (bands=8, key_blocks=5: 56 tables of
-      # 40-bit keys — the 10^12-doc config); the oracle recomputes
-      # ALL-PAIRS hamming from the verified signature snapshot, so
-      # gate equality proves the wide path keeps recall 1.0
-      'simhash_near_dup_pairs':
-          lambda s, d: T.simhash_near_dup_pairs(
-              s, d, bands=8, key_blocks=5),
+      # signatures + wide-key Manku pairs in ONE tagged row-set
+      # (gate-budget merge freeing a slot for bpe_train): sig rows are
+      # the per-doc 64-bit simhash, pair rows the banded near-dups
+      # (bands=8, key_blocks=5: 56 tables of 40-bit keys — the
+      # 10^12-doc config); the oracle recomputes ALL-PAIRS hamming
+      # from the verified signature snapshot, so gate equality proves
+      # the wide path keeps recall 1.0
+      'simhash_sigs_pairs': _simhash_sigs_pairs,
+      # distributed BPE vocabulary training; snapshot oracle verified
+      # by a FULL sequential pure-python BPE recomputation
+      # (scripts/build_oracles.py::verify_bpe)
+      'bpe_train': lambda s, d: T.bpe_train(s, d),
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       # one driver row covering all three ANN index families (sign-LSH
       # banding / IVF coarse quantizer / PQ-ADC) — merged so
@@ -284,6 +288,25 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FF.col('fp_full') == FF.col('content_hash'))
           .drop('content_hash')
           .orderBy('doc_id'))
+
+
+def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """SimHash signatures + banded near-dup pairs in one tagged driver
+  row-set (gate-budget merge): sig rows carry (doc_id, simhash), pair
+  rows carry (doc_id=doc_a, doc_b, hamming); every cell of both
+  operators stays value-checked."""
+  from blueprint_oss_spark.ops import textops as T
+  sig = T.simhash64(spark, sf_dir).select(
+      F.lit('sig').alias('section'), 'doc_id', 'simhash',
+      F.lit(None).cast('long').alias('doc_b'),
+      F.lit(None).cast('int').alias('hamming'))
+  pairs = T.simhash_near_dup_pairs(
+      spark, sf_dir, bands=8, key_blocks=5).select(
+      F.lit('pair').alias('section'),
+      F.col('doc_a').alias('doc_id'),
+      F.lit(None).cast('long').alias('simhash'),
+      'doc_b', 'hamming')
+  return sig.unionByName(pairs).orderBy('section', 'doc_id', 'doc_b')
 
 
 def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +416,9 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
 #:   * dedup_groups_minhash — FULL pure-python recomputation (xxhash64
 #:     minhash edges + union-find components);
 #:   * media_features_phash / extraction_accuracy — verified against
-#:     independent pure-Python recomputation.
+#:     independent pure-Python recomputation;
+#:   * bpe_train — FULL sequential pure-python BPE recomputation
+#:     (greedy left-to-right merges, count/lex tie-break).
 #: See oracles/MANIFEST.json for the per-query verification record.
 _SNAPSHOT_ORACLES = {
     'bp_extract_readme': 'doc_id',
@@ -405,7 +430,7 @@ _SNAPSHOT_ORACLES = {
     'bp_extract_checks': 'doc_id',
     'minhash_pairs': 'doc_a, doc_b',
     'dedup_groups_minhash': 'doc_id',
-    'simhash64': 'doc_id',
+    'bpe_train': 'rank',
     'ann_topk_methods': 'method, cosine_r DESC, vec_id',
     'semantic_dedup': 'vec_id',
     'media_features_phash': 'media_ref',
@@ -415,7 +440,7 @@ _SNAPSHOT_ORACLES = {
 #: Queries whose oracle is real SQL but reads a committed snapshot
 #: (pinned to the driver's sf0.01 gate scale) instead of the raw
 #: tables — valid only at sf0.01, like the snapshot oracles above.
-_SNAPSHOT_PINNED_SQL = frozenset({'simhash_near_dup_pairs'})
+_SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs'})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -428,20 +453,25 @@ def oracle_sql() -> dict[str, str]:
       for name, order in _SNAPSHOT_ORACLES.items()
       if os.path.exists(f'/root/repo/oracles/{name}.parquet')}
   return snap | {
-      # Exact ALL-PAIRS hamming recomputation over the verified simhash
-      # snapshot (the signatures themselves are independently recomputed
-      # by scripts/build_oracles.py's pure-python xxhash64 replica) —
-      # equality proves the banded blocking has recall 1.0 vs brute
-      # force, which pigeonhole also guarantees analytically.
-      'simhash_near_dup_pairs': """
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      # Tagged union: the verified simhash signature snapshot (built
+      # and independently recomputed by scripts/build_oracles.py's
+      # pure-python xxhash64 replica) plus an exact ALL-PAIRS hamming
+      # recomputation over it — pair-section equality proves the
+      # banded blocking has recall 1.0 vs brute force, which
+      # pigeonhole also guarantees analytically.
+      'simhash_sigs_pairs': """
+        SELECT 'sig' AS section, doc_id, simhash,
+               CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS INT) AS hamming
+        FROM read_parquet('/root/repo/oracles/simhash64.parquet')
+        UNION ALL
+        SELECT 'pair' AS section, a.doc_id, CAST(NULL AS BIGINT),
+               b.doc_id,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
-                 AS hamming
         FROM read_parquet('/root/repo/oracles/simhash64.parquet') a
         JOIN read_parquet('/root/repo/oracles/simhash64.parquet') b
           ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-        ORDER BY doc_a, doc_b
+        ORDER BY section, doc_id, doc_b
       """,
       'q1_pricing_summary': """
         SELECT l_returnflag, l_linestatus,

@@ -836,3 +836,76 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
                    - F.coalesce('n_kept', F.lit(0)).cast('long'))
                   .alias('n_removed'))
           .orderBy('doc_id'))
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, *,
+              n_merges: int = 24, docs: DataFrame = None) -> DataFrame:
+  """Distributed BPE vocabulary training (Sennrich et al. 2016,
+  arXiv:1508.07909): learn the top `n_merges` byte-pair merges from
+  corpus word frequencies.  Returns one row per learned merge:
+  (rank, left, right, merged, pair_count), rank in learn order.
+
+  Tie-break is deterministic cross-engine: highest pair count, then
+  lexicographically smallest (left, right).  Merges apply greedily
+  left-to-right within a word (the reference BPE behavior), via an
+  aggregate() fold over the symbol array — JVM-side, no Python.
+
+  Scale shape: ONE pass over the corpus builds the word-frequency
+  table (word-count shuffle, map-side partial aggregation) — after
+  that, all n_merges rounds run on the DISTINCT-WORD table (vocabulary
+  sized: ~10^7-10^8 rows at web scale, independent of corpus size),
+  exactly how production BPE trainers decouple corpus scans from merge
+  iterations.  Each round does one tiny groupBy over symbol pairs, a
+  bounded 1-row collect of the argmax (same bounded-collect precedent
+  as the IVF/PQ codebook training), and a map-side fold applying the
+  merge; `localCheckpoint` after every round truncates lineage so the
+  plan stays O(1) in rounds (same pattern as ops/graph.py connected
+  components)."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  words = (d.select(F.explode(toks).alias('word'))
+           .groupBy('word').agg(F.count(F.lit(1)).alias('cnt'))
+           .select(F.split('word', '').alias('syms'), 'cnt')
+           .localCheckpoint(eager=True))
+
+  merges = []
+  try:
+    for rank in range(n_merges):
+      sz = F.size('syms')
+      pairs = F.when(sz >= 2, F.zip_with(
+          F.slice('syms', 1, sz - 1), F.slice('syms', 2, sz - 1),
+          lambda a, b: F.struct(a.alias('left'), b.alias('right')))) \
+          .otherwise(F.array().cast(
+              'array<struct<left:string,right:string>>'))
+      top = (words.select(F.explode(pairs).alias('p'), 'cnt')
+             .groupBy('p.left', 'p.right')
+             .agg(F.sum('cnt').alias('pair_count'))
+             .orderBy(F.desc('pair_count'), F.asc('left'),
+                      F.asc('right'))
+             .limit(1).collect())
+      if not top:
+        break
+      left, right, pair_count = top[0]
+      merged = left + right
+      merges.append((rank, left, right, merged, pair_count))
+      # greedy left-to-right merge application, fold-style JVM-side
+      apply_merge = F.aggregate(
+          'syms', F.array().cast('array<string>'),
+          lambda acc, s: F.when(
+              (F.size(acc) > 0)
+              & (F.element_at(acc, -1) == F.lit(left))
+              & (s == F.lit(right)),
+              F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                       F.array(F.lit(merged))))
+          .otherwise(F.concat(acc, F.array(s))))
+      new_words = (words.select(apply_merge.alias('syms'), 'cnt')
+                   .localCheckpoint(eager=True))
+      words.unpersist()
+      words = new_words
+  finally:
+    words.unpersist()
+  return spark.createDataFrame(
+      merges,
+      'rank int, left string, right string, merged string, '
+      'pair_count long')

@@ -633,6 +633,50 @@ def verify_media_phash(pdf) -> dict:
           'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
+def verify_bpe(sf_dir: str, pdf) -> dict:
+  """FULL sequential pure-python BPE recomputation (Sennrich et al.
+  2016 greedy left-to-right merges, highest-count / lexicographically
+  smallest tie-break) — every learned merge row must match exactly."""
+  from collections import Counter
+  docs = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['text']).to_pandas()
+  wc: Counter = Counter()
+  for t in docs.text:
+    for w in t.split(' '):
+      if w:
+        wc[w] += 1
+  words = {w: (list(w), c) for w, c in wc.items()}
+  exp = []
+  for rank in range(len(pdf)):
+    pc: Counter = Counter()
+    for syms, c in words.values():
+      for a, b in zip(syms, syms[1:]):
+        pc[(a, b)] += c
+    if not pc:
+      break
+    (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    merged = left + right
+    exp.append((rank, left, right, merged, cnt))
+    for w in words:
+      syms, c = words[w]
+      out: list = []
+      for s in syms:
+        if out and out[-1] == left and s == right:
+          out[-1] = merged
+        else:
+          out.append(s)
+      words[w] = (out, c)
+  got = [tuple(r) for r in
+         pdf[['rank', 'left', 'right', 'merged', 'pair_count']]
+         .itertuples(index=False)]
+  got = [(int(a), b, c, d, int(e)) for a, b, c, d, e in got]
+  assert got == exp, f'BPE mismatch: first diff ' \
+      f'{next((g, e) for g, e in zip(got, exp) if g != e)}'
+  return {'method': 'FULL sequential pure-python BPE recomputation '
+                    '(greedy left-to-right merges, count/lex '
+                    'tie-break)', 'ok': True}
+
+
 def verify_dedup_groups_minhash(sf_dir: str, pdf) -> dict:
   """FULL independent recomputation of the 100 TB dedup path: the
   banded-minhash candidate edges come from the pure-python xxhash64
@@ -740,6 +784,12 @@ def main() -> None:
       manifest = json.load(f)
 
   def run(name, sf_dir=None):
+    if name == 'simhash64':
+      # no longer a standalone gate query (merged into
+      # simhash_sigs_pairs) but its snapshot parquet is still the
+      # verified signature table that query's SQL oracle reads
+      from blueprint_oss_spark.ops.textops import simhash64
+      return simhash64(spark, sf_dir or args.sf_dir).toPandas()
     return queries[name](spark, sf_dir or args.sf_dir).toPandas()
 
   def verify_bp(name, sf_dir, pdf):
@@ -757,7 +807,7 @@ def main() -> None:
           '/root/reference/examples/checks/checks.py')
     return verify_bp_extract(name[len('bp_extract_'):], sf_dir, pdf)
 
-  jobs = list(entry._SNAPSHOT_ORACLES)
+  jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64']
   if args.only:
     jobs = [j for j in jobs if j in args.only]
 
@@ -787,6 +837,8 @@ def main() -> None:
              'ok': rec_f['ok'], 'unsupported': rec_f['unsupported']}
     elif name == 'dedup_groups_minhash':
       rec = verify_dedup_groups_minhash(args.sf_dir, pdf)
+    elif name == 'bpe_train':
+      rec = verify_bpe(args.sf_dir, pdf)
     elif name == 'extraction_accuracy':
       rec = verify_accuracy(spark, args.sf_dir, pdf,
                             run('bp_extract_labelvalue'))
