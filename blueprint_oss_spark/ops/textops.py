@@ -909,3 +909,77 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
       merges,
       'rank int, left string, right string, merged string, '
       'pair_count long')
+
+
+def _bpe_fold(syms_col, left: str, right: str, merged: str):
+  """Greedy left-to-right application of ONE merge to a symbol array,
+  as a JVM-side aggregate() fold — identical semantics to bpe_train's
+  in-loop merge application."""
+  return F.aggregate(
+      syms_col, F.array().cast('array<string>'),
+      lambda acc, s: F.when(
+          (F.size(acc) > 0)
+          & (F.element_at(acc, -1) == F.lit(left))
+          & (s == F.lit(right)),
+          F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                   F.array(F.lit(merged))))
+      .otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str, *,
+               n_merges: int = 24, merges: DataFrame = None,
+               docs: DataFrame = None,
+               return_tokens: bool = False) -> DataFrame:
+  """Distributed BPE tokenization: apply a learned merge table (from
+  `bpe_train`, or trained inline) to every document.
+
+  Default output is per-doc token accounting — (doc_id, n_words,
+  n_tokens) — the quantity a packing/budgeting stage consumes; with
+  `return_tokens=True` it instead returns the full encoded sequence
+  (doc_id, tokens array<string>, n_tokens) with corpus word order
+  preserved, i.e. the actual tokenized training corpus.
+
+  Scale shape (mirrors bpe_train's corpus/vocabulary decoupling): the
+  corpus is scanned ONCE and reduced to the DISTINCT-WORD table
+  (vocabulary-sized — ~10^7-10^8 rows at web scale, independent of
+  corpus size); all merges apply there as one chained JVM-side
+  aggregate() fold (merge k's output feeds merge k+1 — a single
+  Catalyst projection, no per-round materialization and nothing left
+  persisted), and the encoded vocabulary joins back to the exploded
+  corpus on the word key (AQE picks broadcast vs shuffle by actual
+  vocab size).  The merge table itself is a bounded collect —
+  n_merges rows, the same bounded-collect precedent as the IVF/PQ
+  codebooks.  No Python in any per-row path."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  if merges is None:
+    merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs)
+  merge_list = [(r['left'], r['right'], r['merged'])
+                for r in merges.orderBy('rank').collect()]
+
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  doc_words = d.select(
+      'doc_id', F.posexplode(toks).alias('pos', 'word'))
+
+  enc_expr = F.split('word', '')
+  for left, right, merged in merge_list:
+    enc_expr = _bpe_fold(enc_expr, left, right, merged)
+  vocab = (doc_words.select('word').distinct()
+           .select('word', enc_expr.alias('syms')))
+
+  if return_tokens:
+    joined = doc_words.join(vocab, 'word')
+    per_doc = (joined.groupBy('doc_id')
+               .agg(F.flatten(F.transform(
+                   F.array_sort(F.collect_list(F.struct('pos', 'syms'))),
+                   lambda s: s['syms'])).alias('tokens')))
+    return per_doc.select('doc_id', 'tokens',
+                          F.size('tokens').alias('n_tokens'))
+
+  wc = (doc_words.groupBy('doc_id', 'word')
+        .agg(F.count(F.lit(1)).alias('cnt')))
+  return (wc.join(vocab.select('word', F.size('syms').alias('word_tokens')),
+                  'word')
+          .groupBy('doc_id')
+          .agg(F.sum('cnt').alias('n_words'),
+               F.sum(F.col('cnt') * F.col('word_tokens')).alias('n_tokens')))
