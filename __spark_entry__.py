@@ -186,10 +186,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # from the verified signature snapshot, so gate equality proves
       # the wide path keeps recall 1.0
       'simhash_sigs_pairs': _simhash_sigs_pairs,
-      # distributed BPE vocabulary training; snapshot oracle verified
-      # by a FULL sequential pure-python BPE recomputation
-      # (scripts/build_oracles.py::verify_bpe)
-      'bpe_train': lambda s, d: T.bpe_train(s, d),
+      # distributed BPE vocabulary training + corpus encoding totals
+      # in one row-set (gate-budget merge): the merge table plus
+      # corpus_words/corpus_tokens computed by bpe_encode's chained
+      # JVM-side merge fold over the distinct-word vocabulary, so the
+      # driver gate exercises BOTH halves of the tokenizer; snapshot
+      # oracle verified by a FULL sequential pure-python BPE train +
+      # encode recomputation (scripts/build_oracles.py::verify_bpe)
+      'bpe_train': _bpe_train_encode,
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
       # one driver row covering all three ANN index families (sign-LSH
       # banding / IVF coarse quantizer / PQ-ADC) — merged so
@@ -288,6 +292,21 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FF.col('fp_full') == FF.col('content_hash'))
           .drop('content_hash')
           .orderBy('doc_id'))
+
+
+def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """BPE merge table + whole-corpus encode totals in one row-set: the
+  (rank, left, right, merged, pair_count) rows from bpe_train, each
+  carrying corpus_words / corpus_tokens — the corpus re-tokenized with
+  the learned merges via bpe_encode's fold+join path.  The totals are
+  a 1-row broadcast so every merge row stays independently checked
+  while the encode path gets a hard driver signal too."""
+  from blueprint_oss_spark.ops import textops as T
+  merges = T.bpe_train(spark, sf_dir)
+  totals = T.bpe_encode(spark, sf_dir, merges=merges).agg(
+      F.sum('n_words').alias('corpus_words'),
+      F.sum('n_tokens').alias('corpus_tokens'))
+  return merges.crossJoin(F.broadcast(totals)).orderBy('rank')
 
 
 def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

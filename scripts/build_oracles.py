@@ -672,9 +672,23 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
   got = [(int(a), b, c, d, int(e)) for a, b, c, d, e in got]
   assert got == exp, f'BPE mismatch: first diff ' \
       f'{next((g, e) for g, e in zip(got, exp) if g != e)}'
-  return {'method': 'FULL sequential pure-python BPE recomputation '
-                    '(greedy left-to-right merges, count/lex '
-                    'tie-break)', 'ok': True}
+  # encode totals: after all merges are applied, `words` holds every
+  # distinct word's final symbol sequence — the whole-corpus token
+  # count is the frequency-weighted sum of those lengths, and the word
+  # count the frequency sum.  Must match bpe_encode's fold+join totals
+  # on every row.
+  exp_words = sum(c for _, c in words.values())
+  exp_tokens = sum(len(syms) * c for syms, c in words.values())
+  assert (pdf['corpus_words'] == exp_words).all(), \
+      f'corpus_words mismatch: {set(pdf.corpus_words)} != {exp_words}'
+  assert (pdf['corpus_tokens'] == exp_tokens).all(), \
+      f'corpus_tokens mismatch: {set(pdf.corpus_tokens)} != {exp_tokens}'
+  return {'method': 'FULL sequential pure-python BPE train + encode '
+                    'recomputation (greedy left-to-right merges, '
+                    'count/lex tie-break; encode totals from the '
+                    'final vocabulary symbol lengths)', 'ok': True,
+          'corpus_words': int(exp_words),
+          'corpus_tokens': int(exp_tokens)}
 
 
 def verify_dedup_groups_minhash(sf_dir: str, pdf) -> dict:
