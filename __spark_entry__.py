@@ -233,7 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- training-data text ops (DuckDB-oracled; the per-doc scan
       # operators ride in joined composites, one row-set each) ---
       'doc_token_quality': _doc_token_quality,
-      'repetition_stats': T.repetition_stats,
+      # train/valid/test split + shard + training order + exact greedy
+      # token-budget mixture sampling (bucket-accelerated prefix;
+      # window only over each source's crossing bucket)
+      'corpus_split_mix': lambda s, d: C.corpus_split_mix(s, d),
       'doc_fingerprint_lang': _doc_fingerprint_lang,
       'dsir_select':
           lambda s, d: C.dsir_importance_select(s, d),
@@ -269,13 +272,19 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Three per-doc scan operators (token stats, quality stats, quality
-  verdicts) joined on doc_id into one driver row-set — every column of
-  every operator is still value-checked against the oracle."""
+  """Four per-doc scan operators (token stats, quality stats, quality
+  verdicts, Gopher repetition filters) joined on doc_id into one driver
+  row-set — every column of every operator is still value-checked
+  against the oracle.  repetition_stats' n_chars duplicates
+  doc_quality's (both length(text)) and is dropped; its keep verdict
+  rides as rep_keep."""
   from blueprint_oss_spark.ops import textops as T
+  rep = (T.repetition_stats(spark, sf_dir)
+         .withColumnRenamed('keep', 'rep_keep').drop('n_chars'))
   return (T.doc_token_stats(spark, sf_dir)
           .join(T.doc_quality(spark, sf_dir), 'doc_id')
           .join(T.quality_filter(spark, sf_dir), 'doc_id')
+          .join(rep, 'doc_id')
           .orderBy('doc_id'))
 
 
@@ -992,22 +1001,7 @@ def oracle_sql() -> dict[str, str]:
                       AND 2 * n_alpha >= n_chars AS INT) AS keep
           FROM m
         )
-        SELECT ts.doc_id, ts.n_tokens, ts.n_uniq_tokens,
-               ts.n_bpe_tokens, ts.len_chars,
-               dq.n_chars, dq.n_alpha, dq.n_digit, dq.n_punct,
-               dq.n_stopwords,
-               qf.ok_token_count, qf.ok_mean_wordlen, qf.ok_stopwords,
-               qf.ok_alpha_ratio, qf.keep
-        FROM ts
-        JOIN dq ON ts.doc_id = dq.doc_id
-        JOIN qf ON ts.doc_id = qf.doc_id
-        ORDER BY ts.doc_id
-      """,
-      # Gopher repetition filters recomputed from scratch: identical
-      # tokenization (split on ' ', drop empties), bigrams/5-grams by
-      # list comprehension, identical exact-integer verdicts.
-      'repetition_stats': """
-        WITH w AS (
+        , w AS (
           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                  list_filter(string_split(text, ' '),
                              x -> length(x) > 0) AS ws
@@ -1040,7 +1034,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(SUM(cnt * length(g)) AS BIGINT) AS dup5_chars
           FROM fc WHERE cnt >= 2 GROUP BY doc_id)
-        SELECT w.doc_id, w.n_chars,
+        SELECT ts.doc_id, ts.n_tokens, ts.n_uniq_tokens,
+               ts.n_bpe_tokens, ts.len_chars,
+               dq.n_chars, dq.n_alpha, dq.n_digit, dq.n_punct,
+               dq.n_stopwords,
+               qf.ok_token_count, qf.ok_mean_wordlen, qf.ok_stopwords,
+               qf.ok_alpha_ratio, qf.keep,
                COALESCE(btop.top2_gram, '') AS top2_gram,
                CAST(COALESCE(btop.top2_count, 0) AS BIGINT)
                  AS top2_count,
@@ -1055,11 +1054,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(5 * COALESCE(btop.top2_chars, 0) <= w.n_chars
                     AND 20 * COALESCE(fdup.dup5_chars, 0)
                         <= 3 * w.n_chars
-                    AS INT) AS keep
-        FROM w
-        LEFT JOIN btop ON w.doc_id = btop.doc_id
-        LEFT JOIN fdup ON w.doc_id = fdup.doc_id
-        ORDER BY w.doc_id
+                    AS INT) AS rep_keep
+        FROM ts
+        JOIN dq ON ts.doc_id = dq.doc_id
+        JOIN qf ON ts.doc_id = qf.doc_id
+        JOIN w ON ts.doc_id = w.doc_id
+        LEFT JOIN btop ON ts.doc_id = btop.doc_id
+        LEFT JOIN fdup ON ts.doc_id = fdup.doc_id
+        ORDER BY ts.doc_id
+      """,
+      # split/shard/order assignment + exact greedy token-budget
+      # mixture prefix, recomputed from scratch: the md5-salt hashes
+      # are engine-portable (hex slice → int), the greedy prefix is
+      # the direct window formulation the bucket-accelerated Spark
+      # plan must equal exactly.
+      'corpus_split_mix': """
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+                 CAST(('0x' || substring(
+                     md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS split_h,
+                 CAST(('0x' || substring(
+                     md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS shard_h,
+                 CAST(('0x' || substring(
+                     md5('order:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) AS order_key
+          FROM documents),
+        o AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY order_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prec
+          FROM t)
+        SELECT doc_id, source, n_tokens,
+               CASE WHEN split_h % 100 < 90 THEN 'train'
+                    WHEN split_h % 100 < 95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               CAST(shard_h % 8 AS INT) AS shard,
+               order_key,
+               CAST(prec < 800 AS INT) AS mix_keep
+        FROM o ORDER BY doc_id
       """,
       # Joined composite: fingerprints + language-ID + exact-dedup
       # (content_hash ≡ fp_full), one subquery per operator

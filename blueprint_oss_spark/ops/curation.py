@@ -185,6 +185,102 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('doc_id'))
 
 
+def corpus_split_mix(spark: SparkSession, sf_dir: str, *,
+                     train_pct: int = 90, valid_pct: int = 5,
+                     n_shards: int = 8,
+                     per_source_tokens: int = 800,
+                     docs: DataFrame = None) -> DataFrame:
+  """Per-document training-run assignment: stable train/valid/test
+  split, shard id, deterministic global training order, and exact
+  greedy token-budget mixture sampling per source — the four
+  assignments every production pretraining run makes before packing.
+
+  All four are pure functions of doc_id (md5 with distinct salts, so
+  split/shard/order are independent), making the assignment stable
+  under reruns, backfills and repartitioning — the property training
+  pipelines need so a doc never migrates between train and test.
+
+  Mixture sampling semantics (source = mixture component — web /
+  books / code, O(10^2) of them, NOT per-domain): within each source,
+  take docs in (order_key, doc_id) order while the preceding
+  cumulative token count is < per_source_tokens; the doc that crosses
+  the budget is included (kept mass ≥ budget whenever supply allows).
+
+  Scale shape: the naive formulation is a running sum over a window
+  partitioned by source — at 10^12 docs a mixture component's window
+  partition IS the bottleneck.  Instead the greedy prefix is computed
+  exactly with bucket acceleration: order_key's top 8 bits split each
+  source into 256 hash ranges whose token sums aggregate map-side
+  into a BOUNDED driver collect (sources × 256 rows — the IVF/PQ
+  codebook precedent); the driver finds each source's crossing bucket
+  + remaining budget, and only the ~1/256 of rows in the crossing
+  bucket pay a window.  Everything else is a broadcast-joined map
+  pass.  Split/shard/order are shuffle-free column expressions.
+  """
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'source', 'text')
+
+  def h(salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ':'),
+                           F.col('doc_id').cast('string'))), 1, 8),
+        16, 10).cast('long')
+
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = d.select(
+      'doc_id', 'source', F.size(toks).cast('long').alias('n_tokens'),
+      h('split').alias('split_h'), h('shard').alias('shard_h'),
+      h('order').alias('order_key'))
+  base = base.withColumn('bucket', F.shiftright('order_key', 24))
+
+  # bounded collect: mixture components × 256 hash-range token sums
+  per_bucket = (base.groupBy('source', 'bucket')
+                .agg(F.sum('n_tokens').alias('btoks')).collect())
+  by_src: dict = {}
+  for r in per_bucket:
+    by_src.setdefault(r['source'], {})[r['bucket']] = r['btoks']
+  lim_rows = []
+  for src, bm in by_src.items():
+    cum, cb, rem = 0, 256, 0  # sentinel cb: nothing crosses → keep all
+    for b in sorted(bm):
+      if cum + bm[b] >= per_source_tokens:
+        cb, rem = b, per_source_tokens - cum
+        break
+      cum += bm[b]
+    lim_rows.append((src, cb, rem))
+  lim = spark.createDataFrame(
+      lim_rows, 'source string, cb int, rem long')
+
+  from pyspark.sql import Window
+  j = base.join(F.broadcast(lim), 'source')
+  before = j.where(F.col('bucket') < F.col('cb')) \
+      .withColumn('mix_keep', F.lit(1))
+  after = j.where(F.col('bucket') > F.col('cb')) \
+      .withColumn('mix_keep', F.lit(0))
+  w = (Window.partitionBy('source').orderBy('order_key', 'doc_id')
+       .rowsBetween(Window.unboundedPreceding, -1))
+  crossing = (j.where(F.col('bucket') == F.col('cb'))
+              .withColumn('prec',
+                          F.coalesce(F.sum('n_tokens').over(w),
+                                     F.lit(0)))
+              .withColumn('mix_keep',
+                          (F.col('prec') < F.col('rem')).cast('int'))
+              .drop('prec'))
+  assigned = before.unionByName(crossing).unionByName(after)
+
+  split = (F.when(F.pmod('split_h', F.lit(100)) < train_pct, 'train')
+           .when(F.pmod('split_h', F.lit(100)) < train_pct + valid_pct,
+                 'valid')
+           .otherwise('test'))
+  return (assigned.select(
+      'doc_id', 'source', 'n_tokens',
+      split.alias('split'),
+      F.pmod('shard_h', F.lit(n_shards)).cast('int').alias('shard'),
+      'order_key', 'mix_keep')
+      .orderBy('doc_id'))
+
+
 def dsir_importance_select(spark: SparkSession, sf_dir: str, *,
                            m: int = 64, target_lang: str = 'en',
                            docs: DataFrame = None,
