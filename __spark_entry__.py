@@ -215,7 +215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- relational shell (DuckDB-oracled) ---
       'q1_pricing_summary': R.q1_pricing_summary,
       'q3_shipping_priority': R.q3_shipping_priority,
-      'top_events_per_user': R.top_events_per_user,
+      # window top-k + bin-bucketed range join, joined on event_id so
+      # both stay value-checked in one driver row
+      'top_events_recent': _top_events_recent,
       'orders_rollup': R.orders_rollup,
       'supplier_nation_join': R.supplier_nation_join,
       'q5_local_supplier_volume': R.q5_local_supplier_volume,
@@ -226,7 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'q4_priority_semi': R.q4_priority_semi,
       'q18_large_volume': R.q18_large_volume,
       'events_asof_orders': R.events_asof_orders,
-      'recent_event_counts': R.recent_event_counts,
+      # incremental (new-batch-vs-corpus) dedup verdicts — the
+      # daily-crawl shape that never self-joins the corpus
+      'incremental_dedup': lambda s, d: T.incremental_dedup(s, d),
       'sessionize': R.sessionize,
       'funnel_analysis': R.funnel_analysis,
       'cohort_retention': R.cohort_retention,
@@ -269,6 +273,18 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
   return (lsh.unionByName(ivf).unionByName(pqa)
           .select('method', 'vec_id', 'cosine_r')
           .orderBy('method', F.desc('cosine_r'), 'vec_id'))
+
+
+def _top_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Window top-k (3 highest-value events per user) enriched with each
+  event's bin-bucketed preceding-hour count — two operators joined on
+  event_id into one driver row-set, every column still value-checked."""
+  from blueprint_oss_spark.ops import relational as R
+  rec = R.recent_event_counts(spark, sf_dir).select('event_id', 'n_recent')
+  return (R.top_events_per_user(spark, sf_dir)
+          .join(rec, 'event_id')
+          .select('user_id', 'event_id', 'event_type', 'rnk', 'n_recent')
+          .orderBy('user_id', 'rnk'))
 
 
 def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,14 +550,32 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
       """,
-      'top_events_per_user': """
-        SELECT user_id, event_id, event_type, rnk FROM (
-          SELECT user_id, event_id, event_type,
-                 ROW_NUMBER() OVER (PARTITION BY user_id
-                                    ORDER BY value DESC, event_id) AS rnk
-          FROM events) t
-        WHERE rnk <= 3
-        ORDER BY user_id, rnk
+      # window top-k joined with the range join's preceding-hour count
+      # (recomputed as the direct inequality self-join the bin-bucketed
+      # Spark plan avoids — fine at oracle scale)
+      'top_events_recent': """
+        WITH topk AS (
+          SELECT user_id, event_id, event_type, rnk FROM (
+            SELECT user_id, event_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id)
+                     AS rnk
+            FROM events) t
+          WHERE rnk <= 3
+        ), rec AS (
+          SELECT a.event_id,
+                 CAST(COALESCE(SUM(CASE WHEN b.ts < a.ts
+                                    AND b.ts >= a.ts - INTERVAL 1 HOUR
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_recent
+          FROM events a
+          LEFT JOIN events b ON b.user_id = a.user_id
+          GROUP BY a.event_id
+        )
+        SELECT topk.user_id, topk.event_id, topk.event_type, topk.rnk,
+               rec.n_recent
+        FROM topk JOIN rec ON topk.event_id = rec.event_id
+        ORDER BY topk.user_id, topk.rnk
       """,
       'orders_rollup': """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
@@ -830,18 +864,78 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
         ORDER BY event_id
       """,
-      # Range join recomputed as the direct inequality self-join the
-      # bin-bucketed Spark plan avoids (fine at oracle scale).
-      'recent_event_counts': """
-        SELECT a.event_id, a.user_id,
-               CAST(COALESCE(SUM(CASE WHEN b.ts < a.ts
-                                  AND b.ts >= a.ts - INTERVAL 1 HOUR
-                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
-                 AS n_recent
-        FROM events a
-        LEFT JOIN events b ON b.user_id = a.user_id
-        GROUP BY a.event_id, a.user_id
-        ORDER BY a.event_id
+      # Incremental dedup recomputed from scratch: exact hash lookup,
+      # then best exact 3-gram Jaccard over the corpus side (max
+      # jaccard, tie -> lowest cid via ROW_NUMBER; IEEE division of
+      # exact ints is bit-identical across engines so the order is
+      # too).  The oracle runs the direct batch x corpus scan the
+      # Spark plan's inverted-index join avoids.
+      'incremental_dedup': """
+        WITH b AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        ), c AS (
+          SELECT doc_id AS cid, text FROM documents
+          WHERE doc_id % 10 <> 0
+        ), ex AS (
+          SELECT b.doc_id, MIN(c.cid) AS match_id
+          FROM b JOIN c ON b.text = c.text GROUP BY b.doc_id
+        ), rest AS (
+          SELECT * FROM b
+          WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        ), bsh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0) AS t
+                FROM rest)
+        ), csh AS (
+          SELECT cid,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM (SELECT cid,
+                       list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0) AS t
+                FROM c)
+        ), bsz AS (
+          SELECT doc_id, COUNT(*) AS n_b FROM bsh GROUP BY doc_id
+        ), csz AS (
+          SELECT cid, COUNT(*) AS n_c FROM csh GROUP BY cid
+        ), cand AS (
+          SELECT bsh.doc_id, csh.cid, COUNT(*) AS n_common
+          FROM bsh JOIN csh ON bsh.shingle = csh.shingle
+          GROUP BY bsh.doc_id, csh.cid
+        ), scored AS (
+          SELECT cand.doc_id, cand.cid,
+                 CAST(n_common AS DOUBLE)
+                   / (n_b + n_c - n_common) AS jaccard
+          FROM cand
+          JOIN bsz ON cand.doc_id = bsz.doc_id
+          JOIN csz ON cand.cid = csz.cid
+        ), near AS (
+          SELECT doc_id, cid AS match_id,
+                 ROUND(jaccard, 4) AS jac_r
+          FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY jaccard DESC, cid) AS rn
+                FROM scored WHERE jaccard >= 0.5) t
+          WHERE rn = 1
+        )
+        SELECT doc_id, 'exact' AS verdict, match_id,
+               CAST(NULL AS DOUBLE) AS jac_r
+        FROM ex
+        UNION ALL
+        SELECT doc_id, 'near', match_id, jac_r FROM near
+        UNION ALL
+        SELECT doc_id, 'new', CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM b
+        WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+          AND doc_id NOT IN (SELECT doc_id FROM near)
+        ORDER BY doc_id
       """,
       # Cohort retention recomputed from scratch: identical integer
       # week arithmetic on epoch micros.

@@ -983,3 +983,113 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
           .groupBy('doc_id')
           .agg(F.sum('cnt').alias('n_words'),
                F.sum(F.col('cnt') * F.col('word_tokens')).alias('n_tokens')))
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str, *,
+                      shingle: int = 3, threshold: float = 0.5,
+                      batch_mod: int = 10,
+                      max_shingle_df: int = 0,
+                      batch: DataFrame = None,
+                      corpus: DataFrame = None) -> DataFrame:
+  """Incremental (new-batch-vs-corpus) dedup: the daily-crawl shape.
+
+  Production pipelines rarely re-dedup the whole corpus; they dedup
+  each incoming increment AGAINST the already-curated store.  This
+  operator classifies every batch document as
+
+    * ``exact`` — a corpus doc has byte-identical text (match_id =
+      lowest such corpus doc_id),
+    * ``near``  — best corpus doc by exact ``shingle``-gram Jaccard ≥
+      ``threshold`` (ties broken by lowest corpus doc_id; jac_r =
+      jaccard rounded to 4 dp),
+    * ``new``   — neither.
+
+  One row per batch doc, always — verdicts over the whole increment
+  are the operator's contract, so an increment with zero dups still
+  produces an auditable row-set.
+
+  Scale shape (the reason this is not ngram_jaccard_pairs with a
+  union): the corpus NEVER self-joins.  The exact pass is an equi-join
+  on content hash where the batch side is tiny relative to the store
+  (AQE broadcasts it; the corpus is scanned once, never shuffled).
+  The near pass joins batch shingles × corpus shingles on the shingle
+  key — candidate fanout is batch-bounded, O(|batch| · postings), not
+  O(|corpus|²).  ``max_shingle_df`` caps the CORPUS posting lists (a
+  stopword-ish shingle appearing in d corpus docs fans each batch
+  probe out d ways): shingles with corpus document frequency above the
+  cap are dropped from BOTH join sides while per-doc sizes keep full
+  counts, so reported Jaccard only undercounts — the same
+  precision-preserving approximation as ngram_jaccard_pairs.  Default
+  0 keeps the operator exact, which is what the oracle verifies.
+
+  ``batch``/``corpus`` override the default deterministic split of the
+  documents table (batch = doc_id % batch_mod == 0) — real callers
+  pass the new increment and the signature store."""
+  if (batch is None) != (corpus is None):
+    raise ValueError('pass both batch= and corpus=, or neither')
+  if batch is None:
+    d = _docs(spark, sf_dir).select('doc_id', 'text')
+    batch = d.where(F.pmod('doc_id', F.lit(batch_mod)) == 0)
+    corpus = d.where(F.pmod('doc_id', F.lit(batch_mod)) != 0)
+  batch = batch.select('doc_id', 'text')
+  corpus = corpus.select(F.col('doc_id').alias('cid'), 'text')
+
+  exact = (batch.select('doc_id', F.md5('text').alias('h'))
+           .join(corpus.select('cid', F.md5('text').alias('h')), 'h')
+           .groupBy('doc_id').agg(F.min('cid').alias('match_id')))
+
+  rest = batch.join(exact.select('doc_id'), 'doc_id', 'left_anti')
+
+  def _sh(frame: DataFrame, idcol: str) -> DataFrame:
+    toks = F.filter(F.split(F.col('text'), ' '),
+                    lambda x: F.length(x) > 0)
+    grams = F.when(
+        F.size(toks) >= shingle,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle),
+            lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle))))
+    ).otherwise(F.array().cast('array<string>'))
+    return frame.select(idcol, F.explode(grams).alias('shingle'))
+
+  bsh = _sh(rest, 'doc_id')
+  csh = _sh(corpus, 'cid')
+  bsz = bsh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_b'))
+  csz = csh.groupBy('cid').agg(F.count(F.lit(1)).alias('n_c'))
+  join_b, join_c = bsh, csh
+  if max_shingle_df > 0:
+    hot = (csh.groupBy('shingle')
+           .agg(F.count(F.lit(1)).alias('df'))
+           .where(F.col('df') > max_shingle_df)
+           .select('shingle'))
+    join_c = csh.join(hot, 'shingle', 'left_anti')
+    join_b = bsh.join(hot, 'shingle', 'left_anti')
+  cand = (join_b.join(join_c, 'shingle')
+          .groupBy('doc_id', 'cid')
+          .agg(F.count(F.lit(1)).alias('n_common'))
+          .join(bsz, 'doc_id').join(csz, 'cid')
+          .withColumn('jaccard',
+                      F.col('n_common')
+                      / (F.col('n_b') + F.col('n_c')
+                         - F.col('n_common')))
+          .where(F.col('jaccard') >= threshold))
+  # best match: max jaccard, tie → lowest cid (struct-max; exact-int
+  # division is bit-identical across engines, so the order is too)
+  near = (cand.groupBy('doc_id')
+          .agg(F.max(F.struct(F.col('jaccard'),
+                              (-F.col('cid')).alias('ncid'))).alias('m'))
+          .select('doc_id', (-F.col('m.ncid')).alias('match_id'),
+                  F.round('m.jaccard', 4).alias('jac_r')))
+
+  ex_rows = exact.select('doc_id', F.lit('exact').alias('verdict'),
+                         'match_id',
+                         F.lit(None).cast('double').alias('jac_r'))
+  near_rows = near.select('doc_id', F.lit('near').alias('verdict'),
+                          'match_id', 'jac_r')
+  new_rows = (batch.select('doc_id')
+              .join(ex_rows.select('doc_id'), 'doc_id', 'left_anti')
+              .join(near_rows.select('doc_id'), 'doc_id', 'left_anti')
+              .select('doc_id', F.lit('new').alias('verdict'),
+                      F.lit(None).cast('long').alias('match_id'),
+                      F.lit(None).cast('double').alias('jac_r')))
+  return (ex_rows.unionByName(near_rows).unionByName(new_rows)
+          .orderBy('doc_id'))
