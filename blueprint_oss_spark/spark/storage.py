@@ -1,0 +1,83 @@
+"""Bucketed storage layout: co-located joins without a shuffle.
+
+At 100 TB the recurring cost is not one query's shuffle but the SAME
+shuffle paid by every downstream job: exact-dedup joins, incremental
+dedup probes against the signature store, connected-components
+iterations, extraction-result joins back to the doc store — all keyed
+by doc_id.  Writing the hot tables bucketed (hash-partitioned into a
+fixed number of files per partition) and sorted by the join key makes
+every doc_id-equi-join between co-bucketed tables a zipped
+merge-join with ZERO Exchange and ZERO Sort: Spark reads matching
+buckets side by side.  That turns O(jobs) shuffles of the 100 TB fact
+table into O(1) — paid once, at write time.
+
+The reference engine has no storage layer at all (per-file JSON in,
+JSON out — blueprint/py/bp/cli/run_model.py); this is the Spark-native
+answer to "where do 10^12 extracted documents live between pipeline
+stages".  The same layout rules apply to the Iceberg path
+(`spark/pipeline.py` write_iceberg): Iceberg's bucket partition
+transform plays the role of bucketBy when the runtime jar is present.
+
+Bucket-count discipline (documented contract, asserted in tests):
+both sides of a co-located join must be bucketed on the same key with
+the SAME bucket count (or one a multiple of the other — Spark then
+coalesces the larger side's buckets when
+spark.sql.bucketing.coalesceBucketsInJoin.enabled is set).  Pick the
+count so one bucket of the biggest table fits an executor's scan
+budget: at 100 TB and a 256 MB target that is ~400k buckets — far
+above the 100k-file-per-dir comfort zone, so shard the table into
+date/source partitions first and bucket WITHIN partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, name: str, *,
+                   bucket_by: str, n_buckets: int,
+                   sort_by: Optional[Sequence[str]] = None,
+                   path: Optional[str] = None,
+                   mode: str = 'overwrite') -> None:
+  """Persist `df` as a bucketed (and optionally sorted) catalog table.
+
+  `path` makes it an external table (tests point this at tmp dirs; a
+  production deployment points it at the object-store prefix).  The
+  sort is per-bucket-file, which is what lets the merge-join skip its
+  Sort: rows arrive to the join already ordered within each bucket."""
+  if n_buckets <= 0:
+    raise ValueError(f'n_buckets must be positive, got {n_buckets}')
+  # One file per bucket: Spark only elides the merge-join's Sort when
+  # each bucket is a single (sorted) file — with multiple files per
+  # bucket it must re-sort at read time.  repartition by the bucket
+  # key uses the same Murmur3-pmod hash as the bucket spec, so every
+  # write task holds exactly one bucket.  This is the write-side
+  # shuffle the layout trades for all the read-side ones.
+  df = df.repartition(n_buckets, bucket_by)
+  w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+  w = w.sortBy(*(sort_by or [bucket_by]))
+  if path is not None:
+    w = w.option('path', path)
+  w.saveAsTable(name)
+
+
+def co_located_join(spark: SparkSession, left: str, right: str,
+                    on: str, how: str = 'inner') -> DataFrame:
+  """Join two co-bucketed catalog tables on their bucket key.
+
+  This is a plain DataFrame join — the zero-shuffle plan comes from
+  the tables' layout, not from hints.  Callers should assert the plan
+  when wiring a new pair of tables (see test_bucketed_storage.py for
+  the Exchange-free pin).
+
+  Sort elision: since SPARK-28583 the bucketed scan no longer
+  advertises per-bucket sort order, so the merge join re-sorts each
+  (already sorted, single-file) bucket — a near-linear TimSort pass.
+  Setting spark.sql.legacy.bucketedTableScan.outputOrdering=true
+  removes the Sort too; it is sound exactly when every bucket is one
+  sorted file, which write_bucketed guarantees."""
+  lt = spark.table(left)
+  rt = spark.table(right)
+  return lt.join(rt, on, how)
