@@ -305,3 +305,51 @@ def start_main_content_stream(spark: SparkSession, input_dir: str,
   if trigger_once:
     writer = writer.trigger(availableNow=True)
   return writer.start()
+
+
+def start_incremental_dedup_stream(spark: SparkSession, input_dir: str,
+                                   corpus: DataFrame, output_dir: str,
+                                   checkpoint_dir: str, *,
+                                   trigger_once: bool = False,
+                                   max_files_per_trigger: int = 16,
+                                   **dedup_kwargs) -> StreamingQuery:
+  """Continuous incremental dedup: classify every arriving document
+  against the static corpus store as exact/near/new — the streaming
+  twin of ops/textops.incremental_dedup, and the shape a crawl
+  pipeline actually runs (the store is yesterday's curated corpus;
+  the stream is today's fetches).
+
+  The micro-batch IS the increment, so this is foreachBatch around
+  the already-oracled batch operator: the same verified code path
+  runs continuously, each batch's verdicts appended with its batch_id.
+  foreachBatch + checkpoint gives exactly-once per micro-batch for an
+  idempotent sink; the near pass's groupBy runs INSIDE the batch scope
+  so no streaming aggregation state accumulates — state cost is zero,
+  unlike a watermarked streaming join formulation.  The corpus side is
+  re-read per batch only if the caller passes a lazy view; pass a
+  cached/bucketed table (spark/storage.py) so each increment pays only
+  the probe, never a corpus shuffle."""
+  from ..ops.textops import incremental_dedup
+
+  schema = StructType([
+      StructField('doc_id', LongType()),
+      StructField('text', StringType()),
+  ])
+  stream = (spark.readStream
+            .schema(schema)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(input_dir))
+
+  def _classify(batch_df: DataFrame, batch_id: int) -> None:
+    out = incremental_dedup(batch_df.sparkSession, '',
+                            batch=batch_df, corpus=corpus,
+                            **dedup_kwargs)
+    (out.withColumn('batch_id', F.lit(batch_id))
+        .write.mode('append').parquet(output_dir))
+
+  writer = (stream.writeStream
+            .foreachBatch(_classify)
+            .option('checkpointLocation', checkpoint_dir))
+  if trigger_once:
+    writer = writer.trigger(availableNow=True)
+  return writer.start()

@@ -272,3 +272,63 @@ def test_streaming_main_content_matches_batch(spark, tmp_path):
   q2.awaitTermination(120)
   assert len(spark.read.parquet(str(out)).collect()) == 40
   src.unpersist()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+  """foreachBatch incremental dedup: each micro-batch's verdicts equal
+  the batch operator's over the same increment, and a checkpointed
+  restart processes only newly-landed files (no re-emitted verdicts)."""
+  from blueprint_oss_spark.ops.textops import incremental_dedup
+  from blueprint_oss_spark.spark.streaming import (
+      start_incremental_dedup_stream,
+  )
+
+  in_dir = str(tmp_path / 'inc_in')
+  out_dir = str(tmp_path / 'inc_out')
+  ckpt = str(tmp_path / 'inc_ckpt')
+  os.makedirs(in_dir, exist_ok=True)
+
+  corpus = spark.createDataFrame(
+      [(100, 'alpha beta gamma delta epsilon zeta'),
+       (200, 'one two three four five six seven'),
+       (300, 'totally different corpus text body here')],
+      'doc_id long, text string').cache()
+  inc1 = [(1, 'alpha beta gamma delta epsilon zeta'),   # exact → 100
+          (2, 'one two three four five six'),           # near  → 200
+          (3, 'nothing shared with any stored doc')]    # new
+  inc2 = [(4, 'totally different corpus text body here'),  # exact → 300
+          (5, 'brand new material again entirely')]        # new
+
+  spark.createDataFrame(inc1, 'doc_id long, text string') \
+      .coalesce(1).write.mode('append').parquet(in_dir)
+  q = start_incremental_dedup_stream(spark, in_dir, corpus, out_dir,
+                                     ckpt, trigger_once=True,
+                                     threshold=0.3)
+  q.awaitTermination(300)
+  got1 = spark.read.parquet(out_dir).collect()
+  assert {r['doc_id'] for r in got1} == {1, 2, 3}
+
+  spark.createDataFrame(inc2, 'doc_id long, text string') \
+      .coalesce(1).write.mode('append').parquet(in_dir)
+  q = start_incremental_dedup_stream(spark, in_dir, corpus, out_dir,
+                                     ckpt, trigger_once=True,
+                                     threshold=0.3)
+  q.awaitTermination(300)
+  rows = spark.read.parquet(out_dir).collect()
+  assert len(rows) == 5  # restart did not reprocess increment 1
+  by_id = {r['doc_id']: r for r in rows}
+
+  # every verdict equals the batch operator's on the same increment
+  for inc in (inc1, inc2):
+    b = spark.createDataFrame(inc, 'doc_id long, text string')
+    exp = {r['doc_id']: r for r in incremental_dedup(
+        spark, '', batch=b, corpus=corpus, threshold=0.3).collect()}
+    for doc_id, _ in inc:
+      got, want = by_id[doc_id], exp[doc_id]
+      assert (got['verdict'], got['match_id'], got['jac_r']) == \
+          (want['verdict'], want['match_id'], want['jac_r']), doc_id
+  assert by_id[1]['verdict'] == 'exact' and by_id[1]['match_id'] == 100
+  assert by_id[2]['verdict'] == 'near' and by_id[2]['match_id'] == 200
+  assert by_id[4]['verdict'] == 'exact' and by_id[4]['match_id'] == 300
+  assert {by_id[3]['verdict'], by_id[5]['verdict']} == {'new'}
+  corpus.unpersist()
