@@ -305,10 +305,12 @@ def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Fingerprinting + language-ID + exact-dedup joined into one driver
-  row-set (gate-budget merge): dedup_exact's content_hash IS fp_full,
-  so its keeper/count columns ride per-doc without losing a value
-  check (every dedup_exact output cell appears on some row)."""
+  """Fingerprinting + language-ID + exact-dedup + bigram-LM quality
+  score joined into one driver row-set (gate-budget merge):
+  dedup_exact's content_hash IS fp_full, so its keeper/count columns
+  ride per-doc without losing a value check (every dedup_exact output
+  cell appears on some row); lm_score rides as a LEFT join so
+  token-less docs stay present with null score."""
   from pyspark.sql import functions as FF
   from blueprint_oss_spark.ops import textops as T
   return (T.doc_fingerprints(spark, sf_dir)
@@ -316,6 +318,7 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(T.dedup_exact(spark, sf_dir),
                 FF.col('fp_full') == FF.col('content_hash'))
           .drop('content_hash')
+          .join(T.lm_score(spark, sf_dir), 'doc_id', 'left')
           .orderBy('doc_id'))
 
 
@@ -1229,11 +1232,60 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) AS n_copies
           FROM documents GROUP BY md5(text)
         )
+        -- add-one bigram LM recomputed from scratch: same counts,
+        -- same exactly-rounded (+,/) arithmetic, per-doc sum as an
+        -- ordered list fold matching Spark's F.aggregate fold order
+        , lbase AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS t
+          FROM documents
+        ), luni AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT unnest(t) AS w FROM lbase) GROUP BY w
+        ), lbi AS (
+          SELECT g, COUNT(*) AS c2 FROM (
+            SELECT array_to_string(t[i:i+1], ' ') AS g
+            FROM (SELECT t, unnest(range(1, len(t))) AS i
+                  FROM lbase)) GROUP BY g
+        ), ltv AS (
+          SELECT COUNT(*) AS v_size, SUM(c1) AS t_total FROM luni
+        ), lbg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(t[i:i+1], ' ') AS g, t[i] AS ctx
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM lbase WHERE len(t) > 0)
+        ), lbp AS (
+          SELECT lbg.doc_id, lbg.pos,
+                 (COALESCE(lbi.c2, 0) + 1)
+                   / (COALESCE(luni.c1, 0) + ltv.v_size) AS p
+          FROM lbg
+          LEFT JOIN lbi ON lbg.g = lbi.g
+          LEFT JOIN luni ON lbg.ctx = luni.w, ltv
+        ), lsum AS (
+          SELECT doc_id,
+                 list_aggregate(list(p ORDER BY pos), 'sum') AS bi_sum
+          FROM lbp GROUP BY doc_id
+        ), lfirst AS (
+          SELECT lb.doc_id, len(lb.t) AS n_scored,
+                 (COALESCE(luni.c1, 0) + 1)
+                   / (ltv.t_total + ltv.v_size) AS p0
+          FROM (SELECT doc_id, t FROM lbase WHERE len(t) > 0) lb
+          LEFT JOIN luni ON lb.t[1] = luni.w, ltv
+        ), lm AS (
+          SELECT lfirst.doc_id,
+                 CAST(lfirst.n_scored AS INT) AS n_scored,
+                 ROUND((lfirst.p0 + COALESCE(lsum.bi_sum, 0))
+                       / lfirst.n_scored, 6) AS lm_score
+          FROM lfirst LEFT JOIN lsum ON lfirst.doc_id = lsum.doc_id
+        )
         SELECT fp.doc_id, fp.fp_full, fp.fp_prefix8, fp.fp_rolling31,
                li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr,
-               dd.keeper_doc_id, dd.n_copies
+               dd.keeper_doc_id, dd.n_copies,
+               lm.n_scored, lm.lm_score
         FROM fp JOIN li ON fp.doc_id = li.doc_id
         JOIN dd ON fp.fp_full = dd.content_hash
+        LEFT JOIN lm ON fp.doc_id = lm.doc_id
         ORDER BY fp.doc_id
       """,
       # DSIR-style selection recomputed from scratch: hashed

@@ -1093,3 +1093,88 @@ def incremental_dedup(spark: SparkSession, sf_dir: str, *,
                       F.lit(None).cast('double').alias('jac_r')))
   return (ex_rows.unionByName(near_rows).unionByName(new_rows)
           .orderBy('doc_id'))
+
+
+def lm_score(spark: SparkSession, sf_dir: str, *,
+             docs: DataFrame = None,
+             train_docs: DataFrame = None) -> DataFrame:
+  """CCNet-style n-gram language-model quality scoring, distributed:
+  train an add-one-smoothed bigram LM over a corpus (ONE word-count
+  shuffle each for unigrams and bigrams), then score every document by
+  its mean per-token probability under that model — the "does this
+  read like the reference corpus" signal CCNet/CC-100 obtain from a
+  pretrained KenLM, here trained in the same job.
+
+  Score definition (deliberately transcendental-free): token i scores
+  p_i = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V); the first token
+  scores (c(w_1) + 1) / (T + V), with V = vocabulary size and T =
+  training token count.  lm_score = round(mean_i p_i, 6).  The usual
+  mean-log-prob is monotone in per-token probabilities just like this
+  arithmetic mean, but ln() is not correctly-rounded IEEE and differs
+  across engines in the last ulps — +, / are exactly rounded, and the
+  per-doc sum is a pinned-order left fold (F.aggregate over the
+  pos-sorted array), so the DuckDB oracle reproduces the score
+  bit-for-bit.  Docs with no tokens are not scored (no rows).
+
+  Scale shape: training is two map-side-combinable gram counts; V/T
+  ride a broadcast single-row crossJoin (never collected); scoring
+  joins each doc's bigrams against the two count tables on the gram
+  key — dimension-table equi-joins (one row per gram) that AQE
+  broadcasts when the vocab is small and skew-splits when a hot gram
+  fans out.  The per-doc re-aggregation shuffles (doc_id, pos, p)
+  once.  `train_docs` scores against a held-out clean corpus (the
+  CCNet usage); default trains on the scored corpus itself."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  tr = d if train_docs is None else train_docs.select('text')
+
+  def _toks(c):
+    return F.filter(F.split(c, ' '), lambda x: F.length(x) > 0)
+
+  tr_base = tr.select(_toks(F.col('text')).alias('t')) \
+      .where(F.size('t') > 0)
+  uni = (tr_base.select(F.explode('t').alias('w'))
+         .groupBy('w').agg(F.count(F.lit(1)).alias('c1')))
+  bi_grams = F.when(
+      F.size('t') >= 2,
+      F.transform(F.sequence(F.lit(0), F.size('t') - 2),
+                  lambda i: F.concat_ws(' ', F.slice('t', i + 1, 2)))
+  ).otherwise(F.array().cast('array<string>'))
+  bi = (tr_base.select(F.explode(bi_grams).alias('g'))
+        .groupBy('g').agg(F.count(F.lit(1)).alias('c2')))
+  tv = uni.agg(F.count(F.lit(1)).alias('v_size'),
+               F.sum('c1').alias('t_total'))
+
+  base = d.select('doc_id', _toks(F.col('text')).alias('t')) \
+      .where(F.size('t') > 0)
+  bg = base.select(
+      'doc_id', F.posexplode(bi_grams).alias('pos', 'g'))
+  bgp = (bg.join(bi, 'g', 'left')
+         .withColumn('ctx', F.substring_index('g', ' ', 1))
+         .join(uni.withColumnRenamed('w', 'ctx'), 'ctx', 'left')
+         .crossJoin(F.broadcast(tv))
+         .select('doc_id', 'pos',
+                 ((F.coalesce('c2', F.lit(0)) + 1)
+                  / (F.coalesce('c1', F.lit(0)) + F.col('v_size')))
+                 .alias('p')))
+  bi_sum = (bgp.groupBy('doc_id')
+            .agg(F.collect_list(F.struct('pos', 'p')).alias('ps'))
+            .select('doc_id',
+                    F.aggregate(F.array_sort('ps'),
+                                F.lit(0.0),
+                                lambda acc, s: acc + s['p'])
+                    .alias('bi_sum')))
+  first = (base.select('doc_id', F.col('t')[0].alias('w'),
+                       F.size('t').alias('n_scored'))
+           .join(uni, 'w', 'left')
+           .crossJoin(F.broadcast(tv))
+           .select('doc_id', 'n_scored',
+                   ((F.coalesce('c1', F.lit(0)) + 1)
+                    / (F.col('t_total') + F.col('v_size')))
+                   .alias('p0')))
+  return (first.join(bi_sum, 'doc_id', 'left')
+          .select('doc_id', 'n_scored',
+                  F.round((F.col('p0')
+                           + F.coalesce('bi_sum', F.lit(0.0)))
+                          / F.col('n_scored'), 6).alias('lm_score'))
+          .orderBy('doc_id'))
