@@ -1038,8 +1038,6 @@ def incremental_dedup(spark: SparkSession, sf_dir: str, *,
            .join(corpus.select('cid', F.md5('text').alias('h')), 'h')
            .groupBy('doc_id').agg(F.min('cid').alias('match_id')))
 
-  rest = batch.join(exact.select('doc_id'), 'doc_id', 'left_anti')
-
   def _sh(frame: DataFrame, idcol: str) -> DataFrame:
     toks = F.filter(F.split(F.col('text'), ' '),
                     lambda x: F.length(x) > 0)
@@ -1051,7 +1049,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str, *,
     ).otherwise(F.array().cast('array<string>'))
     return frame.select(idcol, F.explode(grams).alias('shingle'))
 
-  bsh = _sh(rest, 'doc_id')
+  # shingle ALL batch docs (not just non-exact ones): exact dups are
+  # rare so the extra shingle work is negligible, and skipping the
+  # anti-join keeps the plan a single pass — the exact verdict simply
+  # takes precedence at assembly below, which yields identical output
+  # (near-over-rest ≡ near-over-all restricted to non-exact ids).
+  bsh = _sh(batch, 'doc_id')
   csh = _sh(corpus, 'cid')
   bsz = bsh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_b'))
   csz = csh.groupBy('cid').agg(F.count(F.lit(1)).alias('n_c'))
@@ -1080,18 +1083,21 @@ def incremental_dedup(spark: SparkSession, sf_dir: str, *,
           .select('doc_id', (-F.col('m.ncid')).alias('match_id'),
                   F.round('m.jaccard', 4).alias('jac_r')))
 
-  ex_rows = exact.select('doc_id', F.lit('exact').alias('verdict'),
-                         'match_id',
-                         F.lit(None).cast('double').alias('jac_r'))
-  near_rows = near.select('doc_id', F.lit('near').alias('verdict'),
-                          'match_id', 'jac_r')
-  new_rows = (batch.select('doc_id')
-              .join(ex_rows.select('doc_id'), 'doc_id', 'left_anti')
-              .join(near_rows.select('doc_id'), 'doc_id', 'left_anti')
-              .select('doc_id', F.lit('new').alias('verdict'),
-                      F.lit(None).cast('long').alias('match_id'),
-                      F.lit(None).cast('double').alias('jac_r')))
-  return (ex_rows.unionByName(near_rows).unionByName(new_rows)
+  # single-pass assembly: two LEFT joins instead of a 3-branch union
+  # (the union re-derived the exact/near subplans once per branch —
+  # 26 planned exchanges; this shape plans each subplan once)
+  return (batch.select('doc_id')
+          .join(exact.withColumnRenamed('match_id', 'ex_id'),
+                'doc_id', 'left')
+          .join(near.withColumnRenamed('match_id', 'near_id'),
+                'doc_id', 'left')
+          .select('doc_id',
+                  F.when(F.col('ex_id').isNotNull(), 'exact')
+                  .when(F.col('near_id').isNotNull(), 'near')
+                  .otherwise('new').alias('verdict'),
+                  F.coalesce('ex_id', 'near_id').alias('match_id'),
+                  F.when(F.col('ex_id').isNull(), F.col('jac_r'))
+                  .alias('jac_r'))
           .orderBy('doc_id'))
 
 
