@@ -181,6 +181,11 @@ def main() -> None:
       # exact cosine + CC keep-one over the raw corpus
       ('semantic_dedup',
        lambda: V.semantic_dedup(spark, sf_dir).count()),
+      # new-batch-vs-corpus verdicts (exact hash + inverted-index probe)
+      ('incremental_dedup',
+       lambda: T.incremental_dedup(spark, sf_dir).count()),
+      # bigram-LM train + score in one job (two gram-count shuffles)
+      ('lm_score', lambda: T.lm_score(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()
