@@ -117,3 +117,41 @@ def test_seam_validation_and_plan_shape(spark):
       .executedPlan().toString()
   assert 'CartesianProduct' not in plan
   assert 'BroadcastNestedLoopJoin' not in plan
+
+
+def test_fuzz_corpus_vs_sequential(spark):
+  """Seeded fuzz: 120 adversarial docs (empty, whitespace-only,
+  sub-shingle-width, exact-dup swarms, shared-prefix near-dups,
+  unicode) split batch/corpus, one Spark pass vs the sequential
+  recomputation."""
+  import random
+  rng = random.Random(4242)
+  vocab = ['tok%d' % i for i in range(30)] + ['ü', '∂', 'x']
+  rows = []
+  for i in range(120):
+    kind = rng.randrange(6)
+    if kind == 0:
+      text = ''
+    elif kind == 1:
+      text = '   '
+    elif kind == 2:
+      text = ' '.join(rng.choices(vocab, k=rng.randrange(1, 3)))
+    elif kind == 3:           # exact-dup swarm material
+      text = 'dup swarm body alpha beta gamma'
+    elif kind == 4:           # shared prefix, varying tail
+      text = ('common prefix run one two three four ' +
+              ' '.join(rng.choices(vocab, k=rng.randrange(0, 4))))
+    else:
+      text = ' '.join(rng.choices(vocab, k=rng.randrange(3, 25)))
+    rows.append((i, text))
+  batch = [(i, t) for i, t in rows if i % 4 == 0]
+  corpus = [(i, t) for i, t in rows if i % 4 != 0]
+  b = spark.createDataFrame(batch, 'doc_id long, text string')
+  c = spark.createDataFrame(corpus, 'doc_id long, text string')
+  out = incremental_dedup(spark, SF, batch=b, corpus=c,
+                          threshold=0.4).collect()
+  exp = _ref(batch, corpus, threshold=0.4)
+  assert len(out) == len(batch)
+  for r in out:
+    assert (r['verdict'], r['match_id'], r['jac_r']) == \
+        exp[r['doc_id']], (r, exp[r['doc_id']])
