@@ -85,6 +85,48 @@ if model == 'main_content':
             F.count('*').alias('n'),
             F.sum(F.xxhash64('doc_id', F.to_json('out_spans'))
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
+elif model == 'minhash':
+    # shuffle-heavy counterpart to the map-heavy extraction jobs: the
+    # minhash+LSH near-dup pair scan's cost is its band-bucket groupBy
+    # shuffle + in-bucket pair expansion + distinct — measuring it at
+    # two cluster sizes evidences that the SHUFFLE path scales, not
+    # just embarrassingly-parallel map work.  Checksum is the exact
+    # order-insensitive hash-sum of the emitted pair set.
+    from blueprint_oss_spark.ops.textops import minhash_shingles
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    if n_docs:
+        src = src.limit(n_docs)
+    # sf0.1 alone finishes in ~3 s on 4 cores — overhead-bound, which
+    # under-measures shuffle scaling.  Replicate the corpus with
+    # per-replica token salting: every shingle carries its replica
+    # tag, so replicas never collide in LSH buckets and the pair set
+    # is exactly `rep` disjoint copies of the original (work scales
+    # linearly, no artificial near-dup quadratic blowup).
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '8'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select((F.col('doc_id') + F.col('rep') * 1000000)
+                       .alias('doc_id'),
+                       F.concat_ws(' ', F.transform(
+                           F.split('text', ' '),
+                           lambda t: F.concat(
+                               t, F.lit('_'),
+                               F.col('rep').cast('string'))))
+                       .alias('text')))
+    df = src.repartition(n_parts).cache()
+    n_in = df.count()
+    def run_pass():
+        # throughput is reported over INPUT docs (the scan the pair
+        # pass consumes), keeping docs/sec comparable across models;
+        # the checksum carries the pair-set hash AND the pair count
+        agg = minhash_shingles(spark, sf_dir, docs=df).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_a', 'doc_b')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 else:
     if model == 'paystubs':
         from blueprint_oss_spark.bp_examples.paystub_fixtures import \
@@ -212,7 +254,10 @@ def main() -> None:
         blob = json.load(f)
     except ValueError:
       blob = {}
-  blob[f'cluster_last_run_{n}_to_{4 * n}_executors'] = result
+  # key carries the model so a minhash run never clobbers the
+  # paystubs record (and vice versa)
+  suffix = '' if model == 'paystubs' else f'_{model}'
+  blob[f'cluster_last_run_{n}_to_{4 * n}_executors{suffix}'] = result
   with open(path, 'w') as f:
     json.dump(blob, f, indent=2)
 
