@@ -173,11 +173,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'embedding_near_dup_pairs':
           lambda s, d: V.embedding_near_dup_pairs(
               s, d, plant_for_verification=True),
-      # the 100 TB dedup path end-to-end: banded-LSH candidate edges ->
-      # connected components; snapshot verified by a FULL pure-python
-      # recomputation (xxhash64 minhash + union-find)
-      'dedup_groups_minhash':
-          lambda s, d: T.dedup_groups(s, d, edge_source='minhash'),
+      # both dedup-groups paths in ONE edge_source-tagged row-set
+      # (gate-budget merge freeing a slot for c4_line_clean): the
+      # 100 TB path (banded-LSH minhash candidate edges -> connected
+      # components; snapshot section, verified by a FULL pure-python
+      # xxhash64 + union-find recomputation) unioned with the exact
+      # n-gram-Jaccard-edge variant (from-scratch recursive-CTE SQL
+      # section) — identical schemas, every column of both paths still
+      # value-checked
+      'dedup_groups': _dedup_groups_methods,
       # signatures + wide-key Manku pairs in ONE tagged row-set
       # (gate-budget merge freeing a slot for bpe_train): sig rows are
       # the per-doc 64-bit simhash, pair rows the banded near-dups
@@ -250,7 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- similarity / near-dup ---
       'cosine_topk': _cosine_topk_with_norms,
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
-      'dedup_groups': lambda s, d: T.dedup_groups(s, d),
+      # C4-style line-level page cleaning (Raffel et al. §2.2);
+      # deterministic synthesized line structure, DuckDB re-synthesizes
+      # and re-filters everything from the raw table
+      'c4_line_clean': lambda s, d: C.c4_line_clean(s, d),
       'pack_sequences': lambda s, d: T.pack_sequences(s, d),
       'curation_pipeline': T.curation_pipeline,
       'tfidf_top_terms': lambda s, d: T.tfidf_top_terms(s, d),
@@ -335,6 +342,25 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.sum('n_words').alias('corpus_words'),
       F.sum('n_tokens').alias('corpus_tokens'))
   return merges.crossJoin(F.broadcast(totals)).orderBy('rank')
+
+
+def _dedup_groups_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Both dedup-groups edge paths in one method-tagged driver row-set
+  (gate-budget merge): the exact n-gram-Jaccard edge variant (the
+  oracle recomputes it from scratch with a recursive CTE) unioned with
+  the 100 TB banded-LSH minhash edge variant (snapshot section,
+  verified by a FULL pure-python xxhash64 + union-find recomputation —
+  see scripts/build_oracles.py).  Identical schemas; every column of
+  both paths stays value-checked."""
+  from blueprint_oss_spark.ops import textops as T
+  jac = (T.dedup_groups(spark, sf_dir)
+         .withColumn('method', F.lit('jaccard')))
+  mh = (T.dedup_groups(spark, sf_dir, edge_source='minhash')
+        .withColumn('method', F.lit('minhash')))
+  return (jac.unionByName(mh)
+          .select('method', 'doc_id', 'group_id', 'group_size',
+                  'is_keeper')
+          .orderBy('method', 'doc_id'))
 
 
 def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,8 +486,9 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
 #:   * semantic_dedup — FULL pure-python recomputation (same seeded
 #:     k-means trainer, left-to-right float64 folds for cell
 #:     assignment and in-cell cosine, union-find groups);
-#:   * dedup_groups_minhash — FULL pure-python recomputation (xxhash64
-#:     minhash edges + union-find components);
+#:   * dedup_groups (minhash section) — FULL pure-python recomputation
+#:     (xxhash64 minhash edges + union-find components); the jaccard
+#:     section stays from-scratch recursive-CTE SQL;
 #:   * media_features_phash / extraction_accuracy — verified against
 #:     independent pure-Python recomputation;
 #:   * bpe_train — FULL sequential pure-python BPE recomputation
@@ -476,7 +503,6 @@ _SNAPSHOT_ORACLES = {
     'bp_extract_paystubs': 'doc_id',
     'bp_extract_checks': 'doc_id',
     'minhash_pairs': 'doc_a, doc_b',
-    'dedup_groups_minhash': 'doc_id',
     'bpe_train': 'rank',
     'ann_topk_methods': 'method, cosine_r DESC, vec_id',
     'semantic_dedup': 'vec_id',
@@ -487,7 +513,7 @@ _SNAPSHOT_ORACLES = {
 #: Queries whose oracle is real SQL but reads a committed snapshot
 #: (pinned to the driver's sf0.01 gate scale) instead of the raw
 #: tables — valid only at sf0.01, like the snapshot oracles above.
-_SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs'})
+_SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups'})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1450,6 +1476,54 @@ def oracle_sql() -> dict[str, str]:
       # The whole curation chain recomputed from scratch: quality
       # verdicts -> kept docs -> shingle pairs AMONG KEPT docs ->
       # recursive-CTE reachability -> keep-one -> md5-threshold sample.
+      # C4-style line cleaning recomputed from scratch: DuckDB
+      # re-synthesizes the deterministic line structure from the raw
+      # table ((doc_id, line index) integer arithmetic, same suffix
+      # order: core + javascript noise + page poison + terminal
+      # punctuation) and re-applies every Raffel §2.2 rule — terminal
+      # punctuation, >=3 words, no 'javascript', page-level lorem-ipsum
+      # / curly-brace poison, >=3 surviving lines.
+      'c4_line_clean': """
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), lined AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(len(words) / 10.0) AS INT)),
+                   j -> array_to_string(
+                          words[j * 10 + 1 : j * 10 + 10], ' ')
+                        || CASE WHEN (doc_id * 11 + j * 17) % 23 = 0
+                                THEN ' javascript' ELSE '' END
+                        || CASE WHEN j = 0 AND doc_id % 37 = 0
+                                THEN ' lorem ipsum'
+                                WHEN j = 0 AND doc_id % 41 = 0
+                                THEN ' {' ELSE '' END
+                        || CASE WHEN (doc_id * 7 + j * 13) % 10 <= 4
+                                THEN '.'
+                                WHEN (doc_id * 7 + j * 13) % 10 = 5
+                                THEN '!'
+                                WHEN (doc_id * 7 + j * 13) % 10 = 6
+                                THEN '?' ELSE '' END) AS lines
+          FROM base
+        ), staged AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 list_filter(lines, ln ->
+                     regexp_matches(ln, '[.!?]$')
+                     AND len(string_split(ln, ' ')) >= 3
+                     AND NOT contains(ln, 'javascript')) AS kept,
+                 len(list_filter(lines, ln ->
+                     contains(ln, 'lorem ipsum')
+                     OR contains(ln, '{'))) > 0 AS poisoned
+          FROM lined
+        )
+        SELECT doc_id, n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, chr(10)) AS clean_text
+        FROM staged
+        WHERE NOT poisoned AND len(kept) >= 3
+        ORDER BY doc_id
+      """,
       # GPT-style concat-and-chunk sequence packing recomputed with the
       # same per-shard window sum; integer-exact (floor of non-negative
       # integer division).
@@ -1642,10 +1716,11 @@ def oracle_sql() -> dict[str, str]:
               END
         ORDER BY s.doc_id
       """,
-      # Dedup groups = connected components over the exact-Jaccard pair
-      # edges; the oracle recomputes reachability from scratch with a
-      # recursive CTE (min reachable id per node == the Spark side's
-      # large-star/small-star fixpoint).
+      # Dedup groups, both edge paths method-tagged: the jaccard
+      # section recomputes reachability from scratch with a recursive
+      # CTE (min reachable id per node == the Spark side's
+      # large-star/small-star fixpoint); the minhash section reads the
+      # union-find-verified snapshot (see scripts/build_oracles.py).
       'dedup_groups': """
         WITH RECURSIVE toks AS (
           SELECT doc_id,
@@ -1684,10 +1759,15 @@ def oracle_sql() -> dict[str, str]:
         ), comp AS (
           SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
         )
-        SELECT doc_id, group_id,
+        SELECT 'jaccard' AS method, doc_id, group_id,
                COUNT(*) OVER (PARTITION BY group_id) AS group_size,
                CAST(doc_id = group_id AS INT) AS is_keeper
-        FROM comp ORDER BY doc_id
+        FROM comp
+        UNION ALL
+        SELECT 'minhash' AS method, doc_id, group_id, group_size,
+               is_keeper
+        FROM read_parquet('/root/repo/oracles/dedup_groups_minhash.parquet')
+        ORDER BY method, doc_id
       """,
       # Exact brute-force O(n²) recomputation of the LSH-blocked
       # operator, planting included — equality means banded-LSH recall

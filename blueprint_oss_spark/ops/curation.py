@@ -389,3 +389,218 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str, *,
                   (F.coalesce('score', F.lit(0)) > 0).cast('int')
                   .alias('selected'))
           .orderBy('doc_id'))
+
+
+def c4_line_clean(spark: SparkSession, sf_dir: str, *,
+                  words_per_line: int = 10, min_kept_lines: int = 3,
+                  docs: DataFrame = None) -> DataFrame:
+  """C4-style line-level page cleaning (Raffel et al. 2020, "Exploring
+  the Limits of Transfer Learning with a Unified Text-to-Text
+  Transformer", arXiv:1910.10683 §2.2): keep only lines that end in a
+  terminal punctuation mark AND have at least 3 words AND do not
+  mention 'javascript'; drop the whole page if any line contains
+  'lorem ipsum' or a curly brace, or if fewer than `min_kept_lines`
+  lines survive.  Returns (doc_id, n_lines, n_kept, clean_text) for
+  surviving pages, clean_text = kept lines joined by newline.
+
+  The synthetic corpus is single-line word soup, so — same device as
+  pii_scrub's planted PII and html_main_content's synthesized
+  boilerplate — a deterministic line structure is synthesized first:
+  the text is chunked into `words_per_line`-word lines and each line's
+  terminal punctuation / 'javascript' noise / page-level poison is
+  pure integer arithmetic on (doc_id, line index), so the DuckDB
+  oracle re-synthesizes byte-identical lines from the raw table and
+  recomputes every verdict from scratch.  Noise is appended BEFORE the
+  terminal punctuation so a 'javascript' line still ends in '.' — the
+  contains-rule is what rejects it, not the punctuation rule.
+
+  Scale shape: scan → project → filter, zero shuffles and zero Python
+  — the line array, both filters, and the join-back to text are all
+  JVM higher-order functions inside whole-stage codegen, and at 100 TB
+  the page verdicts compose with the quality/dedup chain exactly like
+  quality_filter (this is the C4 counterpart of the Gopher-rule
+  operators in ops/textops.py).
+  """
+  w = words_per_line
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  # one synthesized line per words_per_line-word chunk; suffix order:
+  # core + javascript-noise + page-poison + terminal punctuation
+  lines_expr = F.expr(f"""
+    transform(
+      sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+      j -> concat(
+        array_join(slice(split(text, ' '), j * {w} + 1, {w}), ' '),
+        CASE WHEN (doc_id * 11 + j * 17) % 23 = 0
+             THEN ' javascript' ELSE '' END,
+        CASE WHEN j = 0 AND doc_id % 37 = 0 THEN ' lorem ipsum'
+             WHEN j = 0 AND doc_id % 41 = 0 THEN ' {{'
+             ELSE '' END,
+        CASE WHEN (doc_id * 7 + j * 13) % 10 <= 4 THEN '.'
+             WHEN (doc_id * 7 + j * 13) % 10 = 5 THEN '!'
+             WHEN (doc_id * 7 + j * 13) % 10 = 6 THEN '?'
+             ELSE '' END))
+  """)
+
+  def line_kept(line):
+    return (line.rlike(r'[.!?]$')
+            & (F.size(F.split(line, ' ')) >= 3)
+            & ~line.contains('javascript'))
+
+  staged = (
+      d.select('doc_id', lines_expr.alias('lines'))
+      .select(
+          'doc_id',
+          F.size('lines').cast('long').alias('n_lines'),
+          F.filter('lines', line_kept).alias('kept'),
+          F.exists('lines', lambda ln: ln.contains('lorem ipsum')
+                   | ln.contains('{')).alias('poisoned')))
+  return (staged
+          .where(~F.col('poisoned')
+                 & (F.size('kept') >= min_kept_lines))
+          .select('doc_id', 'n_lines',
+                  F.size('kept').cast('long').alias('n_kept'),
+                  F.array_join('kept', '\n').alias('clean_text')))
+
+
+#: Path words used in synthesized URLs; the last two are the
+#: RefinedWeb-style URL bad-word blocklist hits.
+_URL_WORDS = ('news', 'blog', 'shop', 'casino',
+              'forum', 'wiki', 'games', 'poker')
+_URL_TLDS = ('.com', '.org', '.net', '.io', '.edu')
+_URL_BAD_WORDS = ('casino', 'poker')
+
+
+def url_curation(spark: SparkSession, sf_dir: str, *,
+                 domain_cap: int = 5,
+                 docs: DataFrame = None) -> DataFrame:
+  """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1,
+  "The RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116): URL
+  normalization (lowercase, strip fragment / tracking params /
+  default port / trailing slash / www.), domain + URL-bad-word
+  blocklists, exact URL-level dedup (keep the lowest doc_id per
+  normalized URL), and a per-registered-domain document cap — the
+  Common Crawl anti-spam shape.  One verdict row per document:
+
+    (doc_id, url, norm_url, domain, blocked_domain, blocked_word,
+     url_rank, domain_rank, kept)
+
+  `domain_rank` is the doc's position among its domain's ELIGIBLE
+  docs (unblocked + URL-dedup keeper), NULL for ineligible docs;
+  `kept` = eligible AND domain_rank <= domain_cap.
+
+  The corpus has no URL column, so — same device as c4_line_clean's
+  synthesized lines and pii_scrub's planted PII — a deterministic URL
+  is synthesized per doc from pure integer arithmetic on doc_id:
+  case noise, :443 ports, trailing slashes, #fragments and
+  utm_/sid tracking params vary per-doc while the canonical identity
+  (domain, path word, page number) depends only on `doc_id % 350`,
+  so normalization provably converges colliding docs and the DuckDB
+  oracle re-synthesizes byte-identical URLs and recomputes every
+  verdict from scratch.  The curation logic itself reads ONLY the
+  `url` string — synthesis columns are dropped — so handing in a
+  real-URL frame via `docs=` (with a `url` column) works unchanged.
+
+  Scale shape: scan → project (synthesis + normalization, all
+  whole-stage-codegen string ops) → two irreducible shuffles: the
+  URL-dedup window partitions by norm_url (web-scale cardinality ~=
+  doc count, no skew) and the domain-cap running sum partitions by
+  domain.  Domains ARE skewed at 100 TB (hub sites); the running sum
+  only needs the first `domain_cap` eligible rows per domain, so the
+  production variant can pre-prune with Spark's WindowGroupLimit
+  (rank <= k pushdown) before the full verdict join — documented
+  rather than applied because this surface keeps one verdict row per
+  input doc.  The blocklist is a broadcast dimension, never shuffled.
+  """
+  d = (docs if docs is not None else _docs(spark, sf_dir))
+  if 'url' not in d.columns:
+    did = F.col('doc_id')
+    url_key = did % 350
+    site = url_key % 53
+    page_no = ((url_key - site) / F.lit(53)).cast('int')
+    word = F.element_at(
+        F.array(*[F.lit(w) for w in _URL_WORDS]),
+        (url_key % 8 + 1).cast('int'))
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]),
+        (url_key % 5 + 1).cast('int'))
+    host = F.concat(
+        F.when(did % 3 == 0, F.lit('www.')).otherwise(F.lit('')),
+        F.lit('site'), site.cast('string'), tld)
+    host = F.when(did % 7 == 0, F.upper(host)).otherwise(host)
+    params = F.concat_ws(
+        '&',
+        F.when(did % 2 == 0,
+               F.concat(F.lit('utm_source=u'), did.cast('string'))),
+        F.when(did % 11 == 0,
+               F.concat(F.lit('page='), (did % 3).cast('string'))),
+        F.when(did % 3 == 1,
+               F.concat(F.lit('sid='), did.cast('string'))))
+    url = F.concat(
+        F.lit('https://'), host,
+        F.when(did % 23 == 0, F.lit(':443')).otherwise(F.lit('')),
+        F.lit('/'), word, F.lit('/p'), page_no.cast('string'),
+        F.when(did % 19 == 0, F.lit('/')).otherwise(F.lit('')),
+        F.when(params != '', F.concat(F.lit('?'), params))
+         .otherwise(F.lit('')),
+        F.when(did % 13 == 0,
+               F.concat(F.lit('#s'), (did % 4).cast('string')))
+         .otherwise(F.lit('')))
+    d = d.select('doc_id', url.alias('url'))
+  else:
+    d = d.select('doc_id', 'url')
+
+  # normalization: each step is a Java-regex ∩ RE2 pattern so the
+  # DuckDB oracle applies the identical pipeline
+  norm = F.lower(F.col('url'))
+  norm = F.regexp_replace(norm, r'#.*$', '')                # fragment
+  norm = F.regexp_replace(norm, r'(utm_[a-z]+|sid)=[^&#]*&', '')
+  norm = F.regexp_replace(norm, r'[?&](utm_[a-z]+|sid)=[^&#]*$', '')
+  norm = F.regexp_replace(norm, r':443/', '/')              # def. port
+  norm = F.regexp_replace(norm, r'/\?', '?')                # slash?qs
+  norm = F.regexp_replace(norm, r'/$', '')                  # trailing
+  norm = F.regexp_replace(norm, r'^https://www\.', 'https://')
+
+  staged = d.select(
+      'doc_id', 'url', norm.alias('norm_url'),
+      F.regexp_extract(norm, r'^https://([^/?]+)', 1).alias('domain'),
+      F.regexp_extract(norm, r'^https://[^/]+/([a-z]+)/', 1)
+       .alias('path_word'))
+
+  # blocklist dimensions: broadcast, never shuffled
+  blocked_hosts = [f'site{s}{t}' for s in range(0, 53, 13)
+                   for t in _URL_TLDS]
+  bl = F.broadcast(
+      spark.createDataFrame([(h,) for h in blocked_hosts],
+                            'domain string')
+      .withColumn('blocked_domain', F.lit(1)))
+
+  from pyspark.sql import Window
+  w_url = Window.partitionBy('norm_url').orderBy('doc_id')
+  w_dom = (Window.partitionBy('domain').orderBy('doc_id')
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  scored = (
+      staged
+      .join(bl, 'domain', 'left')
+      .select(
+          'doc_id', 'url', 'norm_url', 'domain',
+          F.coalesce('blocked_domain', F.lit(0)).alias('blocked_domain'),
+          F.col('path_word').isin(*_URL_BAD_WORDS).cast('int')
+           .alias('blocked_word'))
+      .withColumn('url_rank',
+                  F.row_number().over(w_url).cast('long'))
+      .withColumn('eligible',
+                  ((F.col('blocked_domain') == 0)
+                   & (F.col('blocked_word') == 0)
+                   & (F.col('url_rank') == 1)).cast('int'))
+      .withColumn('domain_rank',
+                  F.when(F.col('eligible') == 1,
+                         F.sum('eligible').over(w_dom)).cast('long')))
+  return (scored
+          .select('doc_id', 'url', 'norm_url', 'domain',
+                  'blocked_domain', 'blocked_word', 'url_rank',
+                  'domain_rank',
+                  ((F.col('eligible') == 1)
+                   & (F.col('domain_rank') <= domain_cap)).cast('int')
+                  .alias('kept'))
+          .orderBy('doc_id'))
