@@ -199,11 +199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # encode recomputation (scripts/build_oracles.py::verify_bpe)
       'bpe_train': _bpe_train_encode,
       'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
-      # one driver row covering all three ANN index families (sign-LSH
-      # banding / IVF coarse quantizer / PQ-ADC) — merged so
-      # semantic_dedup + repetition_stats fit inside the 50-row gate
-      # budget; each method's top-k is verified by its own FULL
-      # pure-python recomputation (see scripts/build_oracles.py)
+      # one driver row covering the exact brute-force baseline AND all
+      # three ANN index families (sign-LSH banding / IVF coarse
+      # quantizer / PQ-ADC) — merged so semantic_dedup,
+      # repetition_stats and url_curation fit inside the 50-row gate
+      # budget; the brute section (with per-vector norms) stays
+      # from-scratch SQL, each index method's top-k is verified by its
+      # own FULL pure-python recomputation (scripts/build_oracles.py)
       'ann_topk_methods': _ann_topk_methods,
       # SemDeDup-style semantic dedup: k-means cells -> in-cell exact
       # cosine edges -> connected components -> keep-one; snapshot
@@ -252,7 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'exact_substring_dedup':
           lambda s, d: T.remove_duplicated_spans(s, d),
       # --- similarity / near-dup ---
-      'cosine_topk': _cosine_topk_with_norms,
+      # RefinedWeb-style URL curation (Penedo et al. 2023 §3.1):
+      # normalization, blocklists, URL dedup, per-domain cap;
+      # deterministic synthesized URLs, DuckDB re-synthesizes and
+      # recomputes every verdict from the raw table
+      'url_curation': lambda s, d: C.url_curation(s, d),
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       # C4-style line-level page cleaning (Raffel et al. §2.2);
       # deterministic synthesized line structure, DuckDB re-synthesizes
@@ -268,17 +274,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """All three ANN index families over the same query vector in one
-  driver row-set: sign-LSH banded probe, IVF coarse-quantizer probe,
-  and PQ asymmetric-distance shortlist + exact refine.  Each method's
-  rows are its own operator's output tagged with a method column, so
-  every family stays independently value-checked."""
+  """The exact brute-force baseline plus all three ANN index families
+  over the same query vector in one driver row-set: exact cosine top-k
+  joined with per-vector norms (method='brute', the only section
+  carrying label/norm_sq — its oracle stays from-scratch SQL), sign-LSH
+  banded probe, IVF coarse-quantizer probe, and PQ asymmetric-distance
+  shortlist + exact refine.  Each method's rows are its own operator's
+  output tagged with a method column, so every family stays
+  independently value-checked."""
   from blueprint_oss_spark.ops import vectors as V
+  nul_i = F.lit(None).cast('int')
+  nul_d = F.lit(None).cast('double')
+  brute = (V.cosine_topk_bruteforce(spark, sf_dir)
+           .join(V.embedding_norms(spark, sf_dir), 'vec_id')
+           .select(F.lit('brute').alias('method'), 'vec_id', 'cosine_r',
+                   'label', 'norm_sq'))
   lsh = V.ann_topk_lsh(spark, sf_dir).withColumn('method', F.lit('lsh'))
   ivf = V.ivf_topk(spark, sf_dir).withColumn('method', F.lit('ivf'))
   pqa = V.pq_topk(spark, sf_dir).withColumn('method', F.lit('pq'))
-  return (lsh.unionByName(ivf).unionByName(pqa)
-          .select('method', 'vec_id', 'cosine_r')
+  ann = (lsh.unionByName(ivf).unionByName(pqa)
+         .select('method', 'vec_id', 'cosine_r',
+                 nul_i.alias('label'), nul_d.alias('norm_sq')))
+  return (brute.unionByName(ann)
           .orderBy('method', F.desc('cosine_r'), 'vec_id'))
 
 
@@ -399,19 +416,6 @@ def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('doc_id'))
 
 
-def _cosine_topk_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """Exact cosine top-k joined with per-vector norms (embedding_norms
-  merged in): top-k membership comes from the round-6 cosine ordering;
-  the returned rows are presented by vec_id so both engines agree on
-  row order independent of round-4 ties."""
-  from blueprint_oss_spark.ops import vectors as V
-  topk = V.cosine_topk_bruteforce(spark, sf_dir)
-  norms = V.embedding_norms(spark, sf_dir)
-  return (topk.join(norms, 'vec_id')
-          .select('vec_id', 'cosine_r', 'label', 'norm_sq')
-          .orderBy('vec_id'))
-
-
 def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   """Main-content extraction (HTML boilerplate strip via DOM
   heuristics): documents wrapped in deterministic boilerplate-heavy
@@ -504,7 +508,6 @@ _SNAPSHOT_ORACLES = {
     'bp_extract_checks': 'doc_id',
     'minhash_pairs': 'doc_a, doc_b',
     'bpe_train': 'rank',
-    'ann_topk_methods': 'method, cosine_r DESC, vec_id',
     'semantic_dedup': 'vec_id',
     'media_features_phash': 'media_ref',
     'extraction_accuracy': 'field',
@@ -513,7 +516,8 @@ _SNAPSHOT_ORACLES = {
 #: Queries whose oracle is real SQL but reads a committed snapshot
 #: (pinned to the driver's sf0.01 gate scale) instead of the raw
 #: tables — valid only at sf0.01, like the snapshot oracles above.
-_SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups'})
+_SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups',
+                                  'ann_topk_methods'})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1361,7 +1365,12 @@ def oracle_sql() -> dict[str, str]:
       # Exact top-k (membership from the round-6 cosine ordering)
       # joined with per-vector norms (embedding_norms merged in);
       # presented by vec_id so row order is tie-independent.
-      'cosine_topk': """
+      # Brute section recomputed from scratch (exact cosine top-k +
+      # per-vector norms); the three index-method sections read the
+      # snapshot that scripts/build_oracles.py verifies with FULL
+      # pure-python recomputations (LSH bucket probe / IVF cell probe /
+      # PQ encode+ADC+refine).
+      'ann_topk_methods': """
         WITH v AS (
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1385,9 +1394,15 @@ def oracle_sql() -> dict[str, str]:
                    'sum'), 2) AS norm_sq
           FROM embeddings
         )
-        SELECT t.vec_id, t.cosine_r, n.label, n.norm_sq
+        SELECT 'brute' AS method, t.vec_id, t.cosine_r,
+               n.label, n.norm_sq
         FROM topk t JOIN norms n ON t.vec_id = n.vec_id
-        ORDER BY t.vec_id
+        UNION ALL
+        SELECT method, vec_id, cosine_r,
+               CAST(NULL AS INT) AS label,
+               CAST(NULL AS DOUBLE) AS norm_sq
+        FROM read_parquet('/root/repo/oracles/ann_topk_methods.parquet')
+        ORDER BY method, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': """
         WITH toks AS (
@@ -1522,6 +1537,108 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS clean_text
         FROM staged
         WHERE NOT poisoned AND len(kept) >= 3
+        ORDER BY doc_id
+      """,
+      # RefinedWeb-style URL curation recomputed from scratch: DuckDB
+      # re-synthesizes the deterministic per-doc URL (same doc_id
+      # integer arithmetic: case noise, :443 ports, trailing slashes,
+      # fragments, utm_/sid tracking params over a doc_id%350 canonical
+      # identity), re-applies the identical normalization regex
+      # pipeline (all Java∩RE2, global flag), and recomputes blocklist
+      # verdicts, URL-dedup ranks, per-domain running counts and keep
+      # verdicts with the same window semantics.
+      'url_curation': """
+        WITH syn AS (
+          SELECT doc_id,
+                 doc_id % 350 AS uk
+          FROM documents
+        ), u AS (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 7 = 0 THEN upper(h) ELSE h END
+                 || CASE WHEN doc_id % 23 = 0 THEN ':443' ELSE '' END
+                 || '/' || w || '/p'
+                 || CAST(CAST((uk - uk % 53) / 53 AS INT) AS VARCHAR)
+                 || CASE WHEN doc_id % 19 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN p <> '' THEN '?' || p ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN '#s' || CAST(doc_id % 4 AS VARCHAR)
+                         ELSE '' END AS url
+          FROM (
+            SELECT doc_id, uk,
+                   CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+                   || 'site' || CAST(uk % 53 AS VARCHAR)
+                   || (['.com', '.org', '.net', '.io', '.edu'])
+                      [CAST(uk % 5 + 1 AS INT)] AS h,
+                   (['news', 'blog', 'shop', 'casino',
+                     'forum', 'wiki', 'games', 'poker'])
+                   [CAST(uk % 8 + 1 AS INT)] AS w,
+                   concat_ws('&',
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'utm_source=u' || CAST(doc_id AS VARCHAR)
+                     END,
+                     CASE WHEN doc_id % 11 = 0
+                          THEN 'page=' || CAST(doc_id % 3 AS VARCHAR)
+                     END,
+                     CASE WHEN doc_id % 3 = 1
+                          THEN 'sid=' || CAST(doc_id AS VARCHAR)
+                     END) AS p
+            FROM syn)
+        ), n AS (
+          SELECT doc_id, url,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(lower(url), '#.*$', '', 'g'),
+                        '(utm_[a-z]+|sid)=[^&#]*&', '', 'g'),
+                      '[?&](utm_[a-z]+|sid)=[^&#]*$', '', 'g'),
+                    ':443/', '/', 'g'),
+                  '/\\?', '?', 'g'),
+                '/$', '', 'g'),
+              '^https://www\\.', 'https://', 'g') AS norm_url
+          FROM u
+        ), staged AS (
+          SELECT doc_id, url, norm_url,
+                 coalesce(regexp_extract(
+                   norm_url, '^https://([^/?]+)', 1), '') AS domain,
+                 coalesce(regexp_extract(
+                   norm_url, '^https://[^/]+/([a-z]+)/', 1), '')
+                   AS path_word
+          FROM n
+        ), scored AS (
+          SELECT doc_id, url, norm_url, domain,
+                 CAST(regexp_matches(
+                   domain,
+                   '^site(0|13|26|39|52)\\.(com|org|net|io|edu)$')
+                   AS INT) AS blocked_domain,
+                 CAST(path_word IN ('casino', 'poker') AS INT)
+                   AS blocked_word,
+                 CAST(ROW_NUMBER() OVER
+                   (PARTITION BY norm_url ORDER BY doc_id) AS BIGINT)
+                   AS url_rank
+          FROM staged
+        ), elig AS (
+          SELECT *,
+                 CAST(blocked_domain = 0 AND blocked_word = 0
+                      AND url_rank = 1 AS INT) AS eligible
+          FROM scored
+        ), ranked AS (
+          SELECT *,
+                 CASE WHEN eligible = 1 THEN
+                   CAST(SUM(eligible) OVER
+                     (PARTITION BY domain ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT)
+                 END AS domain_rank
+          FROM elig
+        )
+        SELECT doc_id, url, norm_url, domain, blocked_domain,
+               blocked_word, url_rank, domain_rank,
+               CAST(eligible = 1 AND domain_rank <= 2 AS INT) AS kept
+        FROM ranked
         ORDER BY doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the

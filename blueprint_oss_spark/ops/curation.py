@@ -472,7 +472,7 @@ _URL_BAD_WORDS = ('casino', 'poker')
 
 
 def url_curation(spark: SparkSession, sf_dir: str, *,
-                 domain_cap: int = 5,
+                 domain_cap: int = 2,
                  docs: DataFrame = None) -> DataFrame:
   """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1,
   "The RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116): URL
