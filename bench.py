@@ -59,6 +59,7 @@ def main() -> None:
   from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
   from blueprint_oss_spark.spark.pipeline import (
       SPANS_SCHEMA, extract_documents)
+  from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import relational as R
   from blueprint_oss_spark.ops import textops as T
   from blueprint_oss_spark.ops import vectors as V
@@ -186,6 +187,11 @@ def main() -> None:
        lambda: T.incremental_dedup(spark, sf_dir).count()),
       # bigram-LM train + score in one job (two gram-count shuffles)
       ('lm_score', lambda: T.lm_score(spark, sf_dir).count()),
+      # C4 line cleaning: pure zero-shuffle codegen scan
+      ('c4_line_clean', lambda: C.c4_line_clean(spark, sf_dir).count()),
+      # URL curation: codegen synthesis+normalization, broadcast
+      # blocklist, two window shuffles
+      ('url_curation', lambda: C.url_curation(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

@@ -472,7 +472,7 @@ _URL_BAD_WORDS = ('casino', 'poker')
 
 
 def url_curation(spark: SparkSession, sf_dir: str, *,
-                 domain_cap: int = 2,
+                 domain_cap: int = 2, keep_only: bool = False,
                  docs: DataFrame = None) -> DataFrame:
   """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1,
   "The RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116): URL
@@ -505,12 +505,20 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
   whole-stage-codegen string ops) → two irreducible shuffles: the
   URL-dedup window partitions by norm_url (web-scale cardinality ~=
   doc count, no skew) and the domain-cap running sum partitions by
-  domain.  Domains ARE skewed at 100 TB (hub sites); the running sum
-  only needs the first `domain_cap` eligible rows per domain, so the
-  production variant can pre-prune with Spark's WindowGroupLimit
-  (rank <= k pushdown) before the full verdict join — documented
-  rather than applied because this surface keeps one verdict row per
-  input doc.  The blocklist is a broadcast dimension, never shuffled.
+  domain.  Domains ARE skewed at 100 TB (hub sites); `keep_only=True`
+  is the production fast path for that skew: it returns just the kept
+  docs (doc_id, url, norm_url, domain) through two row_number +
+  rank-filter windows, the shape Spark's InferWindowGroupLimit rewrites
+  into partial (pre-shuffle, per input partition) + final
+  WindowGroupLimit nodes — a hub domain's millions of rows collapse to
+  ~domain_cap rows per map task BEFORE the domain shuffle, so no
+  reducer ever sees the hub's full row set.  Filtering blocked docs
+  before the URL-dedup rank is safe because block verdicts are
+  constant within a norm_url group (equal norm_url implies equal
+  domain and path_word), so the unblocked rank-1 winners are identical
+  either way; `tests/test_url_curation.py` pins both the plan nodes
+  and set-equality with the full verdict surface.  The blocklist is a
+  broadcast dimension, never shuffled.
   """
   d = (docs if docs is not None else _docs(spark, sf_dir))
   if 'url' not in d.columns:
@@ -579,14 +587,33 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
   w_url = Window.partitionBy('norm_url').orderBy('doc_id')
   w_dom = (Window.partitionBy('domain').orderBy('doc_id')
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-  scored = (
+  flags = (
       staged
       .join(bl, 'domain', 'left')
       .select(
           'doc_id', 'url', 'norm_url', 'domain',
           F.coalesce('blocked_domain', F.lit(0)).alias('blocked_domain'),
           F.col('path_word').isin(*_URL_BAD_WORDS).cast('int')
-           .alias('blocked_word'))
+           .alias('blocked_word')))
+
+  if keep_only:
+    # WindowGroupLimit fast path: each rank filter sits DIRECTLY on a
+    # row_number window, the shape InferWindowGroupLimit turns into
+    # partial+final group limits; hub-domain partitions shrink to
+    # ~domain_cap rows before the shuffle.
+    w_dom_rn = Window.partitionBy('domain').orderBy('doc_id')
+    return (flags
+            .where((F.col('blocked_domain') == 0)
+                   & (F.col('blocked_word') == 0))
+            .withColumn('url_rank', F.row_number().over(w_url))
+            .where(F.col('url_rank') == 1)
+            .withColumn('domain_rank', F.row_number().over(w_dom_rn))
+            .where(F.col('domain_rank') <= domain_cap)
+            .select('doc_id', 'url', 'norm_url', 'domain')
+            .orderBy('doc_id'))
+
+  scored = (
+      flags
       .withColumn('url_rank',
                   F.row_number().over(w_url).cast('long'))
       .withColumn('eligible',

@@ -134,6 +134,22 @@ def test_every_rule_fires(result):
              if r['blocked_domain'] == 1)
 
 
+def test_keep_only_window_group_limit_path(spark, result):
+  """The keep_only production path: (a) its plan carries Partial+Final
+  WindowGroupLimit for BOTH rank filters — the hub-domain skew defense,
+  each map task pre-prunes to the group limit before the shuffle — and
+  (b) it returns exactly the kept==1 docs of the full verdict surface
+  (legal because block verdicts are constant within a norm_url group)."""
+  fast = url_curation(spark, SF_DIR, keep_only=True)
+  plan = fast._jdf.queryExecution().executedPlan().toString()
+  wgl = [ln for ln in plan.splitlines() if 'WindowGroupLimit' in ln]
+  assert sum('Partial' in ln for ln in wgl) == 2, plan
+  assert sum('Final' in ln for ln in wgl) == 2, plan
+  got = {r['doc_id'] for r in fast.collect()}
+  want = {r['doc_id'] for r in result if r['kept'] == 1}
+  assert got == want and got
+
+
 def test_docs_seam_real_url_column(spark):
   """A caller-supplied frame with a real `url` column bypasses
   synthesis entirely; normalization and the cap work unchanged."""
