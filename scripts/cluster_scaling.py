@@ -127,6 +127,44 @@ elif model == 'minhash':
             F.sum(F.xxhash64('doc_a', 'doc_b')
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
+elif model == 'url_curation':
+    # window-shuffle counterpart: URL normalization is map-side codegen,
+    # then two window shuffles (norm_url dedup, domain cap).  The
+    # operator's built-in synthesis keys identity on doc_id%350 — fine
+    # for oracle equality at gate scale but only ~350 window groups, a
+    # synthesis artifact that would fake reducer skew at millions of
+    # rows.  For scaling, feed a realistic distribution through the
+    # docs= seam instead: ~n/3-sized dedup groups, 9973 domains, with
+    # per-doc tracking-param/port/fragment noise for the normalizer to
+    # chew through.  Checksum = exact order-insensitive hash-sum of the
+    # full verdict surface.
+    from blueprint_oss_spark.ops.curation import url_curation
+    n = n_docs or 2000000
+    did = F.col('id')
+    page = did % (n // 3)          # canonical identity: 3-doc groups
+    url = F.concat(
+        F.lit('https://'),
+        F.when(did % 3 == 0, F.lit('www.')).otherwise(F.lit('')),
+        F.lit('site'), (page % 9973).cast('string'), F.lit('.com'),
+        F.when(did % 23 == 0, F.lit(':443')).otherwise(F.lit('')),
+        F.lit('/w/p'), page.cast('string'),
+        F.when(did % 19 == 0, F.lit('/')).otherwise(F.lit('')),
+        F.when(did % 2 == 0,
+               F.concat(F.lit('?utm_source=u'), did.cast('string')))
+         .otherwise(F.lit('')),
+        F.when(did % 13 == 0, F.lit('#top')).otherwise(F.lit('')))
+    df = (spark.range(n)
+          .select(did.alias('doc_id'), url.alias('url'))
+          .repartition(n_parts).cache())
+    n_in = df.count()
+    def run_pass():
+        agg = url_curation(spark, '', docs=df, domain_cap=64).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'norm_url', 'url_rank',
+                             F.coalesce('domain_rank', F.lit(-1)),
+                             'kept').cast('decimal(38,0)')).alias('s')
+        ).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 else:
     if model == 'paystubs':
         from blueprint_oss_spark.bp_examples.paystub_fixtures import \
