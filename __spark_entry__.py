@@ -404,15 +404,24 @@ def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
   one driver row-set (gate-budget merge, same rationale as
   _doc_token_quality): every pii_scrub column plus each doc's eval-set
   membership and shared-gram count (0 for clean train docs AND for
-  eval docs, disambiguated by is_eval)."""
+  eval docs, disambiguated by is_eval), plus the Bloom-filter scale
+  path's flag count (n_bloom: the fixed-memory probe that replaces the
+  eval-gram broadcast at 10^8-gram benchmark scale; deterministic
+  md5-salted positions, so the oracle reproduces even its false
+  positives exactly — n_bloom >= n_shared always)."""
   from blueprint_oss_spark.ops import curation as C
   scrub = C.pii_scrub(spark, sf_dir)
   dec = C.decontaminate(spark, sf_dir)
+  bloom = C.bloom_decontaminate(spark, sf_dir) \
+      .withColumnRenamed('n_flagged', 'n_bloom')
   return (scrub.join(dec, 'doc_id', 'left')
+          .join(bloom, 'doc_id', 'left')
           .select('doc_id', 'n_emails', 'n_phones', 'n_ips', 'scrubbed',
                   (F.col('doc_id') % 4 == 0).cast('int').alias('is_eval'),
                   F.coalesce('n_shared', F.lit(0)).cast('long')
-                  .alias('n_shared'))
+                  .alias('n_shared'),
+                  F.coalesce('n_bloom', F.lit(0)).cast('long')
+                  .alias('n_bloom'))
           .orderBy('doc_id'))
 
 
@@ -707,11 +716,28 @@ def oracle_sql() -> dict[str, str]:
         tr AS (SELECT doc_id, gram FROM g8 WHERE doc_id % 4 <> 0),
         dec AS (
           SELECT tr.doc_id, count(*) AS n_shared
-          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+          FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id),
+        bpos AS (
+          SELECT doc_id, gram, j.j AS j,
+                 CAST(('0x' || substring(
+                     md5('bloom' || CAST(j.j AS VARCHAR) || ':' || gram),
+                     1, 8)) AS BIGINT) % 1048576 AS pos
+          FROM g8, (SELECT unnest(generate_series(0, 3)) AS j) j),
+        evpos AS (SELECT DISTINCT pos FROM bpos WHERE doc_id % 4 = 0),
+        bhit AS (
+          SELECT doc_id, gram
+          FROM (SELECT doc_id, gram, pos FROM bpos
+                WHERE doc_id % 4 <> 0) trb
+          JOIN evpos USING (pos)
+          GROUP BY doc_id, gram HAVING count(*) = 4),
+        bloom AS (
+          SELECT doc_id, count(*) AS n_bloom FROM bhit GROUP BY doc_id)
         SELECT pii.doc_id, n_emails, n_phones, n_ips, scrubbed,
                CAST(pii.doc_id % 4 = 0 AS INTEGER) AS is_eval,
-               CAST(coalesce(dec.n_shared, 0) AS BIGINT) AS n_shared
+               CAST(coalesce(dec.n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(coalesce(bloom.n_bloom, 0) AS BIGINT) AS n_bloom
         FROM pii LEFT JOIN dec USING (doc_id)
+                 LEFT JOIN bloom USING (doc_id)
         ORDER BY pii.doc_id
       """,
       # Exact substring dedup (Lee et al. 2022 ExactSubstr, n-gram

@@ -142,6 +142,113 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def _bloom_positions(gram_col, m_bits: int, k: int):
+  """The k Bloom bit positions of a gram, as an array<long>, computed
+  JVM-side with k independently-salted md5 hashes.  md5 is bit-identical
+  across Spark and DuckDB (the corpus_split_mix precedent), so a
+  from-scratch SQL oracle can recompute the exact same filter —
+  including its false positives."""
+  return F.array(*[
+      F.pmod(
+          F.conv(
+              F.substring(
+                  F.md5(F.concat(F.lit(f'bloom{j}:'), gram_col)), 1, 8),
+              16, 10).cast('long'),
+          F.lit(m_bits))
+      for j in range(k)])
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
+                        n: int = 8, eval_mod: int = 4,
+                        m_bits: int = 1 << 20, k: int = 4,
+                        eval_texts: DataFrame | None = None) -> DataFrame:
+  """Benchmark decontamination via a Bloom filter — the fixed-memory
+  scale path for when the eval side is too large to broadcast as a
+  string dimension (`decontaminate` ships every distinct eval n-gram to
+  every executor; real multi-benchmark suites reach 10^8 grams ≈ GBs).
+
+  Build: the eval set's distinct n-grams map to k md5-salted bit
+  positions; the DISTINCT positions are collected (bounded by m_bits —
+  at most m_bits rows regardless of corpus size, the same bounded-
+  collect contract as the IVF/PQ codebooks) and packed into an
+  m_bits/8-byte bitmap broadcast once per executor.
+
+  Probe: the 100 TB training side computes each doc's grams and their
+  positions per-row JVM-side (zero shuffles, no explode), then one
+  Arrow-batched vectorized pandas UDF tests the bitmap — a doc's gram
+  is flagged iff ALL k of its bits are set.  The probe stage is a pure
+  scan→project→filter plan: NO shuffle at all, vs `decontaminate`'s
+  broadcast-join + groupBy.  Returns (doc_id, n_flagged) for train
+  docs with at least one flagged gram.
+
+  Bloom semantics: no false negatives ever (every truly shared gram is
+  flagged), false positives at the standard (1 - e^{-kn/m})^k rate —
+  deterministic given (m_bits, k), so the DuckDB oracle reproduces
+  them exactly via position-set membership.
+  """
+  import numpy as np
+  import pandas as pd
+
+  d = _docs(spark, sf_dir).select(
+      'doc_id', _ngrams(F.col('text'), n).alias('grams'))
+  if eval_texts is not None:
+    eval_grams = (eval_texts
+                  .select(F.explode(_ngrams(F.col('text'), n))
+                          .alias('gram'))
+                  .distinct())
+    train = d
+  else:
+    is_eval = F.col('doc_id') % eval_mod == 0
+    eval_grams = (d.filter(is_eval)
+                  .select(F.explode('grams').alias('gram'))
+                  .distinct())
+    train = d.filter(~is_eval)
+
+  # bounded collect: DISTINCT bit positions, <= m_bits rows by pigeonhole
+  pos_rows = (eval_grams
+              .select(F.explode(_bloom_positions(F.col('gram'),
+                                                 m_bits, k))
+                      .alias('pos'))
+              .distinct().collect())
+  bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+  for r in pos_rows:
+    p = r['pos']
+    bitmap[p >> 3] |= 1 << (p & 7)
+  bc = spark.sparkContext.broadcast(bitmap)
+
+  def _probe_batches(batches):
+    # one Arrow stage computes n_flagged AND drops clean docs, so the
+    # (deterministic) UDF is never duplicated by filter pushdown
+    bm = bc.value
+    for pdf in batches:
+      pos_lists = pdf['flat_pos']
+      lens = pos_lists.map(len).to_numpy()
+      out = np.zeros(len(pos_lists), dtype=np.int64)
+      if lens.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in pos_lists if len(v)])
+        hits = (bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+        # grams are contiguous groups of k positions: all-k-set -> flag
+        per_gram = hits.reshape(-1, k).all(axis=1).astype(np.int64)
+        gram_counts = lens // k
+        starts = np.cumsum(gram_counts) - gram_counts
+        nz = gram_counts > 0
+        if nz.any():
+          # strictly increasing starts (each nz group has >=1 gram),
+          # so reduceat's equal-index quirk never triggers
+          out[nz] = np.add.reduceat(per_gram, starts[nz])
+      keep = out > 0
+      yield pd.DataFrame({'doc_id': pdf['doc_id'][keep],
+                          'n_flagged': out[keep]})
+
+  flat_pos = F.flatten(F.transform(
+      'grams', lambda g: _bloom_positions(g, m_bits, k)))
+  return (train
+          .select('doc_id', flat_pos.alias('flat_pos'))
+          .mapInPandas(_probe_batches, 'doc_id long, n_flagged long')
+          .orderBy('doc_id'))
+
+
 def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
   """The web-scale training-data path END TO END as one declarative
   plan: interleaved HTML+PDF+media spans → main-content extraction
