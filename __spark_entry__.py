@@ -317,14 +317,26 @@ def _doc_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
   row-set — every column of every operator is still value-checked
   against the oracle.  repetition_stats' n_chars duplicates
   doc_quality's (both length(text)) and is dropped; its keep verdict
-  rides as rep_keep."""
+  rides as rep_keep.  The in-job-trained NB quality classifier
+  (weak-label = the same keep verdict, md5-hashed buckets, pinned-fold
+  mean posterior) rides as n_scored/nb_posterior/nb_pred."""
+  from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import textops as T
   rep = (T.repetition_stats(spark, sf_dir)
          .withColumnRenamed('keep', 'rep_keep').drop('n_chars'))
+  qc = (C.quality_classifier(spark, sf_dir)
+        .withColumnRenamed('pred', 'nb_pred'))
   return (T.doc_token_stats(spark, sf_dir)
           .join(T.doc_quality(spark, sf_dir), 'doc_id')
           .join(T.quality_filter(spark, sf_dir), 'doc_id')
           .join(rep, 'doc_id')
+          .join(qc, 'doc_id', 'left')
+          .withColumn('n_scored',
+                      F.coalesce('n_scored', F.lit(0)).cast('long'))
+          .withColumn('nb_posterior',
+                      F.coalesce('nb_posterior', F.lit(-1.0)))
+          .withColumn('nb_pred',
+                      F.coalesce('nb_pred', F.lit(-1)).cast('int'))
           .orderBy('doc_id'))
 
 
@@ -1186,7 +1198,34 @@ def oracle_sql() -> dict[str, str]:
         fdup AS (
           SELECT doc_id,
                  CAST(SUM(cnt * length(g)) AS BIGINT) AS dup5_chars
-          FROM fc WHERE cnt >= 2 GROUP BY doc_id)
+          FROM fc WHERE cnt >= 2 GROUP BY doc_id),
+        qctok AS (
+          SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+                 CAST(('0x' || substring(md5('qc:' || toks[i.i]), 1, 8))
+                      AS BIGINT) % 4096 AS bkt
+          FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(toks)),
+        qccnt AS (
+          SELECT bkt,
+                 count(*) FILTER (qf.keep = 1) AS c1,
+                 count(*) FILTER (qf.keep = 0) AS c0
+          FROM qctok JOIN qf USING (doc_id) GROUP BY bkt),
+        qctot AS (
+          SELECT coalesce(sum(c0), 0) AS t0,
+                 coalesce(sum(c1), 0) AS t1 FROM qccnt),
+        qcpost AS (
+          SELECT doc_id, pos,
+                 ((coalesce(qccnt.c1, 0) + 1) / (qctot.t1 + 4096)) /
+                 (((coalesce(qccnt.c1, 0) + 1) / (qctot.t1 + 4096))
+                  + ((coalesce(qccnt.c0, 0) + 1) / (qctot.t0 + 4096)))
+                   AS q
+          FROM qctok LEFT JOIN qccnt USING (bkt) CROSS JOIN qctot),
+        qcagg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                          list(q ORDER BY pos)),
+                             (acc, x) -> acc + x) AS q_sum
+          FROM qcpost GROUP BY doc_id)
         SELECT ts.doc_id, ts.n_tokens, ts.n_uniq_tokens,
                ts.n_bpe_tokens, ts.len_chars,
                dq.n_chars, dq.n_alpha, dq.n_digit, dq.n_punct,
@@ -1207,13 +1246,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(5 * COALESCE(btop.top2_chars, 0) <= w.n_chars
                     AND 20 * COALESCE(fdup.dup5_chars, 0)
                         <= 3 * w.n_chars
-                    AS INT) AS rep_keep
+                    AS INT) AS rep_keep,
+               CAST(COALESCE(qcagg.n_scored, 0) AS BIGINT) AS n_scored,
+               COALESCE(round(qcagg.q_sum / qcagg.n_scored, 6), -1.0)
+                 AS nb_posterior,
+               CAST(COALESCE(
+                 CAST(qcagg.q_sum * 2 > qcagg.n_scored AS INT), -1)
+                 AS INT) AS nb_pred
         FROM ts
         JOIN dq ON ts.doc_id = dq.doc_id
         JOIN qf ON ts.doc_id = qf.doc_id
         JOIN w ON ts.doc_id = w.doc_id
         LEFT JOIN btop ON ts.doc_id = btop.doc_id
         LEFT JOIN fdup ON ts.doc_id = fdup.doc_id
+        LEFT JOIN qcagg ON ts.doc_id = qcagg.doc_id
         ORDER BY ts.doc_id
       """,
       # split/shard/order assignment + exact greedy token-budget

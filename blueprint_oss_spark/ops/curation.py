@@ -249,6 +249,105 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def quality_classifier(spark: SparkSession, sf_dir: str, *,
+                       n_buckets: int = 4096,
+                       docs: DataFrame | None = None,
+                       labels: DataFrame | None = None) -> DataFrame:
+  """fastText-style hashed bag-of-words quality classifier, trained
+  in-job and applied corpus-wide — the GPT-3/CCNet/FineWeb pattern
+  where a cheap linear model learned from weak labels replaces the
+  heuristics at scale.
+
+  Training: per-(hashed-bucket, label) token counts — ONE map-side-
+  combinable groupBy whose output is BOUNDED by 2·n_buckets rows, so
+  the learned model is a broadcastable dimension no matter the corpus
+  size.  Labels default to the Gopher `quality_filter` keep flag (weak
+  supervision); pass `labels` (doc_id, label) to train on a curated
+  seed set (the production shape).
+
+  Scoring (deliberately transcendental-free, the lm_score precedent):
+  token i in bucket b scores the equal-prior Naive-Bayes posterior
+    q_i = p1 / (p1 + p0),   p_c = (c(b,c) + 1) / (T_c + n_buckets)
+  with add-one smoothing; nb_posterior = round(mean_i q_i, 6) via a
+  pinned-order left fold over the pos-sorted array, so a from-scratch
+  DuckDB oracle reproduces every value bit-for-bit (each q_i ∈ (0,1):
+  no overflow at any document length, unlike a likelihood-ratio
+  product).  pred = 1 iff the mean posterior exceeds 1/2.
+
+  Scale shape: bucket hashing is md5 JVM-side (cross-engine exact);
+  the default weak label is computed INLINE on the same scan (the
+  Gopher keep flag is a pure column expression — no label self-join);
+  training is ONE map-side-combinable groupBy pass whose bounded
+  (≤ n_buckets rows) result is collected once and re-broadcast as a
+  literal local relation (the IVF/PQ codebook precedent — scoring
+  never re-executes the training subplan); scoring explodes tokens
+  once, broadcast-joins the model, and re-aggregates per doc.  Two
+  substantive shuffles total, zero Python.  Docs with no tokens
+  produce no row."""
+  from .textops import quality_keep_expr
+
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+
+  def _toks(c):
+    return F.filter(F.split(c, ' '), lambda x: F.length(x) > 0)
+
+  bkt = lambda w: F.pmod(
+      F.conv(F.substring(F.md5(F.concat(F.lit('qc:'), w)), 1, 8),
+             16, 10).cast('long'),
+      F.lit(n_buckets))
+
+  tok = (d.select('doc_id', F.posexplode(_toks(F.col('text')))
+                  .alias('pos', 'w'))
+         .select('doc_id', 'pos', bkt(F.col('w')).alias('bkt')))
+
+  if labels is not None:
+    train = tok.join(labels.select('doc_id', 'label'), 'doc_id')
+  else:
+    # weak label inline on the scan: no join anywhere in training
+    train = (d.select(quality_keep_expr(F.col('text')).alias('label'),
+                      F.explode(F.transform(
+                          _toks(F.col('text')),
+                          lambda w: bkt(w))).alias('bkt')))
+  # ONE conditional-count aggregation = ONE training pass over the
+  # corpus.  The learned model is bounded by n_buckets rows whatever
+  # the corpus size, so it is collected (the IVF/PQ codebook
+  # precedent) and re-broadcast as a literal local relation — scoring
+  # never re-executes the training subplan, and the totals become
+  # plain literals instead of a second aggregation branch.
+  model_rows = (train.groupBy('bkt')
+                .agg(F.count(F.when(F.col('label') == 1, 1)).alias('c1'),
+                     F.count(F.when(F.col('label') == 0, 1)).alias('c0'))
+                .collect())
+  t1 = sum(r['c1'] for r in model_rows)
+  t0 = sum(r['c0'] for r in model_rows)
+  cnt = spark.createDataFrame(
+      [(r['bkt'], r['c1'], r['c0']) for r in model_rows] or
+      [(None, None, None)],
+      'bkt long, c1 long, c0 long').where(F.col('bkt').isNotNull())
+
+  B = F.lit(n_buckets)
+  scored = (tok
+            .join(F.broadcast(cnt), 'bkt', 'left')
+            .withColumn('t1', F.lit(t1))
+            .withColumn('t0', F.lit(t0)))
+  p1 = (F.coalesce('c1', F.lit(0)) + 1) / (F.col('t1') + B)
+  p0 = (F.coalesce('c0', F.lit(0)) + 1) / (F.col('t0') + B)
+  q = (scored.select('doc_id', 'pos', (p1 / (p1 + p0)).alias('q'))
+       .groupBy('doc_id')
+       .agg(F.count(F.lit(1)).alias('n_scored'),
+            F.aggregate(F.array_sort(
+                F.collect_list(F.struct('pos', 'q'))),
+                F.lit(0.0), lambda acc, s: acc + s['q'])
+            .alias('q_sum')))
+  return (q.select(
+      'doc_id', 'n_scored',
+      F.round(F.col('q_sum') / F.col('n_scored'), 6)
+      .alias('nb_posterior'),
+      (F.col('q_sum') * 2 > F.col('n_scored')).cast('int').alias('pred'))
+      .orderBy('doc_id'))
+
+
 def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
   """The web-scale training-data path END TO END as one declarative
   plan: interleaved HTML+PDF+media spans → main-content extraction

@@ -257,6 +257,29 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_a', 'doc_b'))
 
 
+def quality_keep_expr(text_col, *,
+                      min_tokens: int = 5, max_tokens: int = 100_000,
+                      min_mean_wordlen: int = 2,
+                      max_mean_wordlen: int = 12):
+  """The Gopher keep flag as a single reusable Column expression (int
+  0/1) over a text column — the same exact-integer verdicts as
+  `quality_filter`, inlineable on any scan so downstream consumers
+  (e.g. quality_classifier's weak labels) never pay a label join."""
+  toks = F.filter(F.split(text_col, ' '), lambda x: F.length(x) > 0)
+  n = F.size(toks)
+  sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+  n_chars = F.length(text_col)
+  n_alpha = F.length(F.regexp_replace(text_col, '[^a-zA-Z]', ''))
+  n_stop = F.size(F.filter(toks, lambda x: F.array_contains(
+      F.array(*[F.lit(s) for s in STOPWORDS_EN]), x)))
+  ok = ((n >= min_tokens) & (n <= max_tokens)
+        & (sum_len >= min_mean_wordlen * n)
+        & (sum_len <= max_mean_wordlen * n)
+        & (n_stop >= 1)
+        & (2 * n_alpha >= n_chars))
+  return ok.cast('int')
+
+
 def quality_filter(spark: SparkSession, sf_dir: str, *,
                    min_tokens: int = 5, max_tokens: int = 100_000,
                    min_mean_wordlen: int = 2,
