@@ -246,7 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # train/valid/test split + shard + training order + exact greedy
       # token-budget mixture sampling (bucket-accelerated prefix;
       # window only over each source's crossing bucket)
-      'corpus_split_mix': lambda s, d: C.corpus_split_mix(s, d),
+      'corpus_split_mix': _corpus_split_temperature_mix,
       'doc_fingerprint_lang': _doc_fingerprint_lang,
       'dsir_select':
           lambda s, d: C.dsir_importance_select(s, d),
@@ -409,6 +409,25 @@ def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.lit(None).cast('long').alias('simhash'),
       'doc_b', 'hamming')
   return sig.unionByName(pairs).orderBy('section', 'doc_id', 'doc_b')
+
+
+def _corpus_split_temperature_mix(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+  """corpus_split_mix (stable split/shard/order + fixed per-source
+  token-budget prefix) JOINED with temperature_mix (T5 §3.5.3
+  examples-proportional budgets: limit K=2000, T=2, budget 3000) on
+  doc_id — one driver row-set, every column of both allocators
+  value-checked (gate-budget merge).  tm_keep and mix_keep share the
+  same stable order_key prefix semantics but differ per source, so
+  both greedy paths are independently exercised."""
+  from blueprint_oss_spark.ops import curation as C
+  csm = C.corpus_split_mix(spark, sf_dir)
+  tm = (C.temperature_mix(spark, sf_dir)
+        .select('doc_id',
+                F.col('src_tokens').alias('tm_src_tokens'),
+                F.col('src_budget').alias('tm_budget'),
+                F.col('mix_keep').alias('tm_keep')))
+  return csm.join(tm, 'doc_id').orderBy('doc_id')
 
 
 def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,15 +1306,34 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY source ORDER BY order_key, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) AS prec
-          FROM t)
-        SELECT doc_id, source, n_tokens,
+          FROM t),
+        -- T5-style temperature mixture (limit K=2000, T=2 via sqrt,
+        -- budget 3000): per-source weights and budgets recomputed
+        -- from scratch, pinned-order weight-sum fold
+        tmtot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s
+                  FROM t GROUP BY source),
+        tmr AS (SELECT source, n_s,
+                       sqrt(CAST(least(n_s, 2000) AS DOUBLE)) AS w
+                FROM tmtot),
+        tms AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(w ORDER BY source)),
+                                   (a, b) -> a + b) AS wsum FROM tmr),
+        tmb AS (SELECT source, n_s AS tm_src_tokens,
+                       CAST(floor(3000 * (w / tms.wsum)) AS BIGINT)
+                         AS tm_budget
+                FROM tmr, tms)
+        SELECT doc_id, o.source, n_tokens,
                CASE WHEN split_h % 100 < 90 THEN 'train'
                     WHEN split_h % 100 < 95 THEN 'valid'
                     ELSE 'test' END AS split,
                CAST(shard_h % 8 AS INT) AS shard,
                order_key,
-               CAST(prec < 800 AS INT) AS mix_keep
-        FROM o ORDER BY doc_id
+               CAST(prec < 800 AS INT) AS mix_keep,
+               tmb.tm_src_tokens,
+               tmb.tm_budget,
+               CAST(prec < tmb.tm_budget AS INT) AS tm_keep
+        FROM o JOIN tmb ON o.source = tmb.source
+        ORDER BY doc_id
       """,
       # Joined composite: fingerprints + language-ID + exact-dedup
       # (content_hash ≡ fp_full), one subquery per operator

@@ -391,6 +391,58 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('doc_id'))
 
 
+def _bucketed_greedy_prefix(spark: SparkSession, base: DataFrame,
+                            budget_fn) -> DataFrame:
+  """Shared bucket-accelerated greedy token-budget prefix: given `base`
+  with (doc_id, source, n_tokens, order_key, bucket) and a
+  `budget_fn(totals_by_source) -> budget_by_source`, mark mix_keep=1
+  for each source's (order_key, doc_id)-ordered prefix whose preceding
+  cumulative token count is < its budget (the crossing doc included).
+
+  ONE bounded collect (sources × 256 hash-range token sums — the
+  codebook precedent) serves BOTH the per-source totals handed to
+  budget_fn AND the crossing-bucket search, so only the ~1/256 of rows
+  in each source's crossing bucket pay a window; everything else is a
+  broadcast-joined map pass.  At 10^12 docs the naive per-source
+  running-sum window IS the bottleneck this sidesteps."""
+  per_bucket = (base.groupBy('source', 'bucket')
+                .agg(F.sum('n_tokens').alias('btoks')).collect())
+  by_src: dict = {}
+  for r in per_bucket:
+    by_src.setdefault(r['source'], {})[r['bucket']] = r['btoks']
+  totals = {s: sum(bm.values()) for s, bm in by_src.items()}
+  budgets = budget_fn(totals)
+  lim_rows = []
+  for src, bm in by_src.items():
+    budget = budgets[src]
+    cum, cb, rem = 0, 256, 0  # sentinel cb: nothing crosses → keep all
+    for b in sorted(bm):
+      if cum + bm[b] >= budget:
+        cb, rem = b, budget - cum
+        break
+      cum += bm[b]
+    lim_rows.append((src, cb, rem))
+  lim = spark.createDataFrame(
+      lim_rows, 'source string, cb int, rem long')
+
+  from pyspark.sql import Window
+  j = base.join(F.broadcast(lim), 'source')
+  before = j.where(F.col('bucket') < F.col('cb')) \
+      .withColumn('mix_keep', F.lit(1))
+  after = j.where(F.col('bucket') > F.col('cb')) \
+      .withColumn('mix_keep', F.lit(0))
+  w = (Window.partitionBy('source').orderBy('order_key', 'doc_id')
+       .rowsBetween(Window.unboundedPreceding, -1))
+  crossing = (j.where(F.col('bucket') == F.col('cb'))
+              .withColumn('prec',
+                          F.coalesce(F.sum('n_tokens').over(w),
+                                     F.lit(0)))
+              .withColumn('mix_keep',
+                          (F.col('prec') < F.col('rem')).cast('int'))
+              .drop('prec'))
+  return before.unionByName(crossing).unionByName(after)
+
+
 def corpus_split_mix(spark: SparkSession, sf_dir: str, *,
                      train_pct: int = 90, valid_pct: int = 5,
                      n_shards: int = 8,
@@ -439,41 +491,8 @@ def corpus_split_mix(spark: SparkSession, sf_dir: str, *,
       h('split').alias('split_h'), h('shard').alias('shard_h'),
       h('order').alias('order_key'))
   base = base.withColumn('bucket', F.shiftright('order_key', 24))
-
-  # bounded collect: mixture components × 256 hash-range token sums
-  per_bucket = (base.groupBy('source', 'bucket')
-                .agg(F.sum('n_tokens').alias('btoks')).collect())
-  by_src: dict = {}
-  for r in per_bucket:
-    by_src.setdefault(r['source'], {})[r['bucket']] = r['btoks']
-  lim_rows = []
-  for src, bm in by_src.items():
-    cum, cb, rem = 0, 256, 0  # sentinel cb: nothing crosses → keep all
-    for b in sorted(bm):
-      if cum + bm[b] >= per_source_tokens:
-        cb, rem = b, per_source_tokens - cum
-        break
-      cum += bm[b]
-    lim_rows.append((src, cb, rem))
-  lim = spark.createDataFrame(
-      lim_rows, 'source string, cb int, rem long')
-
-  from pyspark.sql import Window
-  j = base.join(F.broadcast(lim), 'source')
-  before = j.where(F.col('bucket') < F.col('cb')) \
-      .withColumn('mix_keep', F.lit(1))
-  after = j.where(F.col('bucket') > F.col('cb')) \
-      .withColumn('mix_keep', F.lit(0))
-  w = (Window.partitionBy('source').orderBy('order_key', 'doc_id')
-       .rowsBetween(Window.unboundedPreceding, -1))
-  crossing = (j.where(F.col('bucket') == F.col('cb'))
-              .withColumn('prec',
-                          F.coalesce(F.sum('n_tokens').over(w),
-                                     F.lit(0)))
-              .withColumn('mix_keep',
-                          (F.col('prec') < F.col('rem')).cast('int'))
-              .drop('prec'))
-  assigned = before.unionByName(crossing).unionByName(after)
+  assigned = _bucketed_greedy_prefix(
+      spark, base, lambda totals: {s: per_source_tokens for s in totals})
 
   split = (F.when(F.pmod('split_h', F.lit(100)) < train_pct, 'train')
            .when(F.pmod('split_h', F.lit(100)) < train_pct + valid_pct,
@@ -485,6 +504,86 @@ def corpus_split_mix(spark: SparkSession, sf_dir: str, *,
       F.pmod('shard_h', F.lit(n_shards)).cast('int').alias('shard'),
       'order_key', 'mix_keep')
       .orderBy('doc_id'))
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str, *,
+                    temperature: int = 2,
+                    cap_tokens: int = 2000,
+                    total_budget_tokens: int = 3000,
+                    docs: DataFrame | None = None) -> DataFrame:
+  """T5-style examples-proportional mixture with limit + temperature
+  (Raffel et al. 2020 §3.5.3): each source s with n_s corpus tokens
+  gets sampling weight w_s = min(n_s, K)^(1/T); its token budget is
+  floor(B · w_s / Σw) and the budget is spent on the source's stable
+  (order_key, doc_id)-ordered greedy prefix — the standard "don't let
+  one giant web crawl drown the small high-quality sources" allocation
+  every multi-source pretraining run makes.
+
+  Deliberately transcendental-free: T is restricted to {1, 2, 4} so
+  the temperature power is a sqrt chain (IEEE sqrt is correctly
+  rounded — bit-identical in Python, Spark and DuckDB, unlike pow/exp
+  which differ in final ulps), and Σw is a pinned-order left fold over
+  sources sorted lexicographically.  Budgets are therefore exactly
+  reproducible by a from-scratch SQL oracle.
+
+  Scale shape: per-source totals ride the SAME bounded
+  (sources × 256) collect as the crossing-bucket search —
+  `_bucketed_greedy_prefix` — so the whole allocation adds NO pass
+  over the corpus beyond corpus_split_mix's: one map-side agg into a
+  bounded collect, one broadcast join, and a window over only the
+  ~1/256 crossing slice of each source."""
+  import math
+
+  if temperature not in (1, 2, 4):
+    raise ValueError('temperature must be 1, 2 or 4 (sqrt-chain '
+                     f'powers keep the oracle bit-exact); got '
+                     f'{temperature}')
+
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'source', 'text')
+
+  def h(salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ':'),
+                           F.col('doc_id').cast('string'))), 1, 8),
+        16, 10).cast('long')
+
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = (d.select('doc_id', 'source',
+                   F.size(toks).cast('long').alias('n_tokens'),
+                   h('order').alias('order_key'))
+          .withColumn('bucket', F.shiftright('order_key', 24)))
+
+  budget_holder: dict = {}
+
+  def _budgets(totals: dict) -> dict:
+    def w(n: int) -> float:
+      r = float(min(n, cap_tokens))
+      if temperature >= 2:
+        r = math.sqrt(r)
+      if temperature == 4:
+        r = math.sqrt(r)
+      return r
+    wsum = 0.0
+    for s in sorted(totals):  # pinned-order fold
+      wsum = wsum + w(totals[s])
+    out = {}
+    for s, n in totals.items():
+      out[s] = (int(math.floor(total_budget_tokens * (w(n) / wsum)))
+                if wsum > 0 else 0)
+    budget_holder.update({s: (totals[s], out[s]) for s in totals})
+    return out
+
+  assigned = _bucketed_greedy_prefix(spark, base, _budgets)
+  src_dim = spark.createDataFrame(
+      [(s, t, b) for s, (t, b) in sorted(budget_holder.items())],
+      'source string, src_tokens long, src_budget long')
+  return (assigned
+          .join(F.broadcast(src_dim), 'source')
+          .select('doc_id', 'source', 'n_tokens', 'src_tokens',
+                  'src_budget', 'mix_keep')
+          .orderBy('doc_id'))
 
 
 def dsir_importance_select(spark: SparkSession, sf_dir: str, *,
