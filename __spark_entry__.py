@@ -1929,9 +1929,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, group_id,
                  COUNT(*) OVER (PARTITION BY group_id) AS group_size
           FROM comp
+        ), bn AS (
+          SELECT c.doc_id, c.group_id,
+                 CAST(len(list_filter(string_split(k.text, ' '),
+                          x -> len(x) > 0)) AS BIGINT) AS n_toks
+          FROM comp c JOIN kept k ON c.doc_id = k.doc_id
+        ), best AS (
+          SELECT group_id, doc_id AS best_id,
+                 n_toks AS best_n_tokens
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY group_id
+                  ORDER BY n_toks DESC, doc_id) AS rn FROM bn)
+          WHERE rn = 1
         )
-        SELECT s.doc_id, k.lang, s.group_id, s.group_size
+        SELECT s.doc_id, k.lang, s.group_id, s.group_size,
+               b.best_id, b.best_n_tokens
         FROM sized s JOIN kept k ON s.doc_id = k.doc_id
+        JOIN best b ON s.group_id = b.group_id
         WHERE s.doc_id = s.group_id
           AND md5(CAST(s.doc_id AS VARCHAR)) <
               CASE k.lang

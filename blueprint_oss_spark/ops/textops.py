@@ -614,7 +614,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
   profiling's threshold table), and the DuckDB oracle recomputes the
   WHOLE chain from scratch — quality CTE feeding the shingle CTE
   feeding the recursive-reachability CTE feeding the sample filter —
-  so the composition itself is verified, not just the pieces."""
+  so the composition itself is verified, not just the pieces.
+
+  Each group row also reports the KEEP-BEST representative (best_id =
+  the member with the most tokens, ties to the smaller doc_id) — the
+  Dolma/RefinedWeb convention of keeping the longest near-duplicate
+  instead of an arbitrary id-min one.  Computed as a map-side-
+  combinable min(struct(-n_tokens, doc_id)) group aggregate, NOT a
+  per-group window, so it adds one combinable shuffle at 100 TB."""
   from blueprint_oss_spark.ops.profiling import (
       DEFAULT_THRESHOLD, STRATA_THRESHOLDS,
   )
@@ -624,13 +631,26 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
   kept = d.join(q, 'doc_id')
   groups = dedup_groups(spark, sf_dir, docs=kept)
   keepers = groups.where(F.col('doc_id') == F.col('group_id'))
+
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  members_n = groups.join(
+      kept.select('doc_id', F.size(toks).cast('long').alias('n_toks')),
+      'doc_id')
+  best = (members_n.groupBy('group_id')
+          .agg(F.min(F.struct((-F.col('n_toks')).alias('neg'),
+                              F.col('doc_id').alias('d'))).alias('b'))
+          .select('group_id', F.col('b.d').alias('best_id'),
+                  (-F.col('b.neg')).cast('long').alias('best_n_tokens')))
+
   thr = F.lit(DEFAULT_THRESHOLD)
   for lang, t in reversed(STRATA_THRESHOLDS):
     thr = F.when(F.col('lang') == lang, F.lit(t)).otherwise(thr)
   return (keepers
           .join(kept.select('doc_id', 'lang'), 'doc_id')
+          .join(best, 'group_id')
           .where(F.md5(F.col('doc_id').cast('string')) < thr)
-          .select('doc_id', 'lang', 'group_id', 'group_size')
+          .select('doc_id', 'lang', 'group_id', 'group_size',
+                  'best_id', 'best_n_tokens')
           .orderBy('doc_id'))
 
 

@@ -174,3 +174,41 @@ def test_curation_pipeline_filtered_doc_cannot_bridge(spark, tmp_path):
   for did in (6, 9, 11):
     assert out[did]['group_id'] == did
     assert out[did]['group_size'] == 1
+
+
+def test_curation_pipeline_keep_best_longest(spark, tmp_path):
+  """Keep-best representative (Dolma/RefinedWeb keep-the-longest):
+  within a near-dup group the keeper row is still the id-min member,
+  but best_id must point at the member with the MOST tokens (ties to
+  the smaller doc_id).  Planted: X (id 17) = 20-word core, Y (id 19) =
+  core + 4 extra words → 3-shingle Jaccard 18/22 ≈ 0.818 ≥ 0.8, one
+  group, keeper 17, best 19 (all ids chosen to pass the md5 'en'
+  sample threshold)."""
+  from blueprint_oss_spark.ops.textops import curation_pipeline
+
+  core = ('the alpha bravo charlie delta echo foxtrot golf hotel '
+          'india juliet kilo lima mike november oscar papa quebec '
+          'romeo sierra').split()
+  assert len(core) == 20
+  x_words = core
+  y_words = core + ['verdant', 'meadow', 'beyond', 'ridge']
+
+  rows = [
+      (17, ' '.join(x_words), 'en', 'synthetic', 0),
+      (19, ' '.join(y_words), 'en', 'synthetic', 0),
+      (30, 'the quick brown ferret jumps over seven lazy hounds now',
+       'en', 'synthetic', 0),
+  ]
+  df = spark.createDataFrame(
+      rows, 'doc_id long, text string, lang string, source string, '
+            'n_chars long')
+  df.write.parquet(str(tmp_path / 'documents.parquet'))
+
+  out = {r['doc_id']: r for r in
+         curation_pipeline(spark, str(tmp_path)).collect()}
+  assert set(out) == {17, 30}, sorted(out)
+  assert out[17]['group_size'] == 2
+  assert out[17]['best_id'] == 19          # longest member, not id-min
+  assert out[17]['best_n_tokens'] == 24
+  assert out[30]['best_id'] == 30          # singleton: itself
+  assert out[30]['best_n_tokens'] == 10
