@@ -192,6 +192,14 @@ def main() -> None:
       # URL curation: codegen synthesis+normalization, broadcast
       # blocklist, two window shuffles
       ('url_curation', lambda: C.url_curation(spark, sf_dir).count()),
+      # in-job NB quality classifier: one bounded-model training pass
+      # (collected + re-broadcast literal) + one scoring shuffle
+      ('quality_classifier',
+       lambda: C.quality_classifier(spark, sf_dir).count()),
+      # Bloom decontamination: bounded eval-bitmap build + map-only
+      # Arrow probe (no joins/shuffles on the train side)
+      ('bloom_decontaminate',
+       lambda: C.bloom_decontaminate(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

@@ -304,11 +304,20 @@ def quality_classifier(spark: SparkSession, sf_dir: str, *,
   if labels is not None:
     train = tok.join(labels.select('doc_id', 'label'), 'doc_id')
   else:
-    # weak label inline on the scan: no join anywhere in training
-    train = (d.select(quality_keep_expr(F.col('text')).alias('label'),
-                      F.explode(F.transform(
-                          _toks(F.col('text')),
-                          lambda w: bkt(w))).alias('bkt')))
+    # weak label inline on the scan: no join anywhere in training.
+    # The label VALUE is replicated into the exploded rows with
+    # array_repeat + arrays_zip — putting the label expression in the
+    # same select as the explode looks equivalent but Catalyst
+    # collapses it ABOVE the Generate and re-evaluates the whole
+    # stopword filter per token row (O(tokens²·|stopwords|) per doc,
+    # measured 3× slower at sf0.1)
+    lab = quality_keep_expr(F.col('text'))
+    ts = _toks(F.col('text'))
+    train = (d.select(F.explode(F.arrays_zip(
+                 F.transform(ts, lambda w: bkt(w)).alias('bkt'),
+                 F.array_repeat(lab, F.size(ts)).alias('label')))
+                 .alias('z'))
+             .select('z.bkt', 'z.label'))
   # ONE conditional-count aggregation = ONE training pass over the
   # corpus.  The learned model is bounded by n_buckets rows whatever
   # the corpus size, so it is collected (the IVF/PQ codebook

@@ -223,6 +223,145 @@ def assemble_multipart_stream(parts_stream: DataFrame, *,
               timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+# State for the transformWithState twin: the applyInPandasWithState
+# fields plus the currently-registered timer timestamp, so stale timers
+# (one may be registered per batch) can be exact-match ignored.
+_TWS_STATE_SCHEMA = StructType(
+    _ASSEMBLY_STATE_SCHEMA.fields
+    + [StructField('timer_ms', LongType())])
+
+
+class _AssemblyProcessor:
+  """StatefulProcessor for assemble_multipart_stream_tws — the Spark 4
+  transformWithStateInPandas twin of _assemble_doc, with identical
+  emission semantics (exactly-once per doc: assembled+complete when all
+  parts arrive, partial when the event-time timer fires first).
+
+  Declared as a plain class and mixed with StatefulProcessor at call
+  time purely so this module stays importable if a future PySpark
+  moves the ABC; the methods implement the documented protocol."""
+
+  def __init__(self, timeout_ms: int = 3_600_000):
+    self._timeout_ms = timeout_ms
+
+  def init(self, handle) -> None:
+    self._handle = handle
+    self._frag = handle.getValueState('frag', _TWS_STATE_SCHEMA)
+
+  def _load(self):
+    if self._frag.exists():
+      (n_parts, last_ev_ms, part_nos, kinds, texts, media_refs,
+       offsets, span_part, timer_ms) = self._frag.get()
+      return (int(n_parts), int(last_ev_ms), list(part_nos),
+              list(kinds), list(texts), list(media_refs),
+              list(offsets), list(span_part),
+              int(timer_ms))
+    return 0, 0, [], [], [], [], [], [], 0
+
+  @staticmethod
+  def _emit(doc_id, part_nos, kinds, texts, media_refs, offsets,
+            n_parts, complete):
+    spans = sorted(zip(kinds, texts, media_refs, offsets),
+                   key=lambda s: s[3])
+    return pd.DataFrame({
+        'doc_id': [doc_id],
+        'spans': [[{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+                   for (k, t, m, o) in spans]],
+        'n_parts_seen': [len(set(part_nos))],
+        'n_parts_expected': [n_parts],
+        'complete': [complete],
+    })
+
+  def handleInputRows(self, key, rows, timerValues):
+    doc_id = key[0]
+    (n_parts, last_ev_ms, part_nos, kinds, texts, media_refs, offsets,
+     span_part, timer_ms) = self._load()
+
+    for pdf in rows:
+      for _, row in pdf.iterrows():
+        p = int(row['part_no'])
+        ts = row['ts']
+        if ts is not None and not pd.isna(ts):
+          last_ev_ms = max(last_ev_ms, int(ts.timestamp() * 1000))
+        if p in part_nos:
+          continue  # duplicate delivery — idempotent
+        part_nos.append(p)
+        n_parts = max(n_parts, int(row['n_parts']))
+        for s in row['spans']:
+          kinds.append(s['kind'])
+          texts.append(s['text'])
+          media_refs.append(s['media_ref'])
+          offsets.append(int(s['offset']))
+          span_part.append(p)
+
+    if n_parts and len(set(part_nos)) >= n_parts:
+      self._frag.clear()
+      if timer_ms:
+        self._handle.deleteTimer(timer_ms)
+      yield self._emit(doc_id, part_nos, kinds, texts, media_refs,
+                       offsets, n_parts, True)
+      return
+
+    # same timeout anchor as the applyInPandasWithState twin: newest
+    # part event time + timeout, clamped past the current watermark
+    new_timer = max(last_ev_ms + self._timeout_ms,
+                    timerValues.getCurrentWatermarkInMs() + 1)
+    if timer_ms and timer_ms != new_timer:
+      self._handle.deleteTimer(timer_ms)
+    self._handle.registerTimer(new_timer)
+    self._frag.update((n_parts, last_ev_ms, part_nos, kinds, texts,
+                       media_refs, offsets, span_part, new_timer))
+
+  def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+    if not self._frag.exists():
+      return  # doc already emitted; stale timer
+    (n_parts, last_ev_ms, part_nos, kinds, texts, media_refs, offsets,
+     span_part, timer_ms) = self._load()
+    if expiredTimerInfo.getExpiryTimeInMs() != timer_ms:
+      return  # superseded by a newer registration
+    self._frag.clear()
+    yield self._emit(key[0], part_nos, kinds, texts, media_refs,
+                     offsets, n_parts, False)
+
+  def handleInitialState(self, key, initialState, timerValues) -> None:
+    raise NotImplementedError('no initial state for assembly')
+
+  def close(self) -> None:
+    pass
+
+
+def assemble_multipart_stream_tws(parts_stream: DataFrame, *,
+                                  timeout_ms: int = 3_600_000,
+                                  watermark_delay: str = '10 minutes') \
+    -> DataFrame:
+  """assemble_multipart_stream re-expressed on Spark 4's
+  transformWithStateInPandas (the successor API to
+  applyInPandasWithState): ValueState holds the span fragments, an
+  event-time TIMER (not a GroupState timeout) surfaces partial
+  documents, and stale timers are exact-match ignored via the stored
+  registration timestamp.  Emission semantics are identical to the
+  applyInPandasWithState twin — the parity test drives both over the
+  same part stream and asserts equal output.
+
+  Requires the RocksDB state store
+  (spark.sql.streaming.stateStore.providerClass =
+  org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider),
+  which transformWithState mandates; set it on the session before
+  starting the query."""
+  from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+  proc_cls = type('AssemblyProcessor',
+                  (_AssemblyProcessor, StatefulProcessor), {})
+  return (parts_stream
+          .withWatermark('ts', watermark_delay)
+          .groupBy('doc_id')
+          .transformWithStateInPandas(
+              statefulProcessor=proc_cls(timeout_ms=timeout_ms),
+              outputStructType=ASSEMBLED_SCHEMA,
+              outputMode='append',
+              timeMode='eventTime'))
+
+
 def dedup_span_stream(stream_df: DataFrame, *,
                       ts_col: str = 'ts',
                       watermark: str = '10 minutes') -> DataFrame:

@@ -4,6 +4,8 @@ new files."""
 
 import os
 
+import pytest
+
 from blueprint_oss_spark.engine.runner import run_doc
 from blueprint_oss_spark.fixtures import readme_blueprint, readme_corpus
 from blueprint_oss_spark.spark.pipeline import SPANS_SCHEMA
@@ -332,3 +334,113 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
   assert by_id[4]['verdict'] == 'exact' and by_id[4]['match_id'] == 300
   assert {by_id[3]['verdict'], by_id[5]['verdict']} == {'new'}
   corpus.unpersist()
+
+
+def test_multipart_assembly_transformwithstate_parity(spark, tmp_path):
+  """Spark-4 transformWithStateInPandas twin of the multipart
+  assembler: same part stream (out-of-order, duplicate delivery,
+  one straggler doc), same emissions — complete docs assembled in
+  offset order exactly once, the straggler surfaced as partial when
+  the event-time TIMER fires.  Output compared row-for-row against
+  the applyInPandasWithState operator.
+
+  ENVIRONMENT-GATED: transformWithState's Python↔JVM state protocol
+  needs google.protobuf (pyspark's transform_with_state_driver_worker
+  imports StateMessage_pb2), which this container does not ship — the
+  same class of block as the Iceberg runtime jar.  The test runs
+  wherever protobuf is installed; the applyInPandasWithState twin is
+  the fully-tested live path here."""
+  pytest.importorskip(
+      'google.protobuf',
+      reason='transformWithState needs protobuf (not shipped here); '
+             'the applyInPandasWithState twin covers the semantics')
+  import datetime
+
+  from blueprint_oss_spark.spark.streaming import (
+      MULTIPART_SCHEMA, assemble_multipart_stream,
+      assemble_multipart_stream_tws)
+
+  # transformWithState mandates the RocksDB state store
+  prev = spark.conf.get('spark.sql.streaming.stateStore.providerClass',
+                        None)
+  spark.conf.set(
+      'spark.sql.streaming.stateStore.providerClass',
+      'org.apache.spark.sql.execution.streaming.state.'
+      'RocksDBStateStoreProvider')
+  try:
+    docs = readme_corpus(6, seed=511, with_media=False)
+    T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def span_dicts(sp):
+      return [{'kind': k, 'text': t, 'media_ref': m, 'offset': o}
+              for (k, t, m, o) in sp]
+
+    rows = []
+    for doc_id, spans in docs[:5]:
+      half = len(spans) // 2
+      # part 1 first (out of order), part 0 second, part 1 duplicated
+      rows.append((doc_id, 1, 2, span_dicts(spans[half:]), T0))
+      rows.append((doc_id, 1, 2, span_dicts(spans[half:]), T0))
+      rows.append((doc_id, 0, 2, span_dicts(spans[:half]), T0))
+    straggler_id, straggler_spans = docs[5]
+    rows.append((straggler_id, 0, 2,
+                 span_dicts(straggler_spans[:3]), T0))
+    # watermark pushers: advance the watermark past the straggler's
+    # timeout, then give the timer a batch to fire in
+    push1 = ('wm-pusher', 0, 9, [], T0 + datetime.timedelta(hours=3))
+    push2 = ('wm-pusher', 1, 9, [], T0 + datetime.timedelta(hours=4))
+
+    def drive(assemble_fn, tag):
+      in_dir = str(tmp_path / f'{tag}_in')
+      out_dir = str(tmp_path / f'{tag}_out')
+      ckpt = str(tmp_path / f'{tag}_ckpt')
+      os.makedirs(in_dir, exist_ok=True)
+
+      def run_once():
+        stream = (spark.readStream.schema(MULTIPART_SCHEMA)
+                  .parquet(in_dir))
+        q = (assemble_fn(stream, timeout_ms=3_600_000,
+                         watermark_delay='1 hour')
+             .writeStream.format('parquet')
+             .option('path', out_dir)
+             .option('checkpointLocation', ckpt)
+             .outputMode('append')
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+      def append(batch):
+        spark.createDataFrame(batch, MULTIPART_SCHEMA).coalesce(1) \
+            .write.mode('append').parquet(in_dir)
+
+      append(rows)
+      run_once()
+      append([push1])
+      run_once()
+      append([push2])
+      run_once()
+      out = [r for r in spark.read.parquet(out_dir).collect()
+             if r['doc_id'] != 'wm-pusher']
+      return {r['doc_id']: r for r in out}
+
+    a = drive(assemble_multipart_stream, 'apis')
+    b = drive(assemble_multipart_stream_tws, 'tws')
+
+    assert set(a) == set(b) == {d for d, _ in docs}
+    for did in a:
+      ra, rb = a[did], b[did]
+      assert ra['complete'] == rb['complete'], did
+      assert ra['n_parts_seen'] == rb['n_parts_seen'], did
+      assert ra['n_parts_expected'] == rb['n_parts_expected'], did
+      assert [tuple(s) for s in ra['spans']] \
+          == [tuple(s) for s in rb['spans']], did
+    assert a[straggler_id]['complete'] is False
+    assert a[docs[0][0]]['complete'] is True
+    # spans restored to offset order despite out-of-order parts
+    offs = [s['offset'] for s in b[docs[0][0]]['spans']]
+    assert offs == sorted(offs)
+  finally:
+    if prev is None:
+      spark.conf.unset('spark.sql.streaming.stateStore.providerClass')
+    else:
+      spark.conf.set(
+          'spark.sql.streaming.stateStore.providerClass', prev)
