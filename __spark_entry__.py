@@ -264,7 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # deterministic synthesized line structure, DuckDB re-synthesizes
       # and re-filters everything from the raw table
       'c4_line_clean': lambda s, d: C.c4_line_clean(s, d),
-      'pack_sequences': lambda s, d: T.pack_sequences(s, d),
+      'pack_sequences': _pack_and_chunk,
       'curation_pipeline': T.curation_pipeline,
       'tfidf_top_terms': lambda s, d: T.tfidf_top_terms(s, d),
       # --- curation: sampling + profiling (DuckDB-oracled) ---
@@ -409,6 +409,37 @@ def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.lit(None).cast('long').alias('simhash'),
       'doc_b', 'hamming')
   return sig.unionByName(pairs).orderBy('section', 'doc_id', 'doc_b')
+
+
+def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Both tokenizer-sharding layouts method-tagged in one driver
+  row-set (the ann_topk_methods precedent): method='pack' rows are
+  pack_sequences' cross-doc concat-and-chunk assignment, method='chunk'
+  rows are chunk_documents' within-doc overlapping windows (RAG/eval
+  chunking) — each section keeps every column of its operator
+  value-checked; columns not belonging to a section are typed NULLs."""
+  from blueprint_oss_spark.ops import textops as T
+  nul_l = F.lit(None).cast('long')
+  nul_i = F.lit(None).cast('int')
+  nul_s = F.lit(None).cast('string')
+  pack = (T.pack_sequences(spark, sf_dir)
+          .select(F.lit('pack').alias('method'), 'doc_id',
+                  F.col('shard').cast('long').alias('shard'),
+                  F.col('n_tokens').cast('int').alias('n_tokens'),
+                  'tokens_before', 'chunk_first', 'chunk_last',
+                  'n_chunks',
+                  nul_i.alias('chunk_no'), nul_i.alias('start_tok'),
+                  nul_s.alias('chunk_text')))
+  chunk = (T.chunk_documents(spark, sf_dir)
+           .select(F.lit('chunk').alias('method'), 'doc_id',
+                   nul_l.alias('shard'),
+                   F.col('n_tokens').cast('int').alias('n_tokens'),
+                   nul_l.alias('tokens_before'),
+                   nul_l.alias('chunk_first'),
+                   nul_l.alias('chunk_last'), nul_l.alias('n_chunks'),
+                   'chunk_no', 'start_tok', 'chunk_text'))
+  return (pack.unionByName(chunk)
+          .orderBy('method', 'doc_id', 'chunk_no'))
 
 
 def _corpus_split_temperature_mix(spark: SparkSession,
@@ -1768,7 +1799,26 @@ def oracle_sql() -> dict[str, str]:
                    AS cum
           FROM sized
         )
-        SELECT doc_id, shard, n_tokens,
+        , w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS w
+          FROM documents
+        ), nn AS (
+          SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0
+        ), ck AS (
+          SELECT doc_id,
+                 CAST(i.i AS INT) AS chunk_no,
+                 CAST(i.i * 48 AS INT) AS start_tok,
+                 CAST(least(n - i.i * 48, 64) AS INT) AS n_tokens,
+                 array_to_string(w[i.i * 48 + 1 : i.i * 48 + 64], ' ')
+                   AS chunk_text
+          FROM nn, (SELECT unnest(generate_series(0, 4096)) AS i) i
+          WHERE i.i < 1 + floor((greatest(n - 64, 0) + 47) / 48)
+        )
+        SELECT 'pack' AS method, doc_id,
+               CAST(shard AS BIGINT) AS shard,
+               n_tokens,
                CAST(cum - n_tokens AS BIGINT) AS tokens_before,
                CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_first,
                CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
@@ -1777,8 +1827,18 @@ def oracle_sql() -> dict[str, str]:
                CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
                      ELSE (cum - n_tokens) // 256 END)
                     - ((cum - n_tokens) // 256) + 1 AS BIGINT)
-                 AS n_chunks
-        FROM c ORDER BY doc_id
+                 AS n_chunks,
+               CAST(NULL AS INT) AS chunk_no,
+               CAST(NULL AS INT) AS start_tok,
+               CAST(NULL AS VARCHAR) AS chunk_text
+        FROM c
+        UNION ALL
+        SELECT 'chunk', doc_id, CAST(NULL AS BIGINT), n_tokens,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               chunk_no, start_tok, chunk_text
+        FROM ck
+        ORDER BY method, doc_id, chunk_no
       """,
       # The web-scale end-to-end chain recomputed from the RAW table:
       # the main-content text each doc's interleaved HTML/PDF spans

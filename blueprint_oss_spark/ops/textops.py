@@ -702,6 +702,49 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str, *,
+                    chunk_tokens: int = 64, overlap: int = 16,
+                    docs: DataFrame = None) -> DataFrame:
+  """Overlapping fixed-size token windows per document — the
+  RAG-indexing / eval-windowing twin of pack_sequences (which crosses
+  doc boundaries; this one never does).  Chunk i covers tokens
+  [i·step, i·step + chunk_tokens) with step = chunk_tokens − overlap;
+  the final chunk may be short; every token belongs to ≥1 chunk and
+  consecutive chunks share exactly `overlap` tokens (except a shorter
+  tail).  Empty docs produce no rows.
+
+  Scale shape: the window arithmetic is a per-row JVM
+  transform(sequence(...)) + posexplode — a pure zero-shuffle scan
+  (the presentation orderBy aside), so at 100 TB it composes into any
+  downstream embed/index stage as a map; chunk ids are (doc_id,
+  chunk_no), deterministic under repartitioning."""
+  if not 0 <= overlap < chunk_tokens:
+    raise ValueError(f'need 0 <= overlap < chunk_tokens, got '
+                     f'{overlap} / {chunk_tokens}')
+  step = chunk_tokens - overlap
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  n = F.size(toks)
+  # number of chunk starts: 1 + ceil(max(0, n - chunk_tokens) / step),
+  # in exact integer arithmetic (no doubles near the boundary)
+  n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+      1 + F.floor((F.greatest(n - chunk_tokens, F.lit(0)) + step - 1)
+                  / step).cast('int'))
+  chunks = F.transform(
+      F.sequence(F.lit(0), n_chunks - 1),
+      lambda i: F.struct(
+          (i * step).alias('start_tok'),
+          F.least(n - i * step, F.lit(chunk_tokens)).alias('n_tokens'),
+          F.array_join(F.slice(toks, i * step + 1, chunk_tokens), ' ')
+          .alias('chunk_text')))
+  return (d.where(n > 0)
+          .select('doc_id', F.posexplode(chunks).alias('chunk_no', 'c'))
+          .select('doc_id', 'chunk_no', 'c.start_tok', 'c.n_tokens',
+                  'c.chunk_text')
+          .orderBy('doc_id', 'chunk_no'))
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str, *,
                      docs: DataFrame = None) -> DataFrame:
   """Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
