@@ -470,20 +470,34 @@ def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
   path's flag count (n_bloom: the fixed-memory probe that replaces the
   eval-gram broadcast at 10^8-gram benchmark scale; deterministic
   md5-salted positions, so the oracle reproduces even its false
-  positives exactly — n_bloom >= n_shared always)."""
+  positives exactly — n_bloom >= n_shared always), plus span-level
+  decontamination's surgical output (span_clean_text / n_span_removed:
+  covered-token removal on RAW space-split grams — note the gram
+  conventions differ, so n_span_removed > 0 can coincide with
+  n_shared = 0 on case-variant overlaps and vice versa; eval docs
+  carry '' / 0 with is_eval = 1)."""
   from blueprint_oss_spark.ops import curation as C
   scrub = C.pii_scrub(spark, sf_dir)
   dec = C.decontaminate(spark, sf_dir)
   bloom = C.bloom_decontaminate(spark, sf_dir) \
       .withColumnRenamed('n_flagged', 'n_bloom')
+  spans = (C.decontaminate_spans(spark, sf_dir)
+           .select('doc_id',
+                   F.col('clean_text').alias('span_clean_text'),
+                   F.col('n_removed').alias('n_span_removed')))
   return (scrub.join(dec, 'doc_id', 'left')
           .join(bloom, 'doc_id', 'left')
+          .join(spans, 'doc_id', 'left')
           .select('doc_id', 'n_emails', 'n_phones', 'n_ips', 'scrubbed',
                   (F.col('doc_id') % 4 == 0).cast('int').alias('is_eval'),
                   F.coalesce('n_shared', F.lit(0)).cast('long')
                   .alias('n_shared'),
                   F.coalesce('n_bloom', F.lit(0)).cast('long')
-                  .alias('n_bloom'))
+                  .alias('n_bloom'),
+                  F.coalesce('span_clean_text', F.lit(''))
+                  .alias('span_clean_text'),
+                  F.coalesce('n_span_removed', F.lit(0)).cast('long')
+                  .alias('n_span_removed'))
           .orderBy('doc_id'))
 
 
@@ -793,13 +807,56 @@ def oracle_sql() -> dict[str, str]:
           JOIN evpos USING (pos)
           GROUP BY doc_id, gram HAVING count(*) = 4),
         bloom AS (
-          SELECT doc_id, count(*) AS n_bloom FROM bhit GROUP BY doc_id)
+          SELECT doc_id, count(*) AS n_bloom FROM bhit GROUP BY doc_id),
+        sraw AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS w
+          FROM documents),
+        socc AS (
+          SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos,
+                 array_to_string(w[i.i:i.i+7], ' ') AS gram
+          FROM sraw, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(w) - 7),
+        sev AS (SELECT DISTINCT gram FROM socc WHERE doc_id % 4 = 0),
+        scov AS (
+          SELECT DISTINCT doc_id, pos + j.j AS pos
+          FROM (SELECT doc_id, pos, gram FROM socc
+                WHERE doc_id % 4 <> 0) so
+          JOIN sev USING (gram),
+               (SELECT unnest(generate_series(0, 7)) AS j) j),
+        stoks AS (
+          SELECT doc_id, CAST(i.i - 1 AS BIGINT) AS pos, w[i.i] AS tok
+          FROM sraw, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE doc_id % 4 <> 0 AND i.i <= len(w)),
+        skept AS (
+          SELECT stoks.* FROM stoks
+          LEFT JOIN scov USING (doc_id, pos)
+          WHERE scov.pos IS NULL),
+        srebuilt AS (
+          SELECT doc_id,
+                 array_to_string(list(tok ORDER BY pos), ' ')
+                   AS span_clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM skept GROUP BY doc_id),
+        sspan AS (
+          SELECT sraw.doc_id,
+                 COALESCE(srebuilt.span_clean_text, '')
+                   AS span_clean_text,
+                 CAST(len(sraw.w) - COALESCE(srebuilt.n_kept, 0)
+                      AS BIGINT) AS n_span_removed
+          FROM sraw LEFT JOIN srebuilt USING (doc_id)
+          WHERE sraw.doc_id % 4 <> 0)
         SELECT pii.doc_id, n_emails, n_phones, n_ips, scrubbed,
                CAST(pii.doc_id % 4 = 0 AS INTEGER) AS is_eval,
                CAST(coalesce(dec.n_shared, 0) AS BIGINT) AS n_shared,
-               CAST(coalesce(bloom.n_bloom, 0) AS BIGINT) AS n_bloom
+               CAST(coalesce(bloom.n_bloom, 0) AS BIGINT) AS n_bloom,
+               COALESCE(sspan.span_clean_text, '') AS span_clean_text,
+               CAST(coalesce(sspan.n_span_removed, 0) AS BIGINT)
+                 AS n_span_removed
         FROM pii LEFT JOIN dec USING (doc_id)
                  LEFT JOIN bloom USING (doc_id)
+                 LEFT JOIN sspan USING (doc_id)
         ORDER BY pii.doc_id
       """,
       # Exact substring dedup (Lee et al. 2022 ExactSubstr, n-gram

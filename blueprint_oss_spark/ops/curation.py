@@ -161,7 +161,8 @@ def _bloom_positions(gram_col, m_bits: int, k: int):
 def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
                         n: int = 8, eval_mod: int = 4,
                         m_bits: int = 1 << 20, k: int = 4,
-                        eval_texts: DataFrame | None = None) -> DataFrame:
+                        eval_texts: DataFrame | None = None,
+                        docs: DataFrame | None = None) -> DataFrame:
   """Benchmark decontamination via a Bloom filter — the fixed-memory
   scale path for when the eval side is too large to broadcast as a
   string dimension (`decontaminate` ships every distinct eval n-gram to
@@ -189,7 +190,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
   import numpy as np
   import pandas as pd
 
-  d = _docs(spark, sf_dir).select(
+  d = (docs if docs is not None else _docs(spark, sf_dir)).select(
       'doc_id', _ngrams(F.col('text'), n).alias('grams'))
   if eval_texts is not None:
     eval_grams = (eval_texts
@@ -204,16 +205,18 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
                   .distinct())
     train = d.filter(~is_eval)
 
-  # bounded collect: DISTINCT bit positions, <= m_bits rows by pigeonhole
-  pos_rows = (eval_grams
-              .select(F.explode(_bloom_positions(F.col('gram'),
-                                                 m_bits, k))
-                      .alias('pos'))
-              .distinct().collect())
+  # bounded collect: DISTINCT bit positions, <= m_bits rows by
+  # pigeonhole.  Arrow transfer + vectorized numpy bit-set — a
+  # row-object collect with a Python set-bit loop here is SERIAL
+  # driver work that caps cluster scaling (measured: 0.33 efficiency
+  # at 1→4 executors before this; the parallel fraction is the scan)
+  pos = (eval_grams
+         .select(F.explode(_bloom_positions(F.col('gram'), m_bits, k))
+                 .alias('pos'))
+         .distinct().toPandas()['pos'].to_numpy(dtype=np.int64))
   bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
-  for r in pos_rows:
-    p = r['pos']
-    bitmap[p >> 3] |= 1 << (p & 7)
+  np.bitwise_or.at(bitmap, pos >> 3,
+                   (1 << (pos & 7)).astype(np.uint8))
   bc = spark.sparkContext.broadcast(bitmap)
 
   def _probe_batches(batches):
@@ -247,6 +250,51 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
           .select('doc_id', flat_pos.alias('flat_pos'))
           .mapInPandas(_probe_batches, 'doc_id long, n_flagged long')
           .orderBy('doc_id'))
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str, *,
+                        n: int = 8, eval_mod: int = 4,
+                        eval_texts: DataFrame | None = None,
+                        docs: DataFrame | None = None) -> DataFrame:
+  """Span-level decontamination — the surgical third option next to
+  whole-doc flagging (`decontaminate`) and fixed-memory probing
+  (`bloom_decontaminate`): remove exactly the token positions covered
+  by an eval-shared n-gram and keep the rest of the document.  The
+  lowest-data-loss policy when benchmarks overlap common boilerplate
+  (dropping a whole web page because it quotes one eval sentence
+  wastes the other 99%).
+
+  Output per TRAIN doc: doc_id, clean_text (covered tokens removed,
+  '' when fully covered/empty), n_tokens (before), n_removed —
+  uncontaminated docs pass through with n_removed = 0.
+
+  Scale shape: identical to `remove_duplicated_spans` (the shared
+  `strip_covered_tokens` machinery — bounded n-fold posting explode
+  keyed (doc_id, pos), one per-doc rebuild aggregation) with the
+  duplicated-gram dimension replaced by the DISTINCT eval gram set,
+  which is broadcast exactly like `decontaminate`'s (swap in the
+  bloom bitmap upstream when the eval side outgrows a broadcast).
+  Gram convention: BOTH sides use gram_occurrences' raw
+  space-split tokens (the removal must splice the original token
+  stream back together, so no lower/trim normalization — unlike
+  `decontaminate`, whose flag-only semantics can afford it)."""
+  from .textops import gram_occurrences, strip_covered_tokens
+
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  if eval_texts is not None:
+    ev_side = eval_texts.select(F.lit('').alias('doc_id'), 'text')
+    train = d
+  else:
+    is_eval = F.col('doc_id') % eval_mod == 0
+    ev_side = d.filter(is_eval)
+    train = d.filter(~is_eval)
+
+  _, ev_occ = gram_occurrences(ev_side, n)
+  ev_grams = ev_occ.select('gram').distinct()
+
+  base, occ = gram_occurrences(train, n)
+  return strip_covered_tokens(base, occ, F.broadcast(ev_grams), n)
 
 
 def quality_classifier(spark: SparkSession, sf_dir: str, *,
@@ -787,7 +835,8 @@ _URL_BAD_WORDS = ('casino', 'poker')
 
 def url_curation(spark: SparkSession, sf_dir: str, *,
                  domain_cap: int = 2, keep_only: bool = False,
-                 docs: DataFrame = None) -> DataFrame:
+                 docs: DataFrame = None,
+                 opt_out_domains: DataFrame | None = None) -> DataFrame:
   """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1,
   "The RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116): URL
   normalization (lowercase, strip fragment / tracking params /
@@ -889,13 +938,19 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
       F.regexp_extract(norm, r'^https://[^/]+/([a-z]+)/', 1)
        .alias('path_word'))
 
-  # blocklist dimensions: broadcast, never shuffled
+  # blocklist dimensions: broadcast, never shuffled.  opt_out_domains
+  # is the production seam for robots/AI-opt-out and takedown lists —
+  # a (domain) frame unioned into the same broadcast dimension, so
+  # honoring an opt-out list costs nothing beyond the existing join
   blocked_hosts = [f'site{s}{t}' for s in range(0, 53, 13)
                    for t in _URL_TLDS]
-  bl = F.broadcast(
-      spark.createDataFrame([(h,) for h in blocked_hosts],
-                            'domain string')
-      .withColumn('blocked_domain', F.lit(1)))
+  bl_df = spark.createDataFrame([(h,) for h in blocked_hosts],
+                                'domain string')
+  if opt_out_domains is not None:
+    bl_df = bl_df.unionByName(
+        opt_out_domains.select(F.lower(F.col('domain')).alias('domain'))
+    ).distinct()
+  bl = F.broadcast(bl_df.withColumn('blocked_domain', F.lit(1)))
 
   from pyspark.sql import Window
   w_url = Window.partitionBy('norm_url').orderBy('doc_id')

@@ -875,11 +875,22 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
   in_files = d.inputFiles()
   if in_files and len(in_files) < target:
     d = d.repartition(target)
+  base, occ = gram_occurrences(d, n)
+
+  dup = (occ.groupBy('gram').count()
+         .where(F.col('count') >= min_count)
+         .select('gram'))
+
+  return strip_covered_tokens(base, occ, dup, n)
+
+
+def gram_occurrences(d: DataFrame, n: int):
+  """(base, occ) for covered-token removal: base = (doc_id, w:tokens),
+  occ = one row per n-gram occurrence (doc_id, pos, gram) with 0-based
+  start positions — map-side array arithmetic, no shuffle."""
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   base = d.select('doc_id', toks.alias('w'))
-
   sz = F.size('w')
-  # 0-based start positions of every n-gram occurrence
   grams = F.when(sz >= n, F.transform(
       F.sequence(F.lit(0), sz - n),
       lambda i: F.struct(i.alias('pos'),
@@ -890,12 +901,17 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
   occ = (base.select('doc_id', F.explode(grams).alias('o'))
          .select('doc_id', F.col('o.pos').alias('pos'),
                  F.col('o.gram').alias('gram')))
+  return base, occ
 
-  dup = (occ.groupBy('gram').count()
-         .where(F.col('count') >= min_count)
-         .select('gram'))
 
-  covered = (occ.join(dup, 'gram')
+def strip_covered_tokens(base: DataFrame, occ: DataFrame,
+                         bad: DataFrame, n: int) -> DataFrame:
+  """Remove every token covered by an occurrence of a gram in `bad`
+  (a one-column 'gram' dimension) and re-join survivors in order:
+  (doc_id, clean_text, n_tokens, n_removed) for every doc in base.
+  Coverage = bounded n-fold posting explode keyed (doc_id, pos);
+  rebuild = one per-doc aggregation over bounded token arrays."""
+  covered = (occ.join(bad, 'gram')
              .select('doc_id',
                      F.explode(F.sequence(F.col('pos'),
                                           F.col('pos') + (n - 1)))
@@ -912,7 +928,7 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
                      lambda s: s['tok']), ' ').alias('clean_text'),
                   F.count('*').cast('long').alias('n_kept')))
 
-  stats = base.select('doc_id', sz.cast('long').alias('n_tokens'))
+  stats = base.select('doc_id', F.size('w').cast('long').alias('n_tokens'))
   return (stats
           .join(rebuilt, 'doc_id', 'left')
           .select('doc_id',

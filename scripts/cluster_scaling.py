@@ -165,6 +165,51 @@ elif model == 'url_curation':
                              'kept').cast('decimal(38,0)')).alias('s')
         ).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
+elif model == 'bloom':
+    # interpreted-HOF scan counterpart: Bloom decontamination's cost is
+    # per-row 8-gram construction (transform/slice/array_join lambdas,
+    # evaluated interpreted, not codegen) + k md5 positions + the
+    # Arrow-batched bitmap probe — no shuffle on the train side, so
+    # this measures how the JVM-lambda + Python-Arrow mixed scan
+    # scales across executor JVMs.  Corpus replicated with salted
+    # tokens (replica grams are disjoint; doc_id shift preserves the
+    # eval_mod pattern) so the job is long enough to dominate
+    # scheduling overhead.  Checksum = exact order-insensitive
+    # hash-sum of (doc_id, n_flagged).
+    from blueprint_oss_spark.ops.curation import bloom_decontaminate
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    if n_docs:
+        src = src.limit(n_docs)
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '4'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select((F.col('doc_id') + F.col('rep') * 1000000)
+                       .alias('doc_id'),
+                       F.concat_ws(' ', F.transform(
+                           F.split('text', ' '),
+                           lambda t: F.concat(
+                               t, F.lit('_'),
+                               F.col('rep').cast('string'))))
+                       .alias('text')))
+    df = src.repartition(n_parts).cache()
+    n_in = df.count()
+    def run_pass():
+        # eval_mod=16: the gate default (25% of the corpus as "eval")
+        # grossly overstates real benchmark suites relative to a
+        # training corpus and made the serial-ish build side (distinct
+        # positions -> driver bitmap, a once-per-job cost in
+        # production but timed EVERY pass here) dominate the short
+        # high-level run; 1/16 is still far larger than any real
+        # eval:corpus ratio
+        agg = bloom_decontaminate(spark, sf_dir, docs=df,
+                                  eval_mod=16).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'n_flagged')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 else:
     if model == 'paystubs':
         from blueprint_oss_spark.bp_examples.paystub_fixtures import \

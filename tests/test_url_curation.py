@@ -168,3 +168,29 @@ def test_docs_seam_real_url_column(spark):
   assert rows[2]['url_rank'] == 2
   assert rows[3]['blocked_word'] == 1 and rows[3]['kept'] == 0
   assert rows[4]['blocked_domain'] == 1 and rows[4]['kept'] == 0
+
+
+def test_opt_out_domains_seam(spark):
+  """The robots/AI-opt-out seam: a (domain) frame unioned into the
+  broadcast blocklist — listed domains' docs become blocked_domain=1
+  and never count toward URL dedup winners or domain caps."""
+  from blueprint_oss_spark.ops.curation import url_curation
+  rows = [
+      (1, 'https://example.com/a/p1'),
+      (2, 'https://optout.org/a/p2'),
+      (3, 'https://OPTOUT.org/a/p3'),   # normalizer lowercases
+      (4, 'https://fine.net/a/p4'),
+  ]
+  docs = spark.createDataFrame(rows, 'doc_id long, url string')
+  opt = spark.createDataFrame([('optout.org',)], 'domain string')
+  out = {r['doc_id']: r for r in
+         url_curation(spark, '', docs=docs,
+                      opt_out_domains=opt).collect()}
+  assert out[2]['blocked_domain'] == 1 and out[2]['kept'] == 0
+  assert out[3]['blocked_domain'] == 1 and out[3]['kept'] == 0
+  assert out[1]['blocked_domain'] == 0 and out[1]['kept'] == 1
+  assert out[4]['blocked_domain'] == 0 and out[4]['kept'] == 1
+  # without the seam the same frame passes
+  base = {r['doc_id']: r for r in
+          url_curation(spark, '', docs=docs).collect()}
+  assert base[2]['kept'] == 1
