@@ -266,7 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'c4_line_clean': lambda s, d: C.c4_line_clean(s, d),
       'pack_sequences': _pack_and_chunk,
       'curation_pipeline': T.curation_pipeline,
-      'tfidf_top_terms': lambda s, d: T.tfidf_top_terms(s, d),
+      'tfidf_top_terms': _tfidf_with_cms,
       # --- curation: sampling + profiling (DuckDB-oracled) ---
       'stratified_sample': P.stratified_sample,
       'table_profile': P.table_profile,
@@ -409,6 +409,23 @@ def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.lit(None).cast('long').alias('simhash'),
       'doc_b', 'hamming')
   return sig.unionByName(pairs).orderBy('section', 'doc_id', 'doc_b')
+
+
+def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """tfidf_top_terms joined with the Count-Min Sketch frequency
+  estimate of each surfaced term (gate-budget merge): cms_est /
+  cms_overcount value-check the full sketch — every cell the term
+  touches and the never-undercount minimum — against the from-scratch
+  oracle, riding the existing per-(doc,term) row-set."""
+  from blueprint_oss_spark.ops import textops as T
+  cms = (T.count_min_terms(spark, sf_dir)
+         .select('term', 'cms_est',
+                 F.col('overcount').alias('cms_overcount')))
+  return (T.tfidf_top_terms(spark, sf_dir)
+          .join(cms, 'term')
+          .select('doc_id', 'term', 'tf', 'df', 'score_r', 'rnk',
+                  'cms_est', 'cms_overcount')
+          .orderBy('doc_id', 'rnk'))
 
 
 def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,11 +1669,48 @@ def oracle_sql() -> dict[str, str]:
                  / (df.df + 0.5) AS score
           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
         )
-        SELECT doc_id, term, tf, df, ROUND(score, 6) AS score_r, rnk
+        , cells AS (
+          SELECT j.j AS j,
+                 CAST(('0x' || substring(md5('cms'
+                       || CAST(j.j AS VARCHAR) || ':' || term), 1, 8))
+                      AS BIGINT) % 256 AS pos,
+                 count(*) AS cell
+          FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) j
+          GROUP BY 1, 2
+        ), truec AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM toks GROUP BY term
+        ), cms AS (
+          SELECT term, true_count,
+                 least(
+                   coalesce((SELECT cell FROM cells WHERE j = 0
+                     AND pos = CAST(('0x' || substring(
+                       md5('cms0:' || term), 1, 8)) AS BIGINT) % 256),
+                     0),
+                   coalesce((SELECT cell FROM cells WHERE j = 1
+                     AND pos = CAST(('0x' || substring(
+                       md5('cms1:' || term), 1, 8)) AS BIGINT) % 256),
+                     0),
+                   coalesce((SELECT cell FROM cells WHERE j = 2
+                     AND pos = CAST(('0x' || substring(
+                       md5('cms2:' || term), 1, 8)) AS BIGINT) % 256),
+                     0),
+                   coalesce((SELECT cell FROM cells WHERE j = 3
+                     AND pos = CAST(('0x' || substring(
+                       md5('cms3:' || term), 1, 8)) AS BIGINT) % 256),
+                     0)) AS cms_est
+          FROM truec
+        )
+        SELECT t.doc_id, t.term, t.tf, t.df,
+               ROUND(t.score, 6) AS score_r, t.rnk,
+               CAST(cms.cms_est AS BIGINT) AS cms_est,
+               CAST(cms.cms_est - cms.true_count AS BIGINT)
+                 AS cms_overcount
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, term) AS rnk
           FROM scored) t
+        JOIN cms ON t.term = cms.term
         WHERE rnk <= 3
         ORDER BY doc_id, rnk
       """,

@@ -702,6 +702,73 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def count_min_terms(spark: SparkSession, sf_dir: str, *,
+                    width: int = 256, depth: int = 4,
+                    docs: DataFrame = None,
+                    terms: DataFrame = None) -> DataFrame:
+  """Count-Min Sketch term frequencies (Cormode & Muthukrishnan 2005):
+  estimate every queried term's corpus-wide occurrence count from a
+  fixed depth×width cell table — the bounded-memory heavy-hitter
+  primitive (the sketch families here so far are similarity ones:
+  MinHash/SimHash/sign-LSH/IVF/PQ; CMS adds the frequency family).
+
+  Build: each token occurrence increments cell (j, h_j(token)) for
+  j < depth, h_j = md5('cmsJ:'||token) % width — the k-fold explode is
+  combined MAP-SIDE, so the one shuffle carries at most depth·width
+  rows per map task no matter the corpus size (the CMS point: the
+  full word-count shuffle is replaced by a fixed-size one).
+
+  Query: estimate(t) = min_j cell(j, h_j(t)) — never an undercount,
+  overcounts only from hash collisions (bounded by the classic
+  2·N/width at depth ≥ log(1/δ)).  `terms` supplies the candidate
+  terms (the production shape); default = the corpus's own distinct
+  tokens, and the output then also carries the TRUE count per term so
+  the (est ≥ true) guarantee and the overcount are value-checked.
+
+  Output: (term, true_count, cms_est, overcount), term-sorted.  All
+  hashing is md5 (cross-engine exact) and all counts integers, so a
+  from-scratch DuckDB oracle reproduces every cell and estimate."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+
+  def h(j: int, c):
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f'cms{j}:'), c)),
+                           1, 8), 16, 10).cast('long'),
+        F.lit(width))
+
+  occ = d.select(F.explode(toks).alias('tok'))
+  cells = (occ.select(F.explode(F.array(*[
+              F.struct(F.lit(j).alias('j'), h(j, F.col('tok'))
+                       .alias('pos')) for j in range(depth)]))
+              .alias('c'))
+           .groupBy('c.j', 'c.pos')
+           .agg(F.count(F.lit(1)).alias('cell')))
+
+  if terms is None:
+    q = (occ.groupBy(F.col('tok').alias('term'))
+         .agg(F.count(F.lit(1)).alias('true_count')))
+  else:
+    q = terms.select(F.col('term')) \
+        .distinct().withColumn('true_count', F.lit(None).cast('long'))
+
+  est = q
+  for j in range(depth):
+    cj = (cells.where(F.col('j') == j)
+          .select(F.col('pos').alias(f'p{j}'),
+                  F.col('cell').alias(f'c{j}')))
+    est = (est.withColumn(f'p{j}', h(j, F.col('term')))
+           .join(F.broadcast(cj), f'p{j}', 'left'))
+  mins = F.least(*[F.coalesce(F.col(f'c{j}'), F.lit(0))
+                   for j in range(depth)])
+  return (est.select('term', 'true_count',
+                     mins.cast('long').alias('cms_est'),
+                     (mins - F.coalesce('true_count', F.lit(0)))
+                     .cast('long').alias('overcount'))
+          .orderBy('term'))
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str, *,
                     chunk_tokens: int = 64, overlap: int = 16,
                     docs: DataFrame = None) -> DataFrame:
