@@ -269,7 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'tfidf_top_terms': _tfidf_with_cms,
       # --- curation: sampling + profiling (DuckDB-oracled) ---
       'stratified_sample': P.stratified_sample,
-      'table_profile': P.table_profile,
+      'table_profile': _table_profile_hll,
   }
 
 
@@ -409,6 +409,20 @@ def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.lit(None).cast('long').alias('simhash'),
       'doc_b', 'hamming')
   return sig.unionByName(pairs).orderBy('section', 'doc_id', 'doc_b')
+
+
+def _table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """table_profile joined with the HyperLogLog cardinality sketch per
+  stratum (gate-budget merge): n_zero_regs and hll_est value-check
+  every register (max-rho per md5 bucket) and the pinned-order
+  power-of-two fold against the from-scratch oracle, next to the exact
+  n_distinct_texts they estimate."""
+  from blueprint_oss_spark.ops import profiling as P
+  hll = P.hll_distinct(spark, sf_dir) \
+      .select('lang', 'n_zero_regs', 'hll_est')
+  return (P.table_profile(spark, sf_dir)
+          .join(hll, 'lang')
+          .orderBy('lang'))
 
 
 def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,16 +1743,53 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
       """,
       'table_profile': """
-        SELECT lang, COUNT(*) AS n_docs,
-               COUNT(DISTINCT text) AS n_distinct_texts,
-               CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_empty,
-               MIN(length(text)) AS min_len,
-               MAX(length(text)) AS max_len,
-               CAST(SUM(length(text)) AS BIGINT) AS total_len,
-               MIN(doc_id) AS first_doc_id,
-               MAX(doc_id) AS last_doc_id
-        FROM documents GROUP BY lang ORDER BY lang
+        WITH prof AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 COUNT(DISTINCT text) AS n_distinct_texts,
+                 CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_empty,
+                 MIN(length(text)) AS min_len,
+                 MAX(length(text)) AS max_len,
+                 CAST(SUM(length(text)) AS BIGINT) AS total_len,
+                 MIN(doc_id) AS first_doc_id,
+                 MAX(doc_id) AS last_doc_id
+          FROM documents GROUP BY lang
+        ), hh AS (
+          SELECT lang AS grp,
+                 CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
+                   AS h
+          FROM documents
+        ), rr AS (
+          SELECT grp, h % 64 AS bucket,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END AS rho
+          FROM hh
+        ), regs AS (
+          SELECT grp, bucket, max(rho) AS r
+          FROM rr GROUP BY grp, bucket
+        ), gb AS (
+          SELECT g.grp, b.b AS bucket
+          FROM (SELECT DISTINCT grp FROM hh) g
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        ), filled AS (
+          SELECT gb.grp, gb.bucket, coalesce(regs.r, 0) AS r
+          FROM gb LEFT JOIN regs
+            ON regs.grp = gb.grp AND regs.bucket = gb.bucket
+        ), folded AS (
+          SELECT grp,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(1.0 AS DOUBLE)
+                          / CAST((1::BIGINT << r) AS DOUBLE)
+                          ORDER BY bucket)),
+                     (a, x) -> a + x) AS denom,
+                 CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_zero_regs
+          FROM filled GROUP BY grp
+        )
+        SELECT prof.*, folded.n_zero_regs,
+               round(0.709 * 64.0 * 64.0 / folded.denom, 6) AS hll_est
+        FROM prof JOIN folded ON prof.lang = folded.grp
+        ORDER BY prof.lang
       """,
       # The whole curation chain recomputed from scratch: quality
       # verdicts -> kept docs -> shingle pairs AMONG KEPT docs ->

@@ -42,6 +42,95 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('doc_id'))
 
 
+def hll_distinct(spark: SparkSession, sf_dir: str, *,
+                 m: int = 64,
+                 group_col: str = 'lang',
+                 value_col: str = 'text',
+                 docs: DataFrame = None) -> DataFrame:
+  """HyperLogLog distinct-count estimation (Flajolet et al. 2007), the
+  cardinality-sketch family next to CMS (frequency) and MinHash/LSH
+  (similarity) — per group, estimate |distinct value_col| from m
+  registers instead of an exact count-distinct whose shuffle carries
+  every distinct value.
+
+  Spark's approx_count_distinct is the built-in answer but its HLL++
+  registers aren't reproducible outside the JVM; this variant is
+  deliberately transcendental-free and cross-engine EXACT:
+
+    h      = 60-bit md5 prefix of the value
+    bucket = h % m,  rest = h >> log2(m)... (h >> 6 for m=64)
+    rho    = (54 - bitlength(rest)) + 1, bitlength via length(bin(x))
+             (rest = 0 → rho = 55)
+    register[bucket] = max rho            -- integer ops only
+    raw_est = alpha_m · m² / Σ_b 2^(-register[b])
+
+  2^(-r) is computed as 1.0 / (1 << r) — a power of two, exactly
+  representable — and the sum is a pinned-order fold over buckets, so
+  the estimate is bit-identical in DuckDB.  The small-range linear-
+  counting correction needs ln(); instead the raw estimate ships with
+  n_zero_regs so callers (and the oracle) can apply any correction —
+  at 100 TB cardinalities the raw estimate is the operative one.
+
+  Scale shape: one map-side-combinable groupBy whose shuffle carries
+  ≤ m rows per (group, map task) whatever the corpus size; the
+  register→estimate fold runs on the bounded m-row-per-group frame.
+
+  Output: (group, n_rows, true_distinct, n_zero_regs, hll_est) —
+  true_distinct is the exact count for verification at gate scale
+  (drop it at 100 TB; it is the cost HLL avoids)."""
+  if m != 64:
+    raise ValueError('m=64 is the pinned register count (alpha and '
+                     'the bit split are specialized); got %r' % m)
+  alpha = 0.709  # the classic alpha_64
+  d = (docs if docs is not None else
+       spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select(F.col(group_col).alias('grp'),
+              F.col(value_col).alias('v'))
+
+  h = F.conv(F.substring(F.md5(F.col('v')), 1, 15), 16, 10) \
+      .cast('long')
+  rest = F.shiftright(h, 6)
+  rho = F.when(rest == 0, F.lit(55)) \
+      .otherwise(55 - F.length(F.bin(rest)))
+  hashed = d.select('grp', F.pmod(h, F.lit(64)).alias('bucket'),
+                    rho.alias('rho'))
+
+  regs = (hashed.groupBy('grp', 'bucket')
+          .agg(F.max('rho').alias('r')))
+  buckets = spark.range(64).select(F.col('id').cast('long')
+                                   .alias('bucket'))
+  groups = d.select('grp').distinct()
+  full = (groups.crossJoin(F.broadcast(buckets))
+          .join(regs, ['grp', 'bucket'], 'left')
+          .select('grp', 'bucket',
+                  F.coalesce('r', F.lit(0)).alias('r')))
+
+  # pinned-order fold: sum of exact powers of two, bucket-ascending.
+  # 2^-r as 1.0/(1<<r) — exactly representable, no pow(); the Python
+  # F.shiftleft wrapper wants an int literal, so the column-by-column
+  # shift goes through F.expr
+  weighted = full.withColumn(
+      'w', F.expr('CAST(1.0 AS DOUBLE) / '
+                  'CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)'))
+  folded = (weighted.groupBy('grp')
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(F.struct('bucket', 'w'))),
+                F.lit(0.0),
+                lambda acc, s: acc + s['w']).alias('denom'),
+                F.sum(F.when(F.col('r') == 0, 1).otherwise(0))
+                .alias('n_zero_regs')))
+
+  stats = d.groupBy('grp').agg(
+      F.count(F.lit(1)).alias('n_rows'),
+      F.count_distinct('v').alias('true_distinct'))
+  return (stats.join(folded, 'grp')
+          .select(F.col('grp').alias(group_col), 'n_rows',
+                  'true_distinct', 'n_zero_regs',
+                  F.round(F.lit(alpha) * 64.0 * 64.0
+                          / F.col('denom'), 6).alias('hll_est'))
+          .orderBy(group_col))
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
   """Exact per-stratum profile of the documents table: row counts,
   distinct texts, null/empty counts, min/max/total text length — the
