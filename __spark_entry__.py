@@ -412,16 +412,20 @@ def _simhash_sigs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-  """table_profile joined with the HyperLogLog cardinality sketch per
-  stratum (gate-budget merge): n_zero_regs and hll_est value-check
+  """table_profile joined with the HyperLogLog cardinality sketch and
+  the hash-sampled exact quantiles per stratum (gate-budget merge —
+  the full ANALYZE-style report): n_zero_regs/hll_est value-check
   every register (max-rho per md5 bucket) and the pinned-order
-  power-of-two fold against the from-scratch oracle, next to the exact
-  n_distinct_texts they estimate."""
+  power-of-two fold next to the exact n_distinct_texts they estimate;
+  n_sampled/q25..q90 value-check the deterministic sample membership
+  and the nearest-rank selection."""
   from blueprint_oss_spark.ops import profiling as P
   hll = P.hll_distinct(spark, sf_dir) \
       .select('lang', 'n_zero_regs', 'hll_est')
+  qs = P.sampled_quantiles(spark, sf_dir)
   return (P.table_profile(spark, sf_dir)
           .join(hll, 'lang')
+          .join(qs, 'lang')
           .orderBy('lang'))
 
 
@@ -1786,9 +1790,29 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS n_zero_regs
           FROM filled GROUP BY grp
         )
+        , samp AS (
+          SELECT lang, CAST(length(text) AS BIGINT) AS v
+          FROM documents
+          WHERE md5(CAST(doc_id AS VARCHAR)) <
+                '80000000000000000000000000000000'
+        ), sagg AS (
+          SELECT lang, list_sort(list(v)) AS vs,
+                 CAST(count(*) AS BIGINT) AS n_sampled
+          FROM samp GROUP BY lang
+        ), quant AS (
+          SELECT lang, n_sampled,
+                 vs[CAST(ceil(n_sampled * 25 / 100.0) AS INT)] AS q25,
+                 vs[CAST(ceil(n_sampled * 50 / 100.0) AS INT)] AS q50,
+                 vs[CAST(ceil(n_sampled * 75 / 100.0) AS INT)] AS q75,
+                 vs[CAST(ceil(n_sampled * 90 / 100.0) AS INT)] AS q90
+          FROM sagg
+        )
         SELECT prof.*, folded.n_zero_regs,
-               round(0.709 * 64.0 * 64.0 / folded.denom, 6) AS hll_est
+               round(0.709 * 64.0 * 64.0 / folded.denom, 6) AS hll_est,
+               quant.n_sampled, quant.q25, quant.q50, quant.q75,
+               quant.q90
         FROM prof JOIN folded ON prof.lang = folded.grp
+        JOIN quant ON prof.lang = quant.lang
         ORDER BY prof.lang
       """,
       # The whole curation chain recomputed from scratch: quality

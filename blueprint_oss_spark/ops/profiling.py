@@ -131,6 +131,40 @@ def hll_distinct(spark: SparkSession, sf_dir: str, *,
           .orderBy(group_col))
 
 
+def sampled_quantiles(spark: SparkSession, sf_dir: str, *,
+                      threshold: str = '8' + '0' * 31,
+                      qs=(25, 50, 75, 90),
+                      docs: DataFrame = None) -> DataFrame:
+  """Per-stratum text-length quantiles via deterministic hash-sampling
+  + exact nearest-rank selection — the reproducible alternative to
+  percentile_approx, whose GK/KLL sketch state is engine-internal and
+  not bit-stable across engines (or even partitionings).
+
+  The md5-threshold sample (the stratified_sample idiom) is stable
+  under retries and repartitioning; quantile q is the nearest-rank
+  element `ceil(q/100 · n)` of the ascending sorted sample — pure
+  integer indexing on a sorted multiset, so ties cannot introduce
+  engine divergence and a from-scratch DuckDB oracle matches exactly.
+
+  Scale shape: the sample rate (threshold) is the knob that bounds the
+  per-group collect_list — at 100 TB you sample 1e-5..1e-6 so each
+  group's sample fits an executor comfortably; the quantile itself is
+  then one bounded per-group aggregation.  Groups whose sample is
+  empty produce no row (raise the rate, not the interpolation)."""
+  d = (docs if docs is not None else
+       spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select('doc_id', 'lang', F.length('text').alias('v'))
+  s = d.where(F.md5(F.col('doc_id').cast('string')) < F.lit(threshold))
+  agg = (s.groupBy('lang')
+         .agg(F.array_sort(F.collect_list('v')).alias('vs'),
+              F.count(F.lit(1)).alias('n_sampled')))
+  cols = [F.element_at(
+      'vs', F.ceil(F.col('n_sampled') * q / 100.0).cast('int'))
+      .cast('long').alias(f'q{q}') for q in qs]
+  return (agg.select('lang', 'n_sampled', *cols)
+          .orderBy('lang'))
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
   """Exact per-stratum profile of the documents table: row counts,
   distinct texts, null/empty counts, min/max/total text length — the
