@@ -251,8 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'dsir_select':
           lambda s, d: C.dsir_importance_select(s, d),
       'pii_scrub_decontaminate': _pii_scrub_decontaminate,
-      'exact_substring_dedup':
-          lambda s, d: T.remove_duplicated_spans(s, d),
+      'exact_substring_dedup': _substring_paragraph_dedup,
       # --- similarity / near-dup ---
       # RefinedWeb-style URL curation (Penedo et al. 2023 §3.1):
       # normalization, blocklists, URL dedup, per-domain cap;
@@ -475,6 +474,27 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    'chunk_no', 'start_tok', 'chunk_text'))
   return (pack.unionByName(chunk)
           .orderBy('method', 'doc_id', 'chunk_no'))
+
+
+def _substring_paragraph_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+  """Both text-granularity dedup surgeons method-tagged in one driver
+  row-set (the pack/chunk precedent): method='exactsubstr' rows are
+  remove_duplicated_spans' covered-token removal (Lee et al.
+  ExactSubstr, n_units = word tokens before), method='paragraph' rows
+  are dedup_paragraphs' Dolma-style canonical-first paragraph removal
+  (n_units = synthesized paragraphs, n_kept value-checked too) — every
+  column of both operators stays value-checked."""
+  from blueprint_oss_spark.ops import textops as T
+  es = (T.remove_duplicated_spans(spark, sf_dir)
+        .select(F.lit('exactsubstr').alias('method'), 'doc_id',
+                'clean_text', F.col('n_tokens').alias('n_units'),
+                'n_removed', F.lit(None).cast('long').alias('n_kept')))
+  pp = (T.dedup_paragraphs(spark, sf_dir)
+        .select(F.lit('paragraph').alias('method'), 'doc_id',
+                'clean_text', F.col('n_paras').alias('n_units'),
+                'n_removed', 'n_kept'))
+  return es.unionByName(pp).orderBy('method', 'doc_id')
 
 
 def _corpus_split_temperature_mix(spark: SparkSession,
@@ -930,17 +950,58 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_kept
           FROM kept GROUP BY doc_id),
         covn AS (
-          SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
-        SELECT d.doc_id,
+          SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        -- paragraph-granularity section (Dolma canonical-first rule):
+        -- re-synthesize 10-word paragraphs + planted boilerplate
+        -- (variant doc_id % 3 — NOT (doc_id+j) % 3, which the
+        -- injection congruence pins to 0) and keep only rank-1
+        -- occurrences of each exact paragraph text
+        plined AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+                   j -> CASE WHEN (doc_id * 13 + j * 7) % 9 = 0
+                             THEN (['subscribe to our newsletter for weekly updates and exclusive offers',
+                                    'all rights reserved copyright terms of service privacy policy apply',
+                                    'share this article on social media and join the discussion below'])
+                                  [CAST(doc_id % 3 AS INT) + 1]
+                             ELSE array_to_string(
+                                    w[j * 10 + 1 : j * 10 + 10], ' ')
+                        END) AS paras
+          FROM t),
+        pocc AS (
+          SELECT doc_id, CAST(i.i - 1 AS INT) AS pos, paras[i.i] AS para
+          FROM plined, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(paras)),
+        pranked AS (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, pos) AS rnk
+          FROM pocc),
+        pkept AS (SELECT * FROM pranked WHERE rnk = 1),
+        preb AS (
+          SELECT doc_id,
+                 string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM pkept GROUP BY doc_id)
+        SELECT 'exactsubstr' AS method, d.doc_id,
                coalesce(reb.clean_text, '') AS clean_text,
                CAST(len(list_filter(string_split(d.text, ' '),
                                     x -> len(x) > 0)) AS BIGINT)
-                 AS n_tokens,
-               CAST(coalesce(covn.n_removed, 0) AS BIGINT) AS n_removed
+                 AS n_units,
+               CAST(coalesce(covn.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(NULL AS BIGINT) AS n_kept
         FROM documents d
         LEFT JOIN reb USING (doc_id)
         LEFT JOIN covn USING (doc_id)
-        ORDER BY d.doc_id
+        UNION ALL
+        SELECT 'paragraph', l.doc_id,
+               coalesce(r.clean_text, ''),
+               CAST(len(l.paras) AS BIGINT),
+               CAST(len(l.paras) AS BIGINT) - coalesce(r.n_kept, 0),
+               coalesce(r.n_kept, 0)
+        FROM plined l LEFT JOIN preb r USING (doc_id)
+        ORDER BY method, doc_id
       """,
       'html_main_content': r"""
         SELECT doc_id,

@@ -1353,3 +1353,92 @@ def lm_score(spark: SparkSession, sf_dir: str, *,
                            + F.coalesce('bi_sum', F.lit(0.0)))
                           / F.col('n_scored'), 6).alias('lm_score'))
           .orderBy('doc_id'))
+
+#: Boilerplate paragraphs planted by dedup_paragraphs — the synthetic
+#: corpus is unique word soup, so corpus-wide duplicate paragraphs are
+#: synthesized deterministically (same device as pii_scrub's planted
+#: PII) and the DuckDB oracle replants them byte-identically.
+BOILERPLATE_PARAS = (
+    'subscribe to our newsletter for weekly updates and exclusive offers',
+    'all rights reserved copyright terms of service privacy policy apply',
+    'share this article on social media and join the discussion below',
+)
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str, *,
+                     words_per_para: int = 10,
+                     docs: DataFrame = None) -> DataFrame:
+  """Paragraph-level exact deduplication (the Dolma / Gopher repeated-
+  passage rule: Soldaini et al. 2024, "Dolma", arXiv:2402.00159 §2.3
+  dedupes at paragraph granularity; Rae et al. 2021 Gopher A.1.1 drops
+  repeated passages): every paragraph whose exact text occurs more
+  than once corpus-wide is removed EXCEPT its canonical first
+  occurrence (minimum (doc_id, pos) — Dolma's bloom-filter pass keeps
+  whichever occurrence arrives first, which is nondeterministic under
+  reshuffling; the min-occurrence rule is the deterministic,
+  retry-stable equivalent).  Documents are preserved with surviving
+  paragraphs re-joined in order:
+    doc_id, n_paras, n_kept, n_removed, clean_text ('' when every
+    paragraph was a non-first duplicate).
+
+  Paragraph structure is synthesized deterministically from the flat
+  word-soup corpus (same device as c4_line_clean's lines): the text is
+  chunked into `words_per_para`-word paragraphs and boilerplate
+  paragraph d % 3 of BOILERPLATE_PARAS replaces chunk j of doc d
+  whenever (d*13 + j*7) % 9 == 0 (the variant must NOT be keyed on
+  (d + j) % 3: the injection condition forces d + j ≡ 0 mod 3, which
+  would silently pin every injection to variant 0) — pure integer
+  arithmetic, so the DuckDB
+  oracle re-synthesizes byte-identical paragraphs and recomputes every
+  verdict from scratch (including which occurrence is canonical).
+
+  Scale shape: paragraph synthesis is map-side array arithmetic; the
+  only substantive shuffles are the word-count-shaped groupBy on the
+  paragraph's md5 (32-byte key regardless of paragraph length — the
+  standard Dolma trick; a 128-bit collision merging two distinct
+  paragraphs is ~2^-64 at 10^12 paragraphs) and the join-back on the
+  same key, both map-side-combinable; the rebuild is one per-doc
+  aggregation over bounded paragraph arrays.  No Python, no driver
+  collect, no window over the whole corpus."""
+  w = words_per_para
+  blist = ', '.join(f"'{b}'" for b in BOILERPLATE_PARAS)
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  paras_expr = F.expr(f"""
+    transform(
+      sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+      j -> CASE WHEN (doc_id * 13 + j * 7) % 9 = 0
+                THEN element_at(array({blist}),
+                                cast(doc_id % 3 as int) + 1)
+                ELSE array_join(slice(split(text, ' '),
+                                      j * {w} + 1, {w}), ' ')
+           END)
+  """)
+  base = d.select('doc_id', paras_expr.alias('paras'))
+  occ = (base.select('doc_id', F.posexplode('paras').alias('pos', 'para'))
+         .withColumn('h', F.md5('para')))
+  firsts = (occ.groupBy('h')
+            .agg(F.min(F.struct(F.col('doc_id'), F.col('pos')))
+                 .alias('first')))
+  kept = (occ.join(firsts, 'h')
+          .where((F.col('doc_id') == F.col('first.doc_id'))
+                 & (F.col('pos') == F.col('first.pos'))))
+  rebuilt = (kept.groupBy('doc_id')
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct('pos', 'para'))),
+                     lambda s: s['para']), '\n').alias('clean_text'),
+                  F.count(F.lit(1)).cast('long').alias('n_kept')))
+  stats = base.select('doc_id',
+                      F.size('paras').cast('long').alias('n_paras'))
+  return (stats
+          .join(rebuilt, 'doc_id', 'left')
+          .select('doc_id', 'n_paras',
+                  F.coalesce('n_kept', F.lit(0)).cast('long')
+                  .alias('n_kept'),
+                  (F.col('n_paras')
+                   - F.coalesce('n_kept', F.lit(0))).cast('long')
+                  .alias('n_removed'),
+                  F.coalesce('clean_text', F.lit('')).alias('clean_text'))
+          .orderBy('doc_id'))
