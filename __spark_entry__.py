@@ -170,9 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # plant_for_verification: the gate corpus has no organic
       # near-dups, so verification injects deterministic ones that the
       # DuckDB oracle recomputes; production default is no planting.
-      'embedding_near_dup_pairs':
-          lambda s, d: V.embedding_near_dup_pairs(
-              s, d, plant_for_verification=True),
+      # method='pairs' = self-join near-dup pairs, method='decon' =
+      # train-vs-eval semantic decontamination verdicts (gate-budget
+      # merge; both sections fully value-checked from-scratch).
+      'embedding_near_dup_pairs': _embedding_pairs_decon,
       # both dedup-groups paths in ONE edge_source-tagged row-set
       # (gate-budget merge freeing a slot for c4_line_clean): the
       # 100 TB path (banded-LSH minhash candidate edges -> connected
@@ -474,6 +475,28 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    'chunk_no', 'start_tok', 'chunk_text'))
   return (pack.unionByName(chunk)
           .orderBy('method', 'doc_id', 'chunk_no'))
+
+
+def _embedding_pairs_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Embedding near-dup pairs and semantic eval-decontamination
+  method-tagged in one driver row-set: method='pairs' rows are the
+  LSH-blocked self-join near-dups (vec_a/vec_b/cos_r vs the brute
+  O(n^2) oracle), method='decon' rows are semantic_decontaminate's
+  per-train-vector verdicts (vec_id as vec_a, best_eval_id as vec_b,
+  best_cos_r as cos_r, plus the contaminated flag — NULL on the pairs
+  section) — every column of both operators stays value-checked."""
+  from blueprint_oss_spark.ops import vectors as V
+  pairs = (V.embedding_near_dup_pairs(spark, sf_dir,
+                                      plant_for_verification=True)
+           .select(F.lit('pairs').alias('method'), 'vec_a', 'vec_b',
+                   'cos_r', F.lit(None).cast('int').alias('contaminated')))
+  decon = (V.semantic_decontaminate(spark, sf_dir,
+                                    plant_for_verification=True)
+           .select(F.lit('decon').alias('method'),
+                   F.col('vec_id').alias('vec_a'),
+                   F.col('best_eval_id').alias('vec_b'),
+                   F.col('best_cos_r').alias('cos_r'), 'contaminated'))
+  return pairs.unionByName(decon).orderBy('method', 'vec_a', 'vec_b')
 
 
 def _substring_paragraph_dedup(spark: SparkSession,
@@ -2331,14 +2354,47 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id + 1000000,
                  list_transform(e, x -> x + 0.01)
           FROM v WHERE vec_id < 40
-        )
-        SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))) AS cos
-          FROM u a JOIN u b ON a.vec_id < b.vec_id) t
-        WHERE cos >= 0.9
-        ORDER BY vec_a, vec_b
+        ), pairs AS (
+          SELECT vec_a, vec_b, ROUND(cos, 4) AS cos_r FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS cos
+            FROM u a JOIN u b ON a.vec_id < b.vec_id) t
+          WHERE cos >= 0.9
+        ),
+        -- decon section: train (vec_id % 10 <> 0) vs eval (the % 10
+        -- slice + the same planted near-copies), exact all-pairs
+        -- truth the LSH-blocked operator must reproduce
+        ev AS (
+          SELECT vec_id, e FROM v WHERE vec_id % 10 = 0
+          UNION ALL
+          SELECT vec_id + 1000000, list_transform(e, x -> x + 0.01)
+          FROM v WHERE vec_id < 40
+        ), tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+        scored AS (
+          SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+                 ROUND(list_dot_product(t.e, ev.e)
+                       / (sqrt(list_dot_product(t.e, t.e))
+                          * sqrt(list_dot_product(ev.e, ev.e))), 6)
+                   AS cos6
+          FROM tr t, ev
+        ), hits AS (SELECT * FROM scored WHERE cos6 >= 0.9),
+        ranked AS (
+          SELECT train_id, eval_id, cos6,
+                 row_number() OVER (PARTITION BY train_id
+                                    ORDER BY cos6 DESC, eval_id) AS rnk
+          FROM hits)
+        SELECT 'pairs' AS method, vec_a, vec_b, cos_r,
+               CAST(NULL AS INT) AS contaminated
+        FROM pairs
+        UNION ALL
+        SELECT 'decon', t.vec_id,
+               CAST(r.eval_id AS BIGINT),
+               ROUND(r.cos6, 4),
+               CAST(r.train_id IS NOT NULL AS INT)
+        FROM tr t LEFT JOIN (SELECT * FROM ranked WHERE rnk = 1) r
+          ON t.vec_id = r.train_id
+        ORDER BY method, vec_a, vec_b
       """,
   }

@@ -545,3 +545,113 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, *,
           .withColumn('keep',
                       (F.col('vec_id') == F.col('group')).cast('int'))
           .orderBy('vec_id'))
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str, *,
+                           threshold: float = 0.9,
+                           n_planes: int = 12, bands: int = 3,
+                           eval_mod: int = 10,
+                           max_bucket_size: int = 0,
+                           plant_for_verification: bool = False,
+                           n_planted: int = 40,
+                           plant_eps: float = 0.01) -> DataFrame:
+  """Embedding-level eval-set decontamination — the semantic complement
+  of the n-gram `decontaminate` operator (the modern LLM-pipeline rule:
+  drop training documents whose embedding is too close to ANY eval-set
+  document, catching paraphrased benchmark leakage n-gram overlap
+  misses; e.g. the cosine-similarity decontamination described for
+  phi/Llama-style data pipelines).
+
+  The eval dimension is the `vec_id % eval_mod == 0` slice of the
+  embeddings table (an in-table split, same device as
+  bloom_decontaminate's eval_mod — a real deployment passes its eval
+  embeddings as the second table; the seam is the WHERE clause).
+  Every TRAIN vector gets one verdict row:
+    vec_id, contaminated (1 iff round(cos, 6) >= threshold for some
+    eval vector), best_eval_id / best_cos_r (the highest-cosine
+    contaminating eval vector, min eval_id on ties; NULL when not
+    contaminated).  Best-match is only reported for contaminated rows
+    on purpose: below the threshold, WHICH low-cosine pairs happen to
+    collide is an LSH implementation detail, so reporting them would
+    make the output depend on bucket internals no external oracle can
+    reproduce — above the threshold, banding recall makes the
+    colliding best the global best.
+
+  Scale shape: candidate generation is banded sign-LSH (the
+  embedding_near_dup_pairs machinery — `bands` buckets of
+  n_planes/bands sign bits, recall fixed by multi-probe banding), so
+  the train side NEVER cross-joins the eval side: the eval dimension
+  is grouped per bucket (one substantive shuffle over the eval slice —
+  the SMALL side), train rows probe it with a per-bucket equi-join,
+  and exact cosine runs only on colliding (train, eval) pairs.  The
+  per-train-id best-match aggregation is map-side-combinable
+  max(struct).  Skew knob: `max_bucket_size` drops oversized EVAL
+  bucket lists before the fanout join (textops._cap_hub_buckets,
+  observation-based drop accounting) — a degenerate eval swarm
+  otherwise fans every colliding train row out k ways.
+
+  Verification planting mirrors embedding_near_dup_pairs (default OFF):
+  `plant_for_verification=True` re-enters the first `n_planted`
+  vectors as eval-side near-copies (vec_id+1_000_000, +plant_eps per
+  component), so planted originals that are NOT themselves eval rows
+  must come back contaminated — and the DuckDB oracle recomputes the
+  exact brute-force train x eval cosine matrix independently, proving
+  the LSH blocking lost nothing on this corpus."""
+  raw = _emb(spark, sf_dir)
+  e = raw.select(
+      'vec_id',
+      F.transform(F.col('embedding'),
+                  lambda x: x.cast('double')).alias('e'))
+  e = _spread_small_scan(raw, e)
+  is_eval = F.pmod(F.col('vec_id'), F.lit(eval_mod)) == 0
+  ev = e.where(is_eval)
+  if plant_for_verification:
+    ev = ev.unionByName(_planted(e, n_planted, plant_eps))
+  tr = e.where(~is_eval)
+
+  def stacked(side, id_name):
+    band_cols = _banded_bucket_cols(F.col('e'), n_planes, bands)
+    return side.select(
+        F.col('vec_id').alias(id_name),
+        F.explode(F.array(*band_cols)).alias('bucket'))
+
+  ev_grouped = (stacked(ev, 'eval_id')
+                .groupBy('bucket')
+                .agg(F.sort_array(F.collect_set('eval_id'))
+                     .alias('ids')))
+  if max_bucket_size > 0:
+    from blueprint_oss_spark.ops.textops import _cap_hub_buckets
+    ev_grouped = _cap_hub_buckets(
+        ev_grouped, 'ids', max_bucket_size, 'semantic_decontaminate',
+        'split the eval set or raise the cap')
+
+  cand = (stacked(tr, 'train_id')
+          .join(ev_grouped, 'bucket')
+          .select('train_id', F.explode('ids').alias('eval_id'))
+          .distinct())
+  et = tr.select(F.col('vec_id').alias('train_id'),
+                 F.col('e').alias('e_t'))
+  ee = ev.select(F.col('vec_id').alias('eval_id'),
+                 F.col('e').alias('e_e'))
+  scored = (cand.join(et, 'train_id').join(ee, 'eval_id')
+            .select('train_id',
+                    'eval_id',
+                    F.round(_dot(F.col('e_t'), F.col('e_e'))
+                            / (_norm(F.col('e_t'))
+                               * _norm(F.col('e_e'))), 6)
+                    .alias('cos6')))
+  best = (scored.groupBy('train_id')
+          .agg(F.max(F.struct(F.col('cos6'),
+                              (-F.col('eval_id')).alias('ni')))
+               .alias('b')))
+  contaminated = F.coalesce(
+      (F.col('b.cos6') >= threshold).cast('int'), F.lit(0))
+  return (tr.select(F.col('vec_id'))
+          .join(best, tr['vec_id'] == best['train_id'], 'left')
+          .select('vec_id',
+                  contaminated.alias('contaminated'),
+                  F.when(contaminated == 1, -F.col('b.ni'))
+                  .cast('long').alias('best_eval_id'),
+                  F.when(contaminated == 1, F.round('b.cos6', 4))
+                  .alias('best_cos_r'))
+          .orderBy('vec_id'))
