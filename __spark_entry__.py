@@ -212,8 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # cosine edges -> connected components -> keep-one; snapshot
       # verified by a FULL pure-python recomputation (same seeded
       # trainer, left-to-right float64 folds, union-find)
-      'semantic_dedup':
-          lambda s, d: V.semantic_dedup(s, d, plant_for_verification=True),
+      # SemDeDup groups (planted verification universe) joined with
+      # prototype-based cluster-balanced selection (production table,
+      # NULLs on planted rows) — both verified by FULL pure-python
+      # recomputations before the snapshot is written
+      'semantic_dedup': _semantic_dedup_select,
       # --- north-rule pipeline + curation capstones (DuckDB-oracled
       # from the raw tables) ---
       'main_content_spans': _main_content_spans,
@@ -475,6 +478,20 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    'chunk_no', 'start_tok', 'chunk_text'))
   return (pack.unionByName(chunk)
           .orderBy('method', 'doc_id', 'chunk_no'))
+
+
+def _semantic_dedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """SemDeDup dedup groups joined with Sorscher-style cluster-balanced
+  selection on vec_id (gate-budget merge; same k-means cells power
+  both): group/keep from semantic_dedup's planted verification
+  universe, cell/cos_c/cell_rank/selected from
+  cluster_balanced_select's production run (LEFT join, so planted
+  vec_ids carry NULL selection columns — value-checked as NULLs)."""
+  from blueprint_oss_spark.ops import vectors as V
+  dd = V.semantic_dedup(spark, sf_dir, plant_for_verification=True)
+  sel = V.cluster_balanced_select(spark, sf_dir) \
+      .select('vec_id', 'cell', 'cos_c', 'cell_rank', 'selected')
+  return dd.join(sel, 'vec_id', 'left').orderBy('vec_id')
 
 
 def _embedding_pairs_decon(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -200,6 +200,14 @@ def main() -> None:
       # Arrow probe (no joins/shuffles on the train side)
       ('bloom_decontaminate',
        lambda: C.bloom_decontaminate(spark, sf_dir).count()),
+      # Dolma-style paragraph dedup: one word-count-shaped shuffle on
+      # md5(para) + join-back + per-doc rebuild
+      ('dedup_paragraphs',
+       lambda: T.dedup_paragraphs(spark, sf_dir).count()),
+      # semantic eval decontamination (production default, no
+      # planting): eval-side bucket shuffle, train probes by equi-join
+      ('semantic_decontaminate',
+       lambda: V.semantic_decontaminate(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

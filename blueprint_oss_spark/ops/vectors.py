@@ -495,19 +495,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, *,
        for r in raw.select('embedding').limit(train_limit).collect()])
   C = train_ivf_centroids(sample, n_cells)
 
-  # staged projections (norm, then the normalized vector) so Catalyst
-  # evaluates the norm fold ONCE per row instead of inlining it into
-  # every per-centroid dot fold (the pq_topk expression-blowup lesson)
-  base = (u.select('vec_id', 'e')
-          .select('vec_id', 'e', _norm(F.col('e')).alias('nrm'))
-          .select('vec_id', 'e',
-                  F.transform('e', lambda x: x / F.col('nrm'))
-                  .alias('nv')))
-  dots = F.array(*[
-      _dot(F.col('nv'), F.array(*[F.lit(float(w)) for w in c]))
-      for c in C])
-  assigned = base.select(
-      'vec_id', F.array_position(dots, F.array_max(dots)).alias('cell'))
+  assigned = _assign_cells(u, C).select('vec_id', 'cell')
 
   grouped = (assigned
              .groupBy('cell')
@@ -654,4 +642,80 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str, *,
                   .cast('long').alias('best_eval_id'),
                   F.when(contaminated == 1, F.round('b.cos6', 4))
                   .alias('best_cos_r'))
+          .orderBy('vec_id'))
+
+
+def _assign_cells(u: DataFrame, C) -> DataFrame:
+  """(vec_id, cell, cos_c) for every vector against the trained
+  centroid table: cell is the 1-based FIRST-max position (the
+  F.array_position semantics build_oracles' python replica mirrors),
+  cos_c the centroid cosine (exact, both vectors unit) rounded to 6
+  for engine-stable downstream ordering.
+
+  Staged projections (norm, then the normalized vector, then the dots
+  array as its own column) so Catalyst evaluates the norm fold ONCE
+  per row instead of inlining it into every per-centroid dot fold, and
+  the dots array once instead of per consumer (the pq_topk
+  expression-blowup lesson)."""
+  base = (u.select('vec_id', 'e')
+          .select('vec_id', 'e', _norm(F.col('e')).alias('nrm'))
+          .select('vec_id', 'e',
+                  F.transform('e', lambda x: x / F.col('nrm'))
+                  .alias('nv')))
+  dots = F.array(*[
+      _dot(F.col('nv'), F.array(*[F.lit(float(w)) for w in c]))
+      for c in C])
+  return (base.select('vec_id', dots.alias('dots'))
+          .select('vec_id',
+                  F.array_position('dots', F.array_max('dots'))
+                  .alias('cell'),
+                  F.round(F.array_max('dots'), 6).alias('cos_c')))
+
+
+def cluster_balanced_select(spark: SparkSession, sf_dir: str, *,
+                            n_cells: int = 16, per_cell: int = 20,
+                            train_limit: int = 10_000) -> DataFrame:
+  """Prototype-based cluster-balanced data selection (Sorscher et al.
+  2022, "Beyond neural scaling laws: beating power law scaling via
+  data pruning", arXiv:2206.14486: cluster the embedding space, score
+  each example by its cosine to its cluster prototype, and PRUNE THE
+  EASIEST — most prototypical — examples; keeping a fixed budget per
+  cluster also rebalances topic mass, the SemDeDup-paper follow-up
+  regime).  Per vector:
+    vec_id, cell (1-based k-means cell), cos_c (cosine to its
+    prototype, rounded 6), cell_rank (1 = HARDEST, ascending cos_c,
+    vec_id tie-break), selected (1 iff cell_rank <= per_cell).
+
+  Scale shape: centroid training is the bounded `.limit()` sample the
+  IVF/SemDeDup operators already use; per-row assignment is map-side
+  JVM arithmetic against broadcast centroid literals; the ONE shuffle
+  is the per-cell ranking window, partitioned by cell — at 100 TB
+  n_cells is tens of thousands (the paper's regime), so cells vastly
+  outnumber executors and the window parallelizes; no per-cell
+  collect, no quadratic work anywhere (this is the selection
+  complement of semantic_dedup: same cells, linear scoring instead of
+  in-cell pairwise cosine).
+
+  Determinism: seeded trainer + fold-order float64 arithmetic + the
+  round-6 ordering key with vec_id tie-break make the whole frame
+  reproducible bit-for-bit; verified by a FULL pure-python
+  recomputation (scripts/build_oracles.py::verify_cluster_select)."""
+  import numpy as np
+
+  raw = _emb(spark, sf_dir)
+  e = raw.select(
+      'vec_id',
+      F.transform(F.col('embedding'),
+                  lambda x: x.cast('double')).alias('e'))
+  e = _spread_small_scan(raw, e)
+  sample = np.array(
+      [np.asarray(r['embedding'], dtype=np.float64)
+       for r in raw.select('embedding').limit(train_limit).collect()])
+  C = train_ivf_centroids(sample, n_cells)
+
+  w = Window.partitionBy('cell').orderBy(F.asc('cos_c'), F.asc('vec_id'))
+  return (_assign_cells(e, C)
+          .withColumn('cell_rank', F.row_number().over(w))
+          .withColumn('selected',
+                      (F.col('cell_rank') <= per_cell).cast('int'))
           .orderBy('vec_id'))

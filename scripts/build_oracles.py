@@ -56,6 +56,7 @@ sys.path.insert(0, '/root/repo')
 sys.path.insert(0, '/root/repo/scripts')
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -395,6 +396,65 @@ def _cell_python(v, C) -> int:
       d += x * float(w)
     dots.append(d)
   return dots.index(max(dots)) + 1
+
+
+def _cell_cos_python(v, C):
+  """(cell, cos_c) replica of ops/vectors._assign_cells: fold-order
+  norm + per-centroid dots, cell = 1-based FIRST-max position, cos_c =
+  the max dot rounded to 6 (both vectors unit, so dot == cosine)."""
+  s = 0.0
+  for x in v:
+    s += x * x
+  nrm = s ** 0.5
+  nv = [x / nrm for x in v]
+  dots = []
+  for c in C:
+    d = 0.0
+    for x, w in zip(nv, c):
+      d += x * float(w)
+    dots.append(d)
+  m = max(dots)
+  return dots.index(m) + 1, round(m, 6)
+
+
+def verify_cluster_select(sf_dir: str, pdf, *, n_cells: int = 16,
+                          per_cell: int = 20) -> dict:
+  """FULL pure-python recomputation of cluster_balanced_select (the
+  cell/cos_c/cell_rank/selected columns of the merged semantic_dedup
+  gate frame): same seeded trainer, fold-order cell assignment and
+  prototype cosine, per-cell rank by (cos_c asc, vec_id).  Planted
+  rows (vec_id >= 1e6 — semantic_dedup's verification universe) must
+  carry NULLs: selection runs on the production table only."""
+  from blueprint_oss_spark.ops.vectors import train_ivf_centroids
+  E = _read_embeddings(sf_dir)
+  sample = np.array([E[i] for i in E])
+  C = train_ivf_centroids(sample, n_cells)
+  bycell: dict = {}
+  for i in sorted(E):
+    cell, cos6 = _cell_cos_python(E[i], C)
+    bycell.setdefault(cell, []).append((cos6, i))
+  expect = {}
+  for cell, ms in bycell.items():
+    for rank, (cos6, i) in enumerate(sorted(ms), 1):
+      expect[i] = (cell, cos6, rank, 1 if rank <= per_cell else 0)
+  n_checked = n_null = 0
+  for r in pdf.itertuples():
+    i = int(r.vec_id)
+    if i >= 1_000_000:
+      assert pd.isna(r.cell) and pd.isna(r.cell_rank), (i, r)
+      n_null += 1
+      continue
+    got = (int(r.cell), float(r.cos_c), int(r.cell_rank),
+           int(r.selected))
+    assert got == expect[i], (i, got, expect[i])
+    n_checked += 1
+  assert n_checked == len(expect), (n_checked, len(expect))
+  n_sel = sum(1 for v in expect.values() if v[3])
+  assert 0 < n_sel < len(expect), n_sel
+  return {'method': 'FULL pure-python recomputation (seeded trainer + '
+                    'fold-order prototype cosine + per-cell rank)',
+          'rows_checked': n_checked, 'planted_nulls': n_null,
+          'n_selected': n_sel}
 
 
 def _read_embeddings(sf_dir: str):
@@ -837,7 +897,17 @@ def main() -> None:
     elif name == 'ann_topk_methods':
       rec = verify_ann_topk_methods(args.sf_dir, pdf)
     elif name == 'semantic_dedup':
-      rec = verify_semantic_dedup(args.sf_dir, pdf)
+      # the merged gate frame: dedup columns verified by the seeded
+      # union-find recomputation, selection columns by the per-cell
+      # prototype-rank recomputation
+      rec_d = verify_semantic_dedup(args.sf_dir, pdf)
+      rec_s = verify_cluster_select(args.sf_dir, pdf)
+      rec = {'method': f"dedup: {rec_d['method']}; "
+                       f"select: {rec_s['method']}",
+             'dup_groups': rec_d['dup_groups'],
+             'in_cell_edges': rec_d['in_cell_edges'],
+             'n_selected': rec_s['n_selected'],
+             'planted_nulls': rec_s['planted_nulls']}
     elif name == 'media_features_phash':
       # the merged multimodal query: each half verified by its own
       # independent recomputation (features analytically from the
