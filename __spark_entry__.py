@@ -279,27 +279,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
   """The exact brute-force baseline plus all three ANN index families
   over the same query vector in one driver row-set: exact cosine top-k
-  joined with per-vector norms (method='brute', the only section
-  carrying label/norm_sq — its oracle stays from-scratch SQL), sign-LSH
+  joined with per-vector norms (method='brute', carrying
+  label/norm_sq — its oracle stays from-scratch SQL), sign-LSH
   banded probe, IVF coarse-quantizer probe, and PQ asymmetric-distance
   shortlist + exact refine.  Each method's rows are its own operator's
   output tagged with a method column, so every family stays
-  independently value-checked."""
+  independently value-checked.  A fifth section method='hardneg'
+  carries hard_negative_mining's per-anchor different-label top-k
+  (anchor_id/anchor_label/rnk columns, NULL on the other sections;
+  neg_id rides vec_id, neg_label rides label) — its oracle is also
+  from-scratch SQL."""
   from blueprint_oss_spark.ops import vectors as V
   nul_i = F.lit(None).cast('int')
   nul_d = F.lit(None).cast('double')
+  nul_l = F.lit(None).cast('long')
+  no_anchor = [nul_l.alias('anchor_id'), nul_l.alias('anchor_label'),
+               nul_i.alias('rnk')]
   brute = (V.cosine_topk_bruteforce(spark, sf_dir)
            .join(V.embedding_norms(spark, sf_dir), 'vec_id')
            .select(F.lit('brute').alias('method'), 'vec_id', 'cosine_r',
-                   'label', 'norm_sq'))
+                   'label', 'norm_sq', *no_anchor))
   lsh = V.ann_topk_lsh(spark, sf_dir).withColumn('method', F.lit('lsh'))
   ivf = V.ivf_topk(spark, sf_dir).withColumn('method', F.lit('ivf'))
   pqa = V.pq_topk(spark, sf_dir).withColumn('method', F.lit('pq'))
   ann = (lsh.unionByName(ivf).unionByName(pqa)
          .select('method', 'vec_id', 'cosine_r',
-                 nul_i.alias('label'), nul_d.alias('norm_sq')))
-  return (brute.unionByName(ann)
-          .orderBy('method', F.desc('cosine_r'), 'vec_id'))
+                 nul_i.alias('label'), nul_d.alias('norm_sq'),
+                 *no_anchor))
+  # hard-negative mining section (from-scratch SQL oracle): neg_id
+  # rides vec_id, neg_label rides label, plus its own anchor columns
+  hn = (V.hard_negative_mining(spark, sf_dir)
+        .select(F.lit('hardneg').alias('method'),
+                F.col('neg_id').alias('vec_id'),
+                F.col('cos_r').alias('cosine_r'),
+                F.col('neg_label').cast('int').alias('label'),
+                nul_d.alias('norm_sq'),
+                F.col('anchor_id').cast('long').alias('anchor_id'),
+                F.col('anchor_label').cast('long')
+                .alias('anchor_label'),
+                F.col('rnk').cast('int').alias('rnk')))
+  return (brute.unionByName(ann).unionByName(hn)
+          .orderBy('method', 'anchor_id', 'rnk',
+                   F.desc('cosine_r'), 'vec_id'))
 
 
 def _top_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,16 +1748,52 @@ def oracle_sql() -> dict[str, str]:
                                        * CAST(x AS DOUBLE)),
                    'sum'), 2) AS norm_sq
           FROM embeddings
+        ),
+        -- hard-negative mining section, recomputed from scratch:
+        -- anchors = vec_id % 50, top-3 highest-cosine different-label
+        -- vectors per anchor, (round-6 DESC, neg_id) ordering
+        vl AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                                x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), anch AS (
+          SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
+          FROM vl WHERE vec_id % 50 = 0
+        ), hnscored AS (
+          SELECT a.anchor_id, a.anchor_label, vl.vec_id AS neg_id,
+                 vl.label AS neg_label,
+                 ROUND(list_dot_product(vl.e, a.ae)
+                       / (sqrt(list_dot_product(vl.e, vl.e))
+                          * sqrt(list_dot_product(a.ae, a.ae))), 6)
+                   AS cos6
+          FROM vl JOIN anch a ON vl.label <> a.anchor_label
+        ), hnranked AS (
+          SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                       ORDER BY cos6 DESC, neg_id)
+                      AS rnk
+          FROM hnscored
         )
         SELECT 'brute' AS method, t.vec_id, t.cosine_r,
-               n.label, n.norm_sq
+               n.label, n.norm_sq,
+               CAST(NULL AS BIGINT) AS anchor_id,
+               CAST(NULL AS BIGINT) AS anchor_label,
+               CAST(NULL AS INT) AS rnk
         FROM topk t JOIN norms n ON t.vec_id = n.vec_id
         UNION ALL
         SELECT method, vec_id, cosine_r,
                CAST(NULL AS INT) AS label,
-               CAST(NULL AS DOUBLE) AS norm_sq
+               CAST(NULL AS DOUBLE) AS norm_sq,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT)
         FROM read_parquet('/root/repo/oracles/ann_topk_methods.parquet')
-        ORDER BY method, cosine_r DESC, vec_id
+        UNION ALL
+        SELECT 'hardneg', neg_id, ROUND(cos6, 4),
+               CAST(neg_label AS INT), CAST(NULL AS DOUBLE),
+               anchor_id, CAST(anchor_label AS BIGINT),
+               CAST(rnk AS INT)
+        FROM hnranked WHERE rnk <= 3
+        ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': """
         WITH toks AS (

@@ -719,3 +719,55 @@ def cluster_balanced_select(spark: SparkSession, sf_dir: str, *,
           .withColumn('selected',
                       (F.col('cell_rank') <= per_cell).cast('int'))
           .orderBy('vec_id'))
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str, *,
+                         k: int = 3, anchor_mod: int = 50) -> DataFrame:
+  """Hard-negative mining for contrastive / metric-learning training
+  data (the in-batch-negatives upgrade used by dense-retriever
+  pipelines, e.g. Xiong et al. 2021 ANCE, arXiv:2007.00808: the most
+  informative negatives for an anchor are the highest-similarity
+  examples of a DIFFERENT label).  For every anchor (the deterministic
+  `vec_id % anchor_mod == 0` slice — a real deployment passes its
+  anchor/query table; the seam is the WHERE clause), report the top-k
+  highest-cosine vectors whose label differs:
+    anchor_id, anchor_label, rnk (1 = hardest), neg_id, neg_label,
+    cos_r (round 4).
+
+  Scale shape: the anchor slice is a bounded dimension BROADCAST
+  against the corpus scan — scoring is map-side (one cosine fold per
+  (row, anchor), no corpus shuffle for candidate generation); the
+  per-anchor top-k is a rank window partitioned by anchor whose
+  `rnk <= k` filter Spark 3.5+ pushes down as a WindowGroupLimit on
+  BOTH sides of the exchange (map-side partial top-k per partition —
+  the url_curation hub-domain lesson), so the shuffle carries at most
+  k·partitions rows per anchor, not the whole scored corpus.  At
+  web scale with millions of anchors you swap the broadcast for the
+  IVF cell probe (ivf_topk's machinery) and keep the same window —
+  the brute scoring here is the exactness baseline, like
+  cosine_topk_bruteforce.
+
+  Determinism: ordering key = (round(cos, 6) DESC, neg_id) so ties
+  cannot diverge engines; the DuckDB oracle recomputes everything
+  from scratch."""
+  e = _emb(spark, sf_dir)
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  anchors = (e.where(F.pmod(F.col('vec_id'), F.lit(anchor_mod)) == 0)
+             .select(F.col('vec_id').alias('anchor_id'),
+                     F.col('label').alias('anchor_label'),
+                     vec.alias('a')))
+  scored = (e.select(F.col('vec_id').alias('neg_id'),
+                     F.col('label').alias('neg_label'), vec.alias('v'))
+            .join(F.broadcast(anchors),
+                  F.col('neg_label') != F.col('anchor_label'))
+            .select('anchor_id', 'anchor_label', 'neg_id', 'neg_label',
+                    F.round(_dot(F.col('v'), F.col('a'))
+                            / (_norm(F.col('v')) * _norm(F.col('a'))),
+                            6).alias('cos6')))
+  w = Window.partitionBy('anchor_id').orderBy(F.desc('cos6'), 'neg_id')
+  return (scored
+          .withColumn('rnk', F.row_number().over(w))
+          .where(F.col('rnk') <= k)
+          .select('anchor_id', 'anchor_label', 'rnk', 'neg_id',
+                  'neg_label', F.round('cos6', 4).alias('cos_r'))
+          .orderBy('anchor_id', 'rnk'))
