@@ -621,9 +621,29 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   """Main-content extraction (HTML boilerplate strip via DOM
   heuristics): documents wrapped in deterministic boilerplate-heavy
   templates, stripped back; ground truth = the original text column,
-  so the oracle recomputes expected output engine-independently."""
+  so the oracle recomputes expected output engine-independently.
+  A second method='warc' section (gate-budget merge) carries the WARC
+  ingest front door: deterministic ISO-28500 response records parsed
+  back to uri/status/content-type/length-check/body-text rows with
+  pure codegen column ops — its oracle re-synthesizes and re-parses
+  the records from scratch; columns not belonging to a section are
+  typed NULLs."""
   from blueprint_oss_spark.ops.html_extract import html_main_content
-  return html_main_content(spark, sf_dir)
+  from blueprint_oss_spark.ops.warc import parse_warc_records
+  nul_s = F.lit(None).cast('string')
+  nul_i = F.lit(None).cast('int')
+  nul_l = F.lit(None).cast('long')
+  dom = (html_main_content(spark, sf_dir)
+         .select(F.lit('dom').alias('method'), 'doc_id', 'main_text',
+                 nul_s.alias('target_uri'), nul_i.alias('status'),
+                 nul_s.alias('content_type'),
+                 nul_l.alias('declared_len'), nul_l.alias('body_len'),
+                 nul_i.alias('length_ok')))
+  wrc = (parse_warc_records(spark, sf_dir)
+         .select(F.lit('warc').alias('method'), 'doc_id', 'main_text',
+                 'target_uri', 'status', 'content_type',
+                 'declared_len', 'body_len', 'length_ok'))
+  return dom.unionByName(wrc).orderBy('method', 'doc_id')
 
 
 def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,10 +1084,88 @@ def oracle_sql() -> dict[str, str]:
         FROM plined l LEFT JOIN preb r USING (doc_id)
         ORDER BY method, doc_id
       """,
+      # method='dom': ground truth = whitespace-normalized original
+      # text.  method='warc': records re-synthesized byte-identically
+      # (e'\r\n' blocks, computed Content-Length headers, 404 and
+      # truncation plants) and re-parsed from scratch.
       'html_main_content': r"""
-        SELECT doc_id,
-               trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text
-        FROM documents ORDER BY doc_id
+        WITH w AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 29 = 0
+                      THEN '<html><body>Not Found</body></html>'
+                      ELSE '<html><head><title>Doc '
+                           || CAST(doc_id AS VARCHAR)
+                           || '</title></head><body><p>' || text
+                           || '</p></body></html>' END AS payload
+          FROM documents
+        ), hb AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 29 = 0
+                       THEN 'HTTP/1.1 404 Not Found'
+                       ELSE 'HTTP/1.1 200 OK' END)
+                 || e'\r\n' || 'Content-Type: text/html; charset=utf-8'
+                 || e'\r\n' || 'Content-Length: '
+                 || CAST(length(payload) AS VARCHAR)
+                 || e'\r\n\r\n' || payload AS http_block
+          FROM w
+        ), recs AS (
+          SELECT doc_id,
+                 'WARC/1.0' || e'\r\n' || 'WARC-Type: response'
+                 || e'\r\n' || 'WARC-Record-ID: <urn:uuid:'
+                 || CAST(doc_id AS VARCHAR) || '>' || e'\r\n'
+                 || 'WARC-Date: 2026-01-01T00:00:00Z' || e'\r\n'
+                 || 'WARC-Target-URI: https://site'
+                 || CAST(doc_id % 53 AS VARCHAR) || '.com/p'
+                 || CAST(doc_id AS VARCHAR) || e'\r\n'
+                 || 'Content-Type: application/http; msgtype=response'
+                 || e'\r\n' || 'Content-Length: '
+                 || CAST(length(http_block) AS VARCHAR)
+                 || e'\r\n\r\n' || http_block AS rec0
+          FROM hb
+        ), trunc AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 37 = 0
+                      THEN substr(rec0, 1, length(rec0) - 20)
+                      ELSE rec0 END AS record
+          FROM recs
+        ), parsed AS (
+          SELECT doc_id,
+                 string_split_regex(record, '\r\n\r\n') AS parts
+          FROM trunc
+        )
+        SELECT 'dom' AS method, doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
+               CAST(NULL AS VARCHAR) AS target_uri,
+               CAST(NULL AS INT) AS status,
+               CAST(NULL AS VARCHAR) AS content_type,
+               CAST(NULL AS BIGINT) AS declared_len,
+               CAST(NULL AS BIGINT) AS body_len,
+               CAST(NULL AS INT) AS length_ok
+        FROM documents
+        UNION ALL
+        SELECT 'warc', doc_id,
+               trim(regexp_replace(regexp_replace(
+                 coalesce(parts[3], ''), '<[^>]*>', ' ', 'g'),
+                 '\s+', ' ', 'g')),
+               regexp_extract(parts[1], 'WARC-Target-URI: (\S+)', 1),
+               CAST(NULLIF(regexp_extract(parts[2],
+                                          'HTTP/1\.1 ([0-9]+)', 1),
+                           '') AS INT),
+               regexp_extract(parts[2], 'Content-Type: ([^\r]+)', 1),
+               CAST(NULLIF(regexp_extract(
+                 parts[2], 'Content-Length: ([0-9]+)', 1), '')
+                 AS BIGINT),
+               CAST(length(coalesce(parts[3], '')) AS BIGINT),
+               CASE WHEN regexp_extract(
+                      parts[2], 'Content-Length: ([0-9]+)', 1) <> ''
+                    THEN CAST(length(coalesce(parts[3], ''))
+                              = CAST(regexp_extract(
+                                  parts[2],
+                                  'Content-Length: ([0-9]+)', 1)
+                                  AS BIGINT) AS INT)
+                    ELSE 0 END
+        FROM parsed
+        ORDER BY method, doc_id
       """,
       # North-rule span sequence recomputed from the raw documents
       # table: the synthesis formulas (interleaved_html_table) are pure

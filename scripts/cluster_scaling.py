@@ -165,6 +165,45 @@ elif model == 'url_curation':
                              'kept').cast('decimal(38,0)')).alias('s')
         ).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
+elif model == 'paragraphs':
+    # word-count-shuffle counterpart: paragraph dedup's cost is the
+    # md5(para)-keyed groupBy + join-back + per-doc rebuild.  Corpus
+    # replicated with salted tokens, so TEXT paragraphs are disjoint
+    # across replicas (work scales linearly) while the PLANTED
+    # boilerplate paragraphs collide across the whole replicated
+    # corpus — a genuine hub-key stress (thousands of occurrences of
+    # three paragraph texts) that the map-side partial min(struct)
+    # must absorb before the shuffle, exactly the 100 TB boilerplate
+    # case PLANS.md claims.  Checksum = exact order-insensitive
+    # hash-sum of the full per-doc verdict (kept/removed counts +
+    # rebuilt text).
+    from blueprint_oss_spark.ops.textops import dedup_paragraphs
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    if n_docs:
+        src = src.limit(n_docs)
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '32'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select((F.col('doc_id') + F.col('rep') * 1000000)
+                       .alias('doc_id'),
+                       F.concat_ws(' ', F.transform(
+                           F.split('text', ' '),
+                           lambda t: F.concat(
+                               t, F.lit('_'),
+                               F.col('rep').cast('string'))))
+                       .alias('text')))
+    df = src.repartition(n_parts).cache()
+    n_in = df.count()
+    def run_pass():
+        agg = dedup_paragraphs(spark, sf_dir, docs=df).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'n_kept', 'n_removed',
+                             'clean_text')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 elif model == 'bloom':
     # interpreted-HOF scan counterpart: Bloom decontamination's cost is
     # per-row 8-gram construction (transform/slice/array_join lambdas,
