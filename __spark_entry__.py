@@ -442,15 +442,44 @@ def _table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
   every register (max-rho per md5 bucket) and the pinned-order
   power-of-two fold next to the exact n_distinct_texts they estimate;
   n_sampled/q25..q90 value-check the deterministic sample membership
-  and the nearest-rank selection."""
+  and the nearest-rank selection.  A second method='card' section
+  carries the per-(lang, source) data_card release report (token /
+  char / Gopher-keep / exact-dup-mass totals; n_docs and
+  n_distinct_texts are REAL columns on both sections, value-checked
+  at both granularities)."""
   from blueprint_oss_spark.ops import profiling as P
+  nul_l = F.lit(None).cast('long')
+  nul_d = F.lit(None).cast('double')
   hll = P.hll_distinct(spark, sf_dir) \
       .select('lang', 'n_zero_regs', 'hll_est')
   qs = P.sampled_quantiles(spark, sf_dir)
-  return (P.table_profile(spark, sf_dir)
+  prof = (P.table_profile(spark, sf_dir)
           .join(hll, 'lang')
           .join(qs, 'lang')
-          .orderBy('lang'))
+          .select(F.lit('profile').alias('method'), 'lang',
+                  F.lit(None).cast('string').alias('source'),
+                  'n_docs', 'n_distinct_texts', 'n_empty', 'min_len',
+                  'max_len', 'total_len', 'first_doc_id',
+                  'last_doc_id', 'n_zero_regs', 'hll_est', 'n_sampled',
+                  'q25', 'q50', 'q75', 'q90',
+                  nul_l.alias('n_tokens'), nul_l.alias('n_chars'),
+                  nul_l.alias('n_quality_keep'),
+                  nul_l.alias('n_dup_docs')))
+  card = (P.data_card(spark, sf_dir)
+          .select(F.lit('card').alias('method'), 'lang', 'source',
+                  'n_docs', 'n_distinct_texts',
+                  nul_l.alias('n_empty'), nul_l.alias('min_len'),
+                  nul_l.alias('max_len'), nul_l.alias('total_len'),
+                  nul_l.alias('first_doc_id'),
+                  nul_l.alias('last_doc_id'),
+                  nul_l.alias('n_zero_regs'), nul_d.alias('hll_est'),
+                  nul_l.alias('n_sampled'),
+                  nul_l.alias('q25'), nul_l.alias('q50'),
+                  nul_l.alias('q75'), nul_l.alias('q90'),
+                  'n_tokens', 'n_chars', 'n_quality_keep',
+                  'n_dup_docs'))
+  return (prof.unionByName(card)
+          .orderBy('method', 'lang', 'source'))
 
 
 def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2063,13 +2092,82 @@ def oracle_sql() -> dict[str, str]:
                  vs[CAST(ceil(n_sampled * 90 / 100.0) AS INT)] AS q90
           FROM sagg
         )
-        SELECT prof.*, folded.n_zero_regs,
+        , cardbase AS (
+          SELECT lang, source, text,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> len(x) > 0)) AS BIGINT)
+                   AS n_toks,
+                 CAST(length(text) AS BIGINT) AS nch,
+                 CAST((len(list_filter(string_split(text, ' '),
+                                       x -> len(x) > 0)) >= 5)
+                  AND (len(list_filter(string_split(text, ' '),
+                                       x -> len(x) > 0)) <= 100000)
+                  AND (list_sum(list_transform(
+                         list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0), x -> len(x)))
+                       >= 2 * len(list_filter(string_split(text, ' '),
+                                              x -> len(x) > 0)))
+                  AND (list_sum(list_transform(
+                         list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0), x -> len(x)))
+                       <= 12 * len(list_filter(string_split(text, ' '),
+                                               x -> len(x) > 0)))
+                  AND (len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in',
+                                    'is','it','for','on','with','as',
+                                    'at','by'))) >= 1)
+                  AND (2 * length(regexp_replace(text, '[^a-zA-Z]',
+                                                 '', 'g'))
+                       >= length(text)) AS BIGINT) AS keep
+          FROM documents
+        ), card_text AS (
+          SELECT lang, source, text, count(*) AS n_docs,
+                 sum(n_toks) AS n_tokens, sum(nch) AS n_chars,
+                 sum(keep) AS n_quality_keep
+          FROM cardbase GROUP BY lang, source, text
+        ), card AS (
+          SELECT lang, source,
+                 CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_quality_keep) AS BIGINT)
+                   AS n_quality_keep,
+                 CAST(count(*) AS BIGINT) AS n_distinct_texts,
+                 CAST(sum(n_docs) - count(*) AS BIGINT) AS n_dup_docs
+          FROM card_text GROUP BY lang, source
+        )
+        SELECT 'profile' AS method,
+               prof.lang, CAST(NULL AS VARCHAR) AS source, prof.*
+               EXCLUDE (lang),
+               folded.n_zero_regs,
                round(0.709 * 64.0 * 64.0 / folded.denom, 6) AS hll_est,
                quant.n_sampled, quant.q25, quant.q50, quant.q75,
-               quant.q90
+               quant.q90,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS n_chars,
+               CAST(NULL AS BIGINT) AS n_quality_keep,
+               CAST(NULL AS BIGINT) AS n_dup_docs
         FROM prof JOIN folded ON prof.lang = folded.grp
         JOIN quant ON prof.lang = quant.lang
-        ORDER BY prof.lang
+        UNION ALL BY NAME
+        SELECT 'card' AS method, lang, source, n_docs,
+               n_distinct_texts,
+               CAST(NULL AS BIGINT) AS n_empty,
+               CAST(NULL AS BIGINT) AS min_len,
+               CAST(NULL AS BIGINT) AS max_len,
+               CAST(NULL AS BIGINT) AS total_len,
+               CAST(NULL AS BIGINT) AS first_doc_id,
+               CAST(NULL AS BIGINT) AS last_doc_id,
+               CAST(NULL AS BIGINT) AS n_zero_regs,
+               CAST(NULL AS DOUBLE) AS hll_est,
+               CAST(NULL AS BIGINT) AS n_sampled,
+               CAST(NULL AS BIGINT) AS q25,
+               CAST(NULL AS BIGINT) AS q50,
+               CAST(NULL AS BIGINT) AS q75,
+               CAST(NULL AS BIGINT) AS q90,
+               n_tokens, n_chars, n_quality_keep, n_dup_docs
+        FROM card
+        ORDER BY method, lang, source
       """,
       # The whole curation chain recomputed from scratch: quality
       # verdicts -> kept docs -> shingle pairs AMONG KEPT docs ->

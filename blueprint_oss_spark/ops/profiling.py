@@ -183,3 +183,47 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.min('doc_id').alias('first_doc_id'),
                F.max('doc_id').alias('last_doc_id'))
           .orderBy('lang'))
+
+
+def data_card(spark: SparkSession, sf_dir: str, *,
+              docs: DataFrame = None) -> DataFrame:
+  """Per-(lang, source) corpus data card — the composition report a
+  dataset release ships (the Datasheets/Dolma-style summary: how much
+  of which language from which source, how much survives quality
+  filtering, how much is exact-duplicate mass):
+    lang, source, n_docs, n_tokens (exact whitespace tokens),
+    n_chars, n_quality_keep (Gopher keep flag, quality_keep_expr
+    inlined on the scan — no label join), n_distinct_texts,
+    n_dup_docs (n_docs - distinct: the exact-duplicate overhang).
+
+  Scale shape: ONE map-side-combinable groupBy on the (lang, source)
+  stratum key; the distinct-text count rides the same shuffle as a
+  two-level aggregation (first (lang, source, text) partial — the
+  table_profile device), so the whole card is two word-count-shaped
+  passes with no joins; every aggregate is exact integers, bit-equal
+  in DuckDB."""
+  from blueprint_oss_spark.ops.textops import quality_keep_expr
+  d = (docs if docs is not None else
+       spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select('lang', 'source', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = d.select(
+      'lang', 'source', 'text',
+      F.size(toks).cast('long').alias('n_toks'),
+      F.length('text').cast('long').alias('n_chars'),
+      quality_keep_expr(F.col('text')).cast('long').alias('keep'))
+  per_text = (base.groupBy('lang', 'source', 'text')
+              .agg(F.count(F.lit(1)).alias('n_docs'),
+                   F.sum('n_toks').alias('n_tokens'),
+                   F.sum('n_chars').alias('n_chars'),
+                   F.sum('keep').alias('n_quality_keep')))
+  return (per_text.groupBy('lang', 'source')
+          .agg(F.sum('n_docs').cast('long').alias('n_docs'),
+               F.sum('n_tokens').cast('long').alias('n_tokens'),
+               F.sum('n_chars').cast('long').alias('n_chars'),
+               F.sum('n_quality_keep').cast('long')
+               .alias('n_quality_keep'),
+               F.count(F.lit(1)).cast('long').alias('n_distinct_texts'))
+          .withColumn('n_dup_docs',
+                      F.col('n_docs') - F.col('n_distinct_texts'))
+          .orderBy('lang', 'source'))
