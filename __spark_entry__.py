@@ -370,7 +370,9 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
   dedup_exact's content_hash IS fp_full, so its keeper/count columns
   ride per-doc without losing a value check (every dedup_exact output
   cell appears on some row); lm_score rides as a LEFT join so
-  token-less docs stay present with null score."""
+  token-less docs stay present with null score; topic_tagging's
+  per-lexicon counts + deterministic argmax topic ride as
+  n_db/n_infra/n_data/topic/n_topic_hits."""
   from pyspark.sql import functions as FF
   from blueprint_oss_spark.ops import textops as T
   return (T.doc_fingerprints(spark, sf_dir)
@@ -379,6 +381,7 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FF.col('fp_full') == FF.col('content_hash'))
           .drop('content_hash')
           .join(T.lm_score(spark, sf_dir), 'doc_id', 'left')
+          .join(T.topic_tagging(spark, sf_dir), 'doc_id')
           .orderBy('doc_id'))
 
 
@@ -1791,13 +1794,45 @@ def oracle_sql() -> dict[str, str]:
                        / lfirst.n_scored, 6) AS lm_score
           FROM lfirst LEFT JOIN lsum ON lfirst.doc_id = lsum.doc_id
         )
+        , tpc AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(list_filter(
+                        string_split(text, ' '), x -> len(x) > 0),
+                      x -> x IN ('table','query','join','sort','merge',
+                                 'filter','group','agg'))) AS INT)
+                   AS n_db,
+                 CAST(len(list_filter(list_filter(
+                        string_split(text, ' '), x -> len(x) > 0),
+                      x -> x IN ('spark','batch','stream','window',
+                                 'shuffle','partition'))) AS INT)
+                   AS n_infra,
+                 CAST(len(list_filter(list_filter(
+                        string_split(text, ' '), x -> len(x) > 0),
+                      x -> x IN ('data','row','column','key','value',
+                                 'hash'))) AS INT) AS n_data
+          FROM documents
+        ), tp AS (
+          SELECT doc_id, n_db, n_infra, n_data,
+                 CASE WHEN greatest(n_db, n_infra, n_data) = 0
+                      THEN 'none'
+                      WHEN n_db >= n_infra AND n_db >= n_data
+                      THEN 'db'
+                      WHEN n_infra >= n_data THEN 'infra'
+                      ELSE 'data' END AS topic,
+                 CAST(greatest(n_db, n_infra, n_data) AS BIGINT)
+                   AS n_topic_hits
+          FROM tpc
+        )
         SELECT fp.doc_id, fp.fp_full, fp.fp_prefix8, fp.fp_rolling31,
                li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr,
                dd.keeper_doc_id, dd.n_copies,
-               lm.n_scored, lm.lm_score
+               lm.n_scored, lm.lm_score,
+               tp.n_db, tp.n_infra, tp.n_data, tp.topic,
+               tp.n_topic_hits
         FROM fp JOIN li ON fp.doc_id = li.doc_id
         JOIN dd ON fp.fp_full = dd.content_hash
         LEFT JOIN lm ON fp.doc_id = lm.doc_id
+        JOIN tp ON fp.doc_id = tp.doc_id
         ORDER BY fp.doc_id
       """,
       # DSIR-style selection recomputed from scratch: hashed

@@ -63,6 +63,7 @@ def main() -> None:
   from blueprint_oss_spark.ops import relational as R
   from blueprint_oss_spark.ops import textops as T
   from blueprint_oss_spark.ops import vectors as V
+  from blueprint_oss_spark.ops import warc as W
 
   timings: dict = {}
   medians: dict = {}
@@ -208,6 +209,10 @@ def main() -> None:
       # planting): eval-side bucket shuffle, train probes by equi-join
       ('semantic_decontaminate',
        lambda: V.semantic_decontaminate(spark, sf_dir).count()),
+      # WARC ingest front door: record synthesis + 3-block parse +
+      # tag strip in ONE codegen projection, zero shuffles
+      ('warc_ingest',
+       lambda: W.parse_warc_records(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()
