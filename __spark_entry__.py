@@ -571,13 +571,14 @@ def _embedding_pairs_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _substring_paragraph_dedup(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-  """Both text-granularity dedup surgeons method-tagged in one driver
-  row-set (the pack/chunk precedent): method='exactsubstr' rows are
-  remove_duplicated_spans' covered-token removal (Lee et al.
+  """All three text-granularity dedup surgeons method-tagged in one
+  driver row-set (the pack/chunk precedent): method='exactsubstr' rows
+  are remove_duplicated_spans' covered-token removal (Lee et al.
   ExactSubstr, n_units = word tokens before), method='paragraph' rows
-  are dedup_paragraphs' Dolma-style canonical-first paragraph removal
-  (n_units = synthesized paragraphs, n_kept value-checked too) — every
-  column of both operators stays value-checked."""
+  are dedup_paragraphs' Dolma-style canonical-first paragraph removal,
+  method='c4span' rows are c4_span_dedup's duplicated three-sentence
+  -span removal (Raffel et al. §2.2 keep-one; n_units = synthesized
+  sentences) — every column of every operator stays value-checked."""
   from blueprint_oss_spark.ops import textops as T
   es = (T.remove_duplicated_spans(spark, sf_dir)
         .select(F.lit('exactsubstr').alias('method'), 'doc_id',
@@ -587,7 +588,12 @@ def _substring_paragraph_dedup(spark: SparkSession,
         .select(F.lit('paragraph').alias('method'), 'doc_id',
                 'clean_text', F.col('n_paras').alias('n_units'),
                 'n_removed', 'n_kept'))
-  return es.unionByName(pp).orderBy('method', 'doc_id')
+  c4 = (T.c4_span_dedup(spark, sf_dir)
+        .select(F.lit('c4span').alias('method'), 'doc_id',
+                'clean_text', F.col('n_sents').alias('n_units'),
+                'n_removed', 'n_kept'))
+  return (es.unionByName(pp).unionByName(c4)
+          .orderBy('method', 'doc_id'))
 
 
 def _corpus_split_temperature_mix(spark: SparkSession,
@@ -1096,7 +1102,53 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  string_agg(para, chr(10) ORDER BY pos) AS clean_text,
                  CAST(count(*) AS BIGINT) AS n_kept
-          FROM pkept GROUP BY doc_id)
+          FROM pkept GROUP BY doc_id),
+        -- c4span section (Raffel §2.2 keep-one): 8-word synthesized
+        -- sentences, boilerplate TRIPLE doc_id % 3 replacing block b
+        -- when (doc_id*13 + b*7) % 9 = 0, duplicated three-sentence
+        -- spans keep only their canonical min (doc_id, pos) occurrence
+        csented AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+                   j -> CASE WHEN (doc_id * 13 + (j // 3) * 7) % 9 = 0
+                             THEN ([['click here to read the full story on our website', 'sign up today for unlimited access to premium content', 'follow us for breaking news and daily updates'], ['this article was originally published earlier this year', 'it has been updated to reflect the latest developments', 'additional reporting was contributed by our staff'], ['the views expressed here are those of the author alone', 'they do not necessarily reflect our editorial position', 'corrections and clarifications are published as needed']])
+                                  [CAST(doc_id % 3 AS INT) + 1]
+                                  [CAST(j % 3 AS INT) + 1]
+                             ELSE array_to_string(
+                                    w[j * 8 + 1 : j * 8 + 8], ' ')
+                        END) AS sents
+          FROM t),
+        csocc AS (
+          SELECT doc_id, CAST(i.i - 1 AS INT) AS pos,
+                 sents[i.i] || ' ' || sents[i.i + 1] || ' '
+                   || sents[i.i + 2] AS span
+          FROM csented, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(sents) - 2),
+        csfirsts AS (
+          SELECT md5(span) AS h,
+                 min(doc_id * 1000000 + pos) AS firstkey,
+                 count(*) AS n_occ
+          FROM csocc GROUP BY md5(span) HAVING count(*) >= 2),
+        cscov AS (
+          SELECT DISTINCT o.doc_id, o.pos + k.k AS spos
+          FROM csocc o JOIN csfirsts f ON md5(o.span) = f.h,
+               (SELECT unnest(generate_series(0, 2)) AS k) k
+          WHERE o.doc_id * 1000000 + o.pos <> f.firstkey),
+        cssrows AS (
+          SELECT doc_id, sents[i.i] AS sent, CAST(i.i - 1 AS INT) AS spos
+          FROM csented, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(sents)),
+        cskept AS (
+          SELECT sr.doc_id, sr.sent, sr.spos
+          FROM cssrows sr LEFT JOIN cscov c
+            ON sr.doc_id = c.doc_id AND sr.spos = c.spos
+          WHERE c.spos IS NULL),
+        csreb AS (
+          SELECT doc_id, string_agg(sent, ' ' ORDER BY spos)
+                   AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM cskept GROUP BY doc_id)
         SELECT 'exactsubstr' AS method, d.doc_id,
                coalesce(reb.clean_text, '') AS clean_text,
                CAST(len(list_filter(string_split(d.text, ' '),
@@ -1114,6 +1166,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(l.paras) AS BIGINT) - coalesce(r.n_kept, 0),
                coalesce(r.n_kept, 0)
         FROM plined l LEFT JOIN preb r USING (doc_id)
+        UNION ALL
+        SELECT 'c4span', s.doc_id,
+               coalesce(r.clean_text, ''),
+               CAST(len(s.sents) AS BIGINT),
+               CAST(len(s.sents) AS BIGINT) - coalesce(r.n_kept, 0),
+               coalesce(r.n_kept, 0)
+        FROM csented s LEFT JOIN csreb r USING (doc_id)
         ORDER BY method, doc_id
       """,
       # method='dom': ground truth = whitespace-normalized original

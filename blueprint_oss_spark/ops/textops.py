@@ -1504,3 +1504,115 @@ def topic_tagging(spark: SparkSession, sf_dir: str, *,
       .alias('topic'),
       best.cast('long').alias('n_topic_hits'))
       .orderBy('doc_id'))
+
+
+#: Boilerplate sentence triple planted by c4_span_dedup (three
+#: CONSECUTIVE identical sentences are what makes a duplicated
+#: three-sentence span exist corpus-wide in the word-soup corpus).
+BOILERPLATE_SENTS = (
+    ('click here to read the full story on our website',
+     'sign up today for unlimited access to premium content',
+     'follow us for breaking news and daily updates'),
+    ('this article was originally published earlier this year',
+     'it has been updated to reflect the latest developments',
+     'additional reporting was contributed by our staff'),
+    ('the views expressed here are those of the author alone',
+     'they do not necessarily reflect our editorial position',
+     'corrections and clarifications are published as needed'),
+)
+
+
+def c4_span_dedup(spark: SparkSession, sf_dir: str, *,
+                  words_per_sent: int = 8,
+                  docs: DataFrame = None) -> DataFrame:
+  """C4's exact deduplication unit (Raffel et al. 2020 §2.2: "we
+  discarded all but one of any three-sentence span occurring more than
+  once in the data set"): every occurrence of a duplicated
+  three-sentence span EXCEPT its canonical first (min (doc_id, start)
+  — the deterministic version of C4's keep-one) marks its three
+  sentences; marked sentences are removed and survivors re-joined:
+    doc_id, n_sents, n_kept, n_removed, clean_text.
+
+  Sentence structure is synthesized deterministically (the
+  c4_line_clean/dedup_paragraphs device): `words_per_sent`-word
+  chunks, and sentence block b (= positions 3b..3b+2) of doc d is
+  replaced by boilerplate TRIPLE d % 3 of BOILERPLATE_SENTS whenever
+  (d*13 + b*7) % 9 == 0 — a run of three identical consecutive
+  sentences, which is precisely what makes duplicated three-sentence
+  spans exist in the unique word-soup corpus; the DuckDB oracle
+  re-synthesizes byte-identically and recomputes every verdict.
+
+  Scale shape: identical to dedup_paragraphs with a span twist — span
+  construction is map-side array arithmetic over the sentence array
+  (the gram_occurrences shape at sentence granularity); the
+  substantive shuffles are the word-count-shaped groupBy on
+  md5(span) + join-back; coverage is a bounded 3-fold explode keyed
+  (doc_id, sentence pos) and the rebuild one per-doc aggregation.
+  No Python, no windows over the corpus, no driver collect."""
+  w = words_per_sent
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  triples = ', '.join(
+      "array(%s)" % ', '.join(f"'{s}'" for s in t)
+      for t in BOILERPLATE_SENTS)
+  sents_expr = F.expr(f"""
+    transform(
+      sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+      j -> CASE WHEN (doc_id * 13 + div(j, 3) * 7) % 9 = 0
+                THEN element_at(
+                       element_at(array({triples}),
+                                  cast(doc_id % 3 as int) + 1),
+                       cast(j % 3 as int) + 1)
+                ELSE array_join(slice(split(text, ' '),
+                                      j * {w} + 1, {w}), ' ')
+           END)
+  """)
+  base = d.select('doc_id', sents_expr.alias('sents'))
+  n_s = F.size('sents')
+  spans = F.when(n_s >= 3, F.expr("""
+      transform(sequence(0, size(sents) - 3),
+                p -> struct(p AS pos,
+                            concat_ws(' ', sents[p], sents[p + 1],
+                                      sents[p + 2]) AS span))
+  """)).otherwise(F.array().cast(
+      'array<struct<pos:int,span:string>>'))
+  occ = (base.select('doc_id', F.explode(spans).alias('o'))
+         .select('doc_id', F.col('o.pos').alias('pos'),
+                 F.md5(F.col('o.span')).alias('h')))
+  firsts = (occ.groupBy('h')
+            .agg(F.min(F.struct(F.col('doc_id'), F.col('pos')))
+                 .alias('first'),
+                 F.count(F.lit(1)).alias('n_occ'))
+            .where(F.col('n_occ') >= 2))
+  # every NON-first occurrence of a duplicated span covers its 3
+  # sentence positions
+  covered = (occ.join(firsts, 'h')
+             .where((F.col('doc_id') != F.col('first.doc_id'))
+                    | (F.col('pos') != F.col('first.pos')))
+             .select('doc_id',
+                     F.explode(F.sequence(F.col('pos'),
+                                          F.col('pos') + 2))
+                     .alias('spos'))
+             .dropDuplicates(['doc_id', 'spos']))
+  sent_rows = base.select(
+      'doc_id', F.posexplode('sents').alias('spos', 'sent'))
+  kept = sent_rows.join(covered, ['doc_id', 'spos'], 'left_anti')
+  rebuilt = (kept.groupBy('doc_id')
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct('spos', 'sent'))),
+                     lambda s: s['sent']), ' ').alias('clean_text'),
+                  F.count(F.lit(1)).cast('long').alias('n_kept')))
+  stats = base.select('doc_id', n_s.cast('long').alias('n_sents'))
+  return (stats
+          .join(rebuilt, 'doc_id', 'left')
+          .select('doc_id', 'n_sents',
+                  F.coalesce('n_kept', F.lit(0)).cast('long')
+                  .alias('n_kept'),
+                  (F.col('n_sents')
+                   - F.coalesce('n_kept', F.lit(0))).cast('long')
+                  .alias('n_removed'),
+                  F.coalesce('clean_text', F.lit(''))
+                  .alias('clean_text'))
+          .orderBy('doc_id'))
