@@ -967,12 +967,17 @@ def oracle_sql() -> dict[str, str]:
         dec AS (
           SELECT tr.doc_id, count(*) AS n_shared
           FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id),
+        bgh AS (
+          SELECT doc_id, gram,
+                 CAST(('0x' || substring(md5('bloom:' || gram), 1, 8))
+                      AS BIGINT) AS h1,
+                 CAST(('0x' || substring(md5('bloom:' || gram), 9, 8))
+                      AS BIGINT) * 2 + 1 AS h2
+          FROM g8),
         bpos AS (
           SELECT doc_id, gram, j.j AS j,
-                 CAST(('0x' || substring(
-                     md5('bloom' || CAST(j.j AS VARCHAR) || ':' || gram),
-                     1, 8)) AS BIGINT) % 1048576 AS pos
-          FROM g8, (SELECT unnest(generate_series(0, 3)) AS j) j),
+                 (h1 + j.j * h2) % 1048576 AS pos
+          FROM bgh, (SELECT unnest(generate_series(0, 3)) AS j) j),
         evpos AS (SELECT DISTINCT pos FROM bpos WHERE doc_id % 4 = 0),
         bhit AS (
           SELECT doc_id, gram

@@ -143,19 +143,46 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
 
 
 def _bloom_positions(gram_col, m_bits: int, k: int):
-  """The k Bloom bit positions of a gram, as an array<long>, computed
-  JVM-side with k independently-salted md5 hashes.  md5 is bit-identical
-  across Spark and DuckDB (the corpus_split_mix precedent), so a
-  from-scratch SQL oracle can recompute the exact same filter —
-  including its false positives."""
+  """The k Bloom bit positions of a gram, as an array<long> — ONE md5
+  per gram via Kirsch-Mitzenmacher double hashing (Kirsch &
+  Mitzenmacher 2006, "Less Hashing, Same Performance": k positions
+  h1 + j·h2 mod m preserve the Bloom FP asymptotics of k independent
+  hashes).  h1/h2 are the two 32-bit halves of the single digest; h2
+  is forced odd (2·raw + 1) so with the power-of-two m every step
+  size cycles all residues and h2 = 0 cannot collapse the k probes
+  onto one bit.  Round 4 measured the previous k-independent-md5
+  formulation as the bench's slowest query (k=4 digests per gram
+  dominated the scan); this computes the same filter semantics with
+  1/k the hashing.  md5 is bit-identical across Spark and DuckDB (the
+  corpus_split_mix precedent), so the from-scratch SQL oracles
+  recompute the exact same filter — including its false positives."""
+  digest = F.md5(F.concat(F.lit('bloom:'), gram_col))
+  h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast('long')
+  h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast('long') * 2 + 1
   return F.array(*[
-      F.pmod(
-          F.conv(
-              F.substring(
-                  F.md5(F.concat(F.lit(f'bloom{j}:'), gram_col)), 1, 8),
-              16, 10).cast('long'),
-          F.lit(m_bits))
-      for j in range(k)])
+      F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(k)])
+
+
+def _bloom_flat_positions(grams_col, m_bits: int, k: int):
+  """All k·|grams| Bloom positions of a per-row gram ARRAY, flattened
+  — the probe-side hot path.  Same Kirsch-Mitzenmacher positions as
+  _bloom_positions, but staged through nested transforms (digest
+  array, then (h1, h2) struct array, then the position fan-out) so
+  the md5 runs ONCE per gram: interpreted higher-order lambdas get NO
+  common-subexpression elimination, and inlining _bloom_positions
+  into a transform re-evaluated the digest under BOTH h1 and h2 in
+  EVERY one of the k array elements — 2k digests per gram, measured
+  SLOWER than the k-independent-md5 formula it replaced.  Lambda
+  variables, by contrast, are materialized values."""
+  digests = F.transform(
+      grams_col, lambda g: F.md5(F.concat(F.lit('bloom:'), g)))
+  hs = F.transform(digests, lambda x: F.struct(
+      F.conv(F.substring(x, 1, 8), 16, 10).cast('long').alias('h1'),
+      (F.conv(F.substring(x, 9, 8), 16, 10).cast('long') * 2 + 1)
+      .alias('h2')))
+  return F.flatten(F.transform(hs, lambda s: F.array(
+      *[F.pmod(s['h1'] + F.lit(j) * s['h2'], F.lit(m_bits))
+        for j in range(k)])))
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
@@ -244,8 +271,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
       yield pd.DataFrame({'doc_id': pdf['doc_id'][keep],
                           'n_flagged': out[keep]})
 
-  flat_pos = F.flatten(F.transform(
-      'grams', lambda g: _bloom_positions(g, m_bits, k)))
+  flat_pos = _bloom_flat_positions(F.col('grams'), m_bits, k)
   return (train
           .select('doc_id', flat_pos.alias('flat_pos'))
           .mapInPandas(_probe_batches, 'doc_id long, n_flagged long')

@@ -44,12 +44,17 @@ def _oracle_sql(m_bits: int, k: int, n: int = 8, eval_mod: int = 4) -> str:
              array_to_string(toks[i.i:i.i+{n - 1}], ' ') AS gram
       FROM d, (SELECT unnest(generate_series(1, 4096)) AS i) i
       WHERE i.i <= len(toks) - {n - 1}),
+    gh AS (
+      SELECT doc_id, gram,
+             CAST(('0x' || substring(md5('bloom:' || gram), 1, 8))
+                  AS BIGINT) AS h1,
+             CAST(('0x' || substring(md5('bloom:' || gram), 9, 8))
+                  AS BIGINT) * 2 + 1 AS h2
+      FROM g),
     pos AS (
       SELECT doc_id, gram, j.j AS j,
-             CAST(('0x' || substring(
-                 md5('bloom' || CAST(j.j AS VARCHAR) || ':' || gram),
-                 1, 8)) AS BIGINT) % {m_bits} AS pos
-      FROM g, (SELECT unnest(generate_series(0, {k - 1})) AS j) j),
+             (h1 + j.j * h2) % {m_bits} AS pos
+      FROM gh, (SELECT unnest(generate_series(0, {k - 1})) AS j) j),
     evpos AS (SELECT DISTINCT pos FROM pos WHERE doc_id % {eval_mod} = 0),
     tr AS (SELECT doc_id, gram, pos FROM pos
            WHERE doc_id % {eval_mod} <> 0),
