@@ -97,6 +97,22 @@ def _ngrams(col, n: int):
       )).otherwise(F.array().cast('array<string>'))
 
 
+def _spread(d: DataFrame) -> DataFrame:
+  """Metadata-only single-split guard (the textops.minhash_shingles /
+  vectors._spread_small_scan idiom): a small corpus arrives as ONE
+  parquet split, which serializes the map-heavy per-row gram stages on
+  one core — round 4 measured bloom_decontaminate's whole probe scan
+  running single-core at sf0.1 for exactly this reason.  A file-backed
+  scan with fewer input files than cores gets round-robin spread; at
+  100 TB the scan has thousands of splits and no repartition (= no
+  exchange) happens."""
+  target = d.sparkSession.sparkContext.defaultParallelism
+  files = d.inputFiles()
+  if files and len(files) < target:
+    return d.repartition(target)
+  return d
+
+
 def decontaminate(spark: SparkSession, sf_dir: str, *,
                   n: int = 8, eval_mod: int = 4,
                   eval_texts: DataFrame | None = None) -> DataFrame:
@@ -120,8 +136,8 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
   broadcast set; only matching (rare) rows reach the final groupBy, so
   the one shuffle moves contaminated grams only.
   """
-  d = _docs(spark, sf_dir).select('doc_id', _ngrams(F.col('text'), n)
-                                  .alias('grams'))
+  d = _spread(_docs(spark, sf_dir).select('doc_id', 'text')) \
+      .select('doc_id', _ngrams(F.col('text'), n).alias('grams'))
   if eval_texts is not None:
     eval_grams = (eval_texts
                   .select(F.explode(_ngrams(F.col('text'), n))
@@ -217,8 +233,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
   import numpy as np
   import pandas as pd
 
-  d = (docs if docs is not None else _docs(spark, sf_dir)).select(
-      'doc_id', _ngrams(F.col('text'), n).alias('grams'))
+  # spread the RAW text BEFORE the gram projection: repartitioning
+  # the projected frame leaves the expensive _ngrams evaluation in
+  # the single-split scan stage below the exchange (no Catalyst rule
+  # moves computed expressions past a repartition), which kept the
+  # whole gram construction on one core — measured, not guessed
+  d = _spread((docs if docs is not None else _docs(spark, sf_dir))
+              .select('doc_id', 'text')) \
+      .select('doc_id', _ngrams(F.col('text'), n).alias('grams'))
   if eval_texts is not None:
     eval_grams = (eval_texts
                   .select(F.explode(_ngrams(F.col('text'), n))
@@ -232,18 +254,29 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
                   .distinct())
     train = d.filter(~is_eval)
 
-  # bounded collect: DISTINCT bit positions, <= m_bits rows by
-  # pigeonhole.  Arrow transfer + vectorized numpy bit-set — a
-  # row-object collect with a Python set-bit loop here is SERIAL
-  # driver work that caps cluster scaling (measured: 0.33 efficiency
-  # at 1→4 executors before this; the parallel fraction is the scan)
-  pos = (eval_grams
-         .select(F.explode(_bloom_positions(F.col('gram'), m_bits, k))
-                 .alias('pos'))
-         .distinct().toPandas()['pos'].to_numpy(dtype=np.int64))
-  bitmap = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
-  np.bitwise_or.at(bitmap, pos >> 3,
-                   (1 << (pos & 7)).astype(np.uint8))
+  # bounded collect, distributed OR-fold: positions map to (64-bit
+  # word index, bit) and a map-side-combinable bit_or aggregate packs
+  # them BEFORE the driver sees anything — at most m_bits/64 rows
+  # cross the wire (16k words for the 2^20 default) instead of the
+  # previous <= m_bits DISTINCT position rows (a ~600k-row Arrow
+  # collect per build at sf0.1, measured as the op's wall-clock
+  # floor after the probe was parallelized; a round-3 row-object
+  # collect with a Python set-bit loop before THAT capped cluster
+  # scaling at 0.33).  The uint64 little-endian view writes land on
+  # exactly the byte/bit layout the probe reads (bm[pos >> 3] >>
+  # (pos & 7)).
+  words = (eval_grams
+           .select(F.explode(_bloom_positions(F.col('gram'), m_bits, k))
+                   .alias('pos'))
+           .select(F.shiftright('pos', 6).alias('w'),
+                   F.expr('shiftleft(1L, cast(pos % 64 as int))')
+                   .alias('b'))
+           .groupBy('w').agg(F.expr('bit_or(b)').alias('bits'))
+           .toPandas())
+  bitmap = np.zeros(m_bits // 8 + 8, dtype=np.uint8)
+  view = bitmap.view(np.uint64)
+  view[words['w'].to_numpy(dtype=np.int64)] = \
+      words['bits'].to_numpy(dtype=np.int64).astype(np.uint64)
   bc = spark.sparkContext.broadcast(bitmap)
 
   def _probe_batches(batches):

@@ -123,7 +123,11 @@ def test_probe_plan_single_arrow_stage_no_shuffle(spark):
   # exactly one Python/Arrow eval stage in the whole probe plan
   n_arrow = plan.count('MapInPandas')
   assert n_arrow == 1, plan
-  # the only Exchange is the final presentation orderBy's range
-  # partitioning; nothing upstream of the Arrow probe shuffles
+  # upstream of the Arrow probe, the ONLY allowed exchange is the
+  # metadata-guarded single-split round-robin spread (_spread — fires
+  # at toy scale where the corpus is one parquet split, never at
+  # 100 TB); no hash/range exchange, i.e. no data shuffle
   probe_part = plan.split('MapInPandas', 1)[-1]
-  assert 'Exchange' not in probe_part, probe_part
+  ex_lines = [ln for ln in probe_part.splitlines() if 'Exchange' in ln]
+  assert len(ex_lines) <= 1, probe_part
+  assert all('roundrobin' in ln.lower() for ln in ex_lines), probe_part
