@@ -492,3 +492,36 @@ def start_incremental_dedup_stream(spark: SparkSession, input_dir: str,
   if trigger_once:
     writer = writer.trigger(availableNow=True)
   return writer.start()
+
+
+def start_main_content_stream(spark: SparkSession, input_dir: str,
+                              output_dir: str, checkpoint_dir: str, *,
+                              trigger_once: bool = False,
+                              max_files_per_trigger: int = 16) \
+    -> StreamingQuery:
+  """Streaming twin of the north-rule main-content pipeline:
+  readStream over interleaved span parquet landing in `input_dir` →
+  `main_content_from_spans` (a stateless Arrow-batched mapInPandas —
+  streaming-safe for the same reason extraction is) → checkpointed
+  parquet sink.  Restarting with the same checkpoint resumes
+  exactly-once, which is the continuous-crawl shape of the bulk
+  `run_main_content` CLI job: files land, each micro-batch strips
+  boilerplate / parses PDFs / reassembles span sequences, and a
+  killed job replays nothing already committed.
+
+  `trigger_once` (availableNow) drains the current backlog and stops
+  — the batch-job-with-streaming-checkpoints operating mode."""
+  from blueprint_oss_spark.ops.html_extract import main_content_from_spans
+  src = (spark.readStream
+         .schema(SPANS_SCHEMA)
+         .option('maxFilesPerTrigger', max_files_per_trigger)
+         .parquet(input_dir))
+  out = main_content_from_spans(src)
+  writer = (out.writeStream
+            .format('parquet')
+            .option('path', output_dir)
+            .option('checkpointLocation', checkpoint_dir)
+            .outputMode('append'))
+  if trigger_once:
+    writer = writer.trigger(availableNow=True)
+  return writer.start()

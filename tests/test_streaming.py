@@ -444,3 +444,45 @@ def test_multipart_assembly_transformwithstate_parity(spark, tmp_path):
     else:
       spark.conf.set(
           'spark.sql.streaming.stateStore.providerClass', prev)
+
+
+def test_streaming_main_content_matches_batch(spark, tmp_path):
+  """North-rule streaming twin: interleaved span files land, the
+  stream strips boilerplate / parses / reassembles exactly like the
+  batch operator; checkpoint restart processes only new files."""
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans)
+  from blueprint_oss_spark.spark.streaming import \
+      start_main_content_stream
+
+  in_dir = str(tmp_path / 'in')
+  out_dir = str(tmp_path / 'out')
+  ckpt = str(tmp_path / 'ckpt')
+  os.makedirs(in_dir, exist_ok=True)
+  src = interleaved_html_table(spark, '/root/testdata/sf0.001') \
+      .limit(40).cache()
+  first = src.where('doc_id % 2 = 0')
+  second = src.where('doc_id % 2 = 1')
+  first.coalesce(1).write.mode('append').parquet(in_dir)
+
+  q = start_main_content_stream(spark, in_dir, out_dir, ckpt,
+                                trigger_once=True)
+  q.awaitTermination(300)
+  got1 = spark.read.parquet(out_dir)
+  assert got1.count() == first.count()
+
+  second.coalesce(1).write.mode('append').parquet(in_dir)
+  q = start_main_content_stream(spark, in_dir, out_dir, ckpt,
+                                trigger_once=True)
+  q.awaitTermination(300)
+  got = spark.read.parquet(out_dir)
+  assert got.count() == src.count()  # no reprocessing duplicates
+
+  batch = main_content_from_spans(src)
+  # span-sequence equality per doc_id (the north rule's invariant)
+  def norm(df):
+    return {r['doc_id']: [(s['kind'], s['text'], s['media_ref'],
+                           s['order']) for s in r['out_spans']]
+            for r in df.collect()}
+  assert norm(got) == norm(batch)
+  src.unpersist()
