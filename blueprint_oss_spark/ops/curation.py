@@ -97,20 +97,13 @@ def _ngrams(col, n: int):
       )).otherwise(F.array().cast('array<string>'))
 
 
-def _spread(d: DataFrame) -> DataFrame:
-  """Metadata-only single-split guard (the textops.minhash_shingles /
-  vectors._spread_small_scan idiom): a small corpus arrives as ONE
-  parquet split, which serializes the map-heavy per-row gram stages on
-  one core — round 4 measured bloom_decontaminate's whole probe scan
-  running single-core at sf0.1 for exactly this reason.  A file-backed
-  scan with fewer input files than cores gets round-robin spread; at
-  100 TB the scan has thousands of splits and no repartition (= no
-  exchange) happens."""
-  target = d.sparkSession.sparkContext.defaultParallelism
-  files = d.inputFiles()
-  if files and len(files) < target:
-    return d.repartition(target)
-  return d
+#: Single-split scan guard — shared implementation, see
+#: ops/common.spread_small_scan (round 4 measured
+#: bloom_decontaminate's whole probe scan single-core without it, and
+#: the CAUTION there about spreading BEFORE the gram projection was
+#: learned here).
+from blueprint_oss_spark.ops.common import \
+    spread_small_scan as _spread  # noqa: E402
 
 
 def decontaminate(spark: SparkSession, sf_dir: str, *,
@@ -273,7 +266,14 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
                    .alias('b'))
            .groupBy('w').agg(F.expr('bit_or(b)').alias('bits'))
            .toPandas())
-  bitmap = np.zeros(m_bits // 8 + 8, dtype=np.uint8)
+  # allocation padded to a whole number of 64-bit words: the uint64
+  # view REQUIRES the byte length to be a multiple of 8 (a bare
+  # m_bits//8 + 8 crashes for m_bits like 100_000), and the probe's
+  # byte indexing stays in range since ceil(m_bits/64)*8 >=
+  # ceil(m_bits/8).  Non-power-of-two m_bits stays correct (positions
+  # are pmod m_bits); only the KM odd-step full-cycle FP argument in
+  # _bloom_positions' docstring assumes the power-of-two default.
+  bitmap = np.zeros(((m_bits + 63) // 64) * 8, dtype=np.uint8)
   view = bitmap.view(np.uint64)
   view[words['w'].to_numpy(dtype=np.int64)] = \
       words['bits'].to_numpy(dtype=np.int64).astype(np.uint64)

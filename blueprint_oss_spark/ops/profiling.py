@@ -203,15 +203,19 @@ def data_card(spark: SparkSession, sf_dir: str, *,
   passes with no joins; every aggregate is exact integers, bit-equal
   in DuckDB."""
   from blueprint_oss_spark.ops.textops import quality_keep_expr
+  # stage the token array once (no CSE for interpreted HOFs — the
+  # review caught n_toks + every keep sub-verdict each re-tokenizing)
   d = (docs if docs is not None else
        spark.read.parquet(f'{sf_dir}/documents.parquet')) \
-      .select('lang', 'source', 'text')
-  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+      .select('lang', 'source', 'text',
+              F.filter(F.split(F.col('text'), ' '),
+                       lambda x: F.length(x) > 0).alias('toks'))
   base = d.select(
       'lang', 'source', 'text',
-      F.size(toks).cast('long').alias('n_toks'),
+      F.size('toks').cast('long').alias('n_toks'),
       F.length('text').cast('long').alias('n_chars'),
-      quality_keep_expr(F.col('text')).cast('long').alias('keep'))
+      quality_keep_expr(F.col('text'), toks=F.col('toks'))
+      .cast('long').alias('keep'))
   per_text = (base.groupBy('lang', 'source', 'text')
               .agg(F.count(F.lit(1)).alias('n_docs'),
                    F.sum('n_toks').alias('n_tokens'),

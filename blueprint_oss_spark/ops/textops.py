@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from blueprint_oss_spark.ops.common import spread_small_scan
+
 STOPWORDS_EN = ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for',
                 'on', 'with', 'as', 'at', 'by')
 
@@ -192,10 +194,7 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   # (createDataFrame / composed plans) already carry their creator's
   # parallelism.  At 100 TB the scan has thousands of splits and no
   # repartition (= no shuffle) happens.
-  target = spark.sparkContext.defaultParallelism
-  in_files = d.inputFiles()
-  if in_files and len(in_files) < target:
-    d = d.repartition(target)
+  d = spread_small_scan(d)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   # Map-side signatures: build the shingle array per row and take the
   # per-permutation min with array_min(transform(...)) — no explode, no
@@ -260,12 +259,18 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
 def quality_keep_expr(text_col, *,
                       min_tokens: int = 5, max_tokens: int = 100_000,
                       min_mean_wordlen: int = 2,
-                      max_mean_wordlen: int = 12):
+                      max_mean_wordlen: int = 12,
+                      toks=None):
   """The Gopher keep flag as a single reusable Column expression (int
   0/1) over a text column — the same exact-integer verdicts as
   `quality_filter`, inlineable on any scan so downstream consumers
-  (e.g. quality_classifier's weak labels) never pay a label join."""
-  toks = F.filter(F.split(text_col, ' '), lambda x: F.length(x) > 0)
+  (e.g. quality_classifier's weak labels) never pay a label join.
+  Pass a pre-staged token-array column as `toks` when the caller
+  already projects one (data_card): interpreted HOFs get no CSE, so
+  the default inline tokenization would otherwise re-run per
+  consuming expression."""
+  if toks is None:
+    toks = F.filter(F.split(text_col, ' '), lambda x: F.length(x) > 0)
   n = F.size(toks)
   sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
   n_chars = F.length(text_col)
@@ -845,10 +850,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str, *,
   # same metadata-only small-scan spread as minhash_shingles: the
   # n-gram construction is the map-heavy stage and a one-split corpus
   # would run it on one core
-  target = spark.sparkContext.defaultParallelism
-  in_files = d.inputFiles()
-  if in_files and len(in_files) < target:
-    d = d.repartition(target)
+  d = spread_small_scan(d)
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   base = d.select('doc_id',
                   F.length('text').cast('long').alias('n_chars'),
@@ -938,10 +940,7 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
       .select('doc_id', 'text')
   # spread a single-split scan before the map-heavy n-gram stage (same
   # metadata-only check as minhash_shingles)
-  target = spark.sparkContext.defaultParallelism
-  in_files = d.inputFiles()
-  if in_files and len(in_files) < target:
-    d = d.repartition(target)
+  d = spread_small_scan(d)
   base, occ = gram_occurrences(d, n)
 
   dup = (occ.groupBy('gram').count()
@@ -1404,13 +1403,20 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str, *,
   blist = ', '.join(f"'{b}'" for b in BOILERPLATE_PARAS)
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
+  # empty-filtered tokens (the gram_occurrences convention, and what
+  # the gate oracle's shared `t` CTE uses) — raw split(text, ' ')
+  # would count '' tokens on irregular whitespace via the docs= seam
+  # and diverge from the oracle's paragraph texts
   paras_expr = F.expr(f"""
     transform(
-      sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+      sequence(0, cast(ceil(size(filter(split(text, ' '),
+                                        x -> length(x) > 0))
+                            / {w}.0) as int) - 1),
       j -> CASE WHEN (doc_id * 13 + j * 7) % 9 = 0
                 THEN element_at(array({blist}),
                                 cast(doc_id % 3 as int) + 1)
-                ELSE array_join(slice(split(text, ' '),
+                ELSE array_join(slice(filter(split(text, ' '),
+                                             x -> length(x) > 0),
                                       j * {w} + 1, {w}), ' ')
            END)
   """)
@@ -1479,16 +1485,22 @@ def topic_tagging(spark: SparkSession, sf_dir: str, *,
   first-max argmax (the _assign_cells device)."""
   tl = topics if topics is not None else TOPIC_LEXICONS
   names = list(tl)
+  # stage the token array as its own projected column: interpreted
+  # higher-order lambdas get no common-subexpression elimination (the
+  # _bloom_flat_positions lesson), so embedding split+filter into each
+  # hit_count column re-tokenizes every row once per lexicon
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
-      .select('doc_id', 'text')
-  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+      .select('doc_id',
+              F.filter(F.split(F.col('text'), ' '),
+                       lambda x: F.length(x) > 0).alias('toks'))
+
   def hit_count(ws):
     # factory closure, NOT a `ws=ws` default arg: a default makes the
     # lambda binary and F.filter then passes the ARRAY INDEX as the
     # second positional — silently replacing the lexicon (the same
     # trap _sign_lsh_projection documents for transform())
     arr = F.array(*[F.lit(w) for w in ws])
-    return F.size(F.filter(toks,
+    return F.size(F.filter('toks',
                            lambda x: F.array_contains(arr, x)))
 
   counts = [hit_count(ws).alias(f'n_{name}') for name, ws in tl.items()]
@@ -1555,15 +1567,20 @@ def c4_span_dedup(spark: SparkSession, sf_dir: str, *,
   triples = ', '.join(
       "array(%s)" % ', '.join(f"'{s}'" for s in t)
       for t in BOILERPLATE_SENTS)
+  # empty-filtered tokens — same oracle-consistency rule as
+  # dedup_paragraphs' paras_expr
   sents_expr = F.expr(f"""
     transform(
-      sequence(0, cast(ceil(size(split(text, ' ')) / {w}.0) as int) - 1),
+      sequence(0, cast(ceil(size(filter(split(text, ' '),
+                                        x -> length(x) > 0))
+                            / {w}.0) as int) - 1),
       j -> CASE WHEN (doc_id * 13 + div(j, 3) * 7) % 9 = 0
                 THEN element_at(
                        element_at(array({triples}),
                                   cast(doc_id % 3 as int) + 1),
                        cast(j % 3 as int) + 1)
-                ELSE array_join(slice(split(text, ' '),
+                ELSE array_join(slice(filter(split(text, ' '),
+                                             x -> length(x) > 0),
                                       j * {w} + 1, {w}), ' ')
            END)
   """)

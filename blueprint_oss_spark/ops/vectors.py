@@ -413,19 +413,10 @@ def pq_topk(spark: SparkSession, sf_dir: str, *,
 # Semantic dedup — cluster-then-pairwise embedding dedup (SemDeDup-style).
 # ---------------------------------------------------------------------------
 
-def _spread_small_scan(raw: DataFrame, projected: DataFrame) -> DataFrame:
-  """A small corpus arrives as one parquet split, which starves the
-  map side AND the pair-cosine joins downstream (a broadcast join runs
-  on the probe side's partitioning — one input split means the whole
-  quadratic in-bucket cosine work lands on ONE core).  Metadata-only
-  guard mirroring textops.minhash_shingles: a file-backed scan with
-  fewer input files than cores gets repartitioned; at 100 TB the scan
-  has thousands of splits and no repartition (= no shuffle) happens."""
-  target = projected.sparkSession.sparkContext.defaultParallelism
-  in_files = raw.inputFiles()
-  if in_files and len(in_files) < target:
-    return projected.repartition(target)
-  return projected
+#: Single-split scan guard — shared implementation, see
+#: ops/common.spread_small_scan for the full story.
+from blueprint_oss_spark.ops.common import \
+    spread_small_scan as _spread_small_scan  # noqa: E402
 
 
 def _planted(e: DataFrame, n_planted: int, plant_eps: float) -> DataFrame:
@@ -756,8 +747,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str, *,
              .select(F.col('vec_id').alias('anchor_id'),
                      F.col('label').alias('anchor_label'),
                      vec.alias('a')))
-  scored = (e.select(F.col('vec_id').alias('neg_id'),
-                     F.col('label').alias('neg_label'), vec.alias('v'))
+  # single-split guard on the probe side: the O(n x anchors) cosine
+  # folds otherwise all land in one task at gate scale
+  probe = _spread_small_scan(
+      e, e.select(F.col('vec_id').alias('neg_id'),
+                  F.col('label').alias('neg_label'), vec.alias('v')))
+  scored = (probe
             .join(F.broadcast(anchors),
                   F.col('neg_label') != F.col('anchor_label'))
             .select('anchor_id', 'anchor_label', 'neg_id', 'neg_label',

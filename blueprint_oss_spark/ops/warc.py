@@ -124,7 +124,9 @@ def parse_warc_records(spark: SparkSession, sf_dir: str, *,
       .alias('target_uri'),
       F.regexp_extract(warc_hdrs, r'WARC-Type: (\S+)', 1)
       .alias('warc_type'),
-      F.regexp_extract(http_hdrs, r'HTTP/1\.1 ([0-9]+)', 1)
+      F.when(F.regexp_extract(http_hdrs, r'HTTP/1\.1 ([0-9]+)', 1)
+             != '',
+             F.regexp_extract(http_hdrs, r'HTTP/1\.1 ([0-9]+)', 1))
       .cast('int').alias('status'),
       F.regexp_extract(http_hdrs, r'Content-Type: ([^\r]+)', 1)
       .alias('content_type'),

@@ -22,7 +22,9 @@ def _triples_sql():
 
 ORACLE = f"""
 WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS words
+  FROM documents
 ), sented AS (
   SELECT doc_id,
          list_transform(

@@ -22,7 +22,9 @@ _BOILER_SQL = (
 
 ORACLE = f"""
 WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             x -> len(x) > 0) AS words
+  FROM documents
 ), lined AS (
   SELECT doc_id,
          list_transform(
