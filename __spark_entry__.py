@@ -240,7 +240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'events_asof_orders': R.events_asof_orders,
       # incremental (new-batch-vs-corpus) dedup verdicts — the
       # daily-crawl shape that never self-joins the corpus
-      'incremental_dedup': lambda s, d: T.incremental_dedup(s, d),
+      # incremental new-batch verdicts + snapshot corpus diff in one
+      # method-tagged row-set (gate-budget merge; both from-scratch
+      # SQL oracles)
+      'incremental_dedup': _incremental_and_diff,
       'sessionize': R.sessionize,
       'funnel_analysis': R.funnel_analysis,
       'cohort_retention': R.cohort_retention,
@@ -567,6 +570,31 @@ def _embedding_pairs_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col('best_eval_id').alias('vec_b'),
                    F.col('best_cos_r').alias('cos_r'), 'contaminated'))
   return pairs.unionByName(decon).orderBy('method', 'vec_a', 'vec_b')
+
+
+def _incremental_and_diff(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+  """Both incremental-operation audits method-tagged in one driver
+  row-set: method='incremental' rows are incremental_dedup's
+  batch-vs-corpus exact/near/new verdicts (match_id/jac_r), and
+  method='diff' rows are corpus_diff's snapshot
+  added/removed/changed/unchanged verdicts (old_hash/new_hash) over
+  the deterministic synthesized second version — every column of both
+  operators stays value-checked; columns not belonging to a section
+  are typed NULLs."""
+  from blueprint_oss_spark.ops import textops as T
+  nul_l = F.lit(None).cast('long')
+  nul_d = F.lit(None).cast('double')
+  nul_s = F.lit(None).cast('string')
+  inc = (T.incremental_dedup(spark, sf_dir)
+         .select(F.lit('incremental').alias('method'), 'doc_id',
+                 'verdict', 'match_id', 'jac_r',
+                 nul_s.alias('old_hash'), nul_s.alias('new_hash')))
+  dif = (T.corpus_diff(spark, sf_dir)
+         .select(F.lit('diff').alias('method'), 'doc_id', 'verdict',
+                 nul_l.alias('match_id'), nul_d.alias('jac_r'),
+                 'old_hash', 'new_hash'))
+  return inc.unionByName(dif).orderBy('method', 'doc_id')
 
 
 def _substring_paragraph_dedup(spark: SparkSession,
@@ -1400,6 +1428,11 @@ def oracle_sql() -> dict[str, str]:
       # too).  The oracle runs the direct batch x corpus scan the
       # Spark plan's inverted-index join avoids.
       'incremental_dedup': """
+        SELECT 'incremental' AS method, q.doc_id, q.verdict,
+               q.match_id, q.jac_r,
+               CAST(NULL AS VARCHAR) AS old_hash,
+               CAST(NULL AS VARCHAR) AS new_hash
+        FROM (
         WITH b AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
         ), c AS (
@@ -1464,7 +1497,35 @@ def oracle_sql() -> dict[str, str]:
         FROM b
         WHERE doc_id NOT IN (SELECT doc_id FROM ex)
           AND doc_id NOT IN (SELECT doc_id FROM near)
-        ORDER BY doc_id
+        
+        ) q
+        UNION ALL
+        SELECT 'diff', d2.doc_id, d2.verdict,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               d2.old_hash, d2.new_hash
+        FROM (
+        WITH dold AS (SELECT doc_id, text FROM documents),
+        dnew AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' updated v2'
+                      ELSE text END AS text
+          FROM dold WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' added'
+          FROM dold WHERE doc_id % 17 = 0
+        ),
+        do_ AS (SELECT doc_id, md5(text) AS old_hash FROM dold),
+        dn AS (SELECT doc_id, md5(text) AS new_hash FROM dnew)
+        SELECT coalesce(do_.doc_id, dn.doc_id) AS doc_id,
+               CASE WHEN do_.old_hash IS NULL THEN 'added'
+                    WHEN dn.new_hash IS NULL THEN 'removed'
+                    WHEN do_.old_hash <> dn.new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS verdict,
+               do_.old_hash, dn.new_hash
+        FROM do_ FULL OUTER JOIN dn ON do_.doc_id = dn.doc_id
+
+        ) d2
+        ORDER BY method, doc_id
       """,
       # Cohort retention recomputed from scratch: identical integer
       # week arithmetic on epoch micros.

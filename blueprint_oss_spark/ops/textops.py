@@ -1633,3 +1633,55 @@ def c4_span_dedup(spark: SparkSession, sf_dir: str, *,
                   F.coalesce('clean_text', F.lit(''))
                   .alias('clean_text'))
           .orderBy('doc_id'))
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str, *,
+                removed_mod: int = 13, changed_mod: int = 11,
+                added_mod: int = 17,
+                old: DataFrame = None,
+                new: DataFrame = None) -> DataFrame:
+  """Snapshot diff between two corpus versions — the audit step of
+  incremental operation (what changed between crawl N and crawl N+1
+  before the store is overwritten; the complement of
+  incremental_dedup, which asks what the NEW batch duplicates).  One
+  verdict row per doc_id present in either version:
+    doc_id, verdict ('added' | 'removed' | 'changed' | 'unchanged'),
+    old_hash / new_hash (md5 of each side's text, NULL when absent).
+
+  Default synthesis (the planted-PII device — pure doc_id arithmetic
+  the DuckDB oracle replays): old = the documents table; new = old
+  minus every doc_id % removed_mod == 0, with ' updated v2' appended
+  to every surviving doc_id % changed_mod == 0, plus re-entries of
+  every doc_id % added_mod == 0 as doc_id + 10_000_000 with ' added'
+  appended.  A real deployment passes its two snapshot tables via
+  `old=` / `new=`.
+
+  Scale shape: two scans, map-side md5, ONE full-outer equi-join on
+  doc_id — with both snapshots written through the bucketed doc store
+  (spark/storage.py) the join is co-located and exchange-free; verdicts
+  are a codegen CASE over the joined hashes.  No window, no Python,
+  no skew surface (doc_id is unique per side)."""
+  base = (old if old is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  if new is None:
+    did = F.col('doc_id')
+    survivors = (base.where(did % removed_mod != 0)
+                 .select('doc_id',
+                         F.when(did % changed_mod == 0,
+                                F.concat('text', F.lit(' updated v2')))
+                         .otherwise(F.col('text')).alias('text')))
+    added = (base.where(did % added_mod == 0)
+             .select((did + 10_000_000).alias('doc_id'),
+                     F.concat('text', F.lit(' added')).alias('text')))
+    new = survivors.unionByName(added)
+  o = base.select('doc_id', F.md5('text').alias('old_hash'))
+  n = new.select('doc_id', F.md5('text').alias('new_hash'))
+  j = o.join(n, 'doc_id', 'full_outer')
+  return (j.select(
+      'doc_id',
+      F.when(F.col('old_hash').isNull(), 'added')
+      .when(F.col('new_hash').isNull(), 'removed')
+      .when(F.col('old_hash') != F.col('new_hash'), 'changed')
+      .otherwise('unchanged').alias('verdict'),
+      'old_hash', 'new_hash')
+      .orderBy('doc_id'))
