@@ -263,8 +263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # RefinedWeb-style URL curation (Penedo et al. 2023 §3.1):
       # normalization, blocklists, URL dedup, per-domain cap;
       # deterministic synthesized URLs, DuckDB re-synthesizes and
-      # recomputes every verdict from the raw table
-      'url_curation': lambda s, d: C.url_curation(s, d),
+      # recomputes every verdict from the raw table — joined (gate-
+      # budget merge) with exact-integer PageRank over the synthesized
+      # link graph, all six iterations recomputed from scratch in SQL
+      'url_curation': _url_curation_pagerank,
       'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
       # C4-style line-level page cleaning (Raffel et al. §2.2);
       # deterministic synthesized line structure, DuckDB re-synthesizes
@@ -401,6 +403,20 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.sum('n_words').alias('corpus_words'),
       F.sum('n_tokens').alias('corpus_tokens'))
   return merges.crossJoin(F.broadcast(totals)).orderBy('rank')
+
+
+def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """RefinedWeb URL verdicts joined with exact-integer PageRank over
+  the synthesized link graph (gate-budget merge: per-URL quality and
+  link-graph quality in ONE row-set; the DuckDB oracle re-synthesizes
+  the URLs AND the edge list and recomputes every verdict and all six
+  fixed-point iterations from the raw table — the pagerank numerators
+  are BIGINT, so equality is exact, not tolerance-based)."""
+  from blueprint_oss_spark.ops import curation as C
+  from blueprint_oss_spark.ops import graph as G
+  return (C.url_curation(spark, sf_dir)
+          .join(G.pagerank(spark, sf_dir), 'doc_id')
+          .orderBy('doc_id'))
 
 
 def _dedup_groups_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +821,57 @@ _SNAPSHOT_ORACLES = {
 #: tables — valid only at sf0.01, like the snapshot oracles above.
 _SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups',
                                   'ann_topk_methods'})
+
+
+def _pagerank_sql_ctes(iterations: int = 6) -> str:
+  """CTE block recomputing ops.graph.pagerank from scratch in DuckDB:
+  re-synthesize the link graph from pure doc_id arithmetic, then unroll
+  the `iterations` exact-BIGINT fixed-point rounds (damping 17/20 at
+  numerator scale n * 80^T — every sum is order-independent integer
+  arithmetic, so equality with Spark is bit-exact, no tolerance).
+  Spliced into the url_curation oracle's WITH list."""
+  s_pow = 80 ** iterations
+  teleport = 3 * s_pow // 20
+  ctes = [f"""prm AS (SELECT count(*) AS n FROM documents),
+        pdeg AS (SELECT doc_id,
+                        CAST(([1,2,4])[CAST(doc_id % 3 + 1 AS INT)]
+                             AS BIGINT) AS out_deg
+                 FROM documents),
+        pej AS (SELECT d.doc_id AS src, d.out_deg, p.n,
+                       unnest(generate_series(1, d.out_deg)) AS j
+                FROM pdeg d, prm p),
+        pedges AS (
+          SELECT src, out_deg,
+                 CASE WHEN t0 = src THEN (t0 + 1) % n ELSE t0 END AS dst
+          FROM (SELECT src, out_deg, n,
+                       CASE WHEN src % 5 = 0 AND j = 1 THEN 17 % n
+                            ELSE (src * 31 + j * 97) % n END AS t0
+                FROM pej)),
+        pr0 AS (SELECT doc_id AS node, CAST({s_pow} AS BIGINT) AS num
+                FROM documents)"""]
+  for t in range(1, iterations + 1):
+    ctes.append(f"""pr{t} AS (
+          SELECT d.doc_id AS node,
+                 CAST({teleport} + COALESCE(f.flow, 0) AS BIGINT) AS num
+          FROM documents d LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM((r.num * 17) // (20 * e.out_deg)) AS flow
+            FROM pr{t - 1} r JOIN pedges e ON e.src = r.node
+            GROUP BY e.dst) f ON f.node = d.doc_id)""")
+  ctes.append(f"""pr AS (
+          SELECT r.node AS pr_doc_id,
+                 COALESCE(dg.out_deg, CAST(0 AS BIGINT)) AS out_deg,
+                 COALESCE(idg.in_deg, CAST(0 AS BIGINT)) AS in_deg,
+                 r.num AS pr_num,
+                 CAST(r.num AS DOUBLE)
+                   / CAST(p.n * {s_pow} AS DOUBLE) AS pagerank
+          FROM pr{iterations} r
+          CROSS JOIN prm p
+          LEFT JOIN pdeg dg ON dg.doc_id = r.node
+          LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
+                     FROM pedges GROUP BY dst) idg
+            ON idg.dst = r.node)""")
+  return ',\n        '.join(ctes)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2475,12 +2542,16 @@ def oracle_sql() -> dict[str, str]:
                       AND CURRENT ROW) AS BIGINT)
                  END AS domain_rank
           FROM elig
-        )
-        SELECT doc_id, url, norm_url, domain, blocked_domain,
-               blocked_word, url_rank, domain_rank,
-               CAST(eligible = 1 AND domain_rank <= 2 AS INT) AS kept
-        FROM ranked
-        ORDER BY doc_id
+        ),
+        """ + _pagerank_sql_ctes() + """
+        SELECT rk.doc_id, rk.url, rk.norm_url, rk.domain,
+               rk.blocked_domain, rk.blocked_word, rk.url_rank,
+               rk.domain_rank,
+               CAST(rk.eligible = 1 AND rk.domain_rank <= 2 AS INT)
+                 AS kept,
+               pr.out_deg, pr.in_deg, pr.pr_num, pr.pagerank
+        FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
+        ORDER BY rk.doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the
       # same per-shard window sum; integer-exact (floor of non-negative

@@ -37,7 +37,7 @@ Scale notes (100 TB / 10^9-node regime):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = 'src',
@@ -106,3 +106,150 @@ def connected_components(edges: DataFrame, src: str = 'src',
   # cut the loop before the sets became disjoint
   return (members.unionByName(roots)
           .groupBy('node').agg(F.min('component').alias('component')))
+
+
+# --- link-graph quality (PageRank) -----------------------------------
+
+#: PageRank fixed-point scale base: damping 17/20 with out-degrees
+#: restricted (by synthesis) to divisors of 4 makes every per-edge
+#: division by 20*out_deg exact when ranks carry S = 20*4 = 80 scale
+#: factors — see `pagerank` for the induction.
+_PR_SCALE = 80
+#: Synthesized out-degree menu (all divide _PR_SCALE / 20).
+_PR_DEGREES = (1, 2, 4)
+
+
+def link_graph(docs: DataFrame, n_docs: int) -> DataFrame:
+  """Deterministic synthesized web link graph over the documents table.
+
+  The corpus has no hyperlink column, so — the same device as
+  url_curation's synthesized URLs and pii_scrub's planted PII — edges
+  are pure integer arithmetic on doc_id, reproducible byte-identically
+  by the DuckDB oracle:
+
+    * out_deg(i) = (1, 2, 4)[i % 3]  (all divide 4, see `pagerank`);
+    * edge j in 1..out_deg(i) targets (i*31 + j*97) % n;
+    * every fifth page's FIRST link instead points at the planted hub
+      page (17 % n) — the hub's in-degree is ~n/5, the popular-page
+      skew a real link graph always has;
+    * a would-be self-link is remapped to the next page, so parallel
+      edges can occur (kept — real anchor duplication) but loops
+      cannot and every page keeps exactly out_deg(i) out-links
+      (no dangling mass, so total rank is conserved exactly).
+
+  Returns (src, dst, out_deg) with one row per link.  The synthesis is
+  a zero-shuffle codegen projection + explode over the doc scan.
+  """
+  did = F.col('doc_id')
+  deg = F.element_at(F.array(*[F.lit(k) for k in _PR_DEGREES]),
+                     (did % 3 + 1).cast('int')).cast('long')
+  e = (docs.select(did.alias('src'), deg.alias('out_deg'))
+       .select('src', 'out_deg',
+               F.explode(F.sequence(F.lit(1).cast('long'),
+                                    F.col('out_deg'))).alias('j')))
+  hub = F.lit(17 % n_docs).cast('long')
+  t0 = F.when((F.col('src') % 5 == 0) & (F.col('j') == 1), hub) \
+        .otherwise((F.col('src') * 31 + F.col('j') * 97) % n_docs)
+  dst = F.when(t0 == F.col('src'), (t0 + 1) % n_docs).otherwise(t0)
+  return e.select('src', dst.alias('dst'), 'out_deg')
+
+
+def pagerank(spark: SparkSession, sf_dir: str, *,
+             iterations: int = 6,
+             docs: DataFrame = None,
+             edges: DataFrame = None) -> DataFrame:
+  """Exact-integer PageRank over the (synthesized) document link graph
+  — the link-graph quality signal web curation pipelines rank crawl
+  frontiers and weight domains with (the Common Crawl ranking shape;
+  complements url_curation's per-URL verdicts).
+
+  Bit-reproducibility WITHOUT a pinned-order float fold: ranks are
+  BIGINT numerators over the fixed denominator n * S^T (S = 80,
+  T = `iterations`), so the per-target reduction is an order-
+  independent integer SUM — map-side combinable, which is what makes
+  the planted hub page (in-degree ~n/5) safe: partial sums collapse
+  the hub's contribution rows per map task before the shuffle.  A
+  pinned-order double fold (lm_score's device) would instead need the
+  hub's whole in-neighborhood collected and sorted in one reducer row
+  — exactly the collect_set memory bomb `connected_components`'s
+  header rules out.
+
+  Exactness: with damping d = 17/20 the update is
+
+      num'(u) = 3*S^T/20 + sum_{v->u} (17 * num(v)) DIV (20 * deg(v))
+
+  and every division is exact on the synthesized graph: num(v) is
+  divisible by S^(T-t) after t iterations (induction: the teleport
+  term carries S^(T-1) >= S^(T-t) factors for t >= 1, each flow term
+  keeps S^(T-t-1) of its source's S^(T-t) because 20*deg | 80 = S),
+  so total rank mass is conserved to the last bit —
+  sum(pr_num) == n * S^T, asserted by tests.  Through the `edges=`
+  seam (arbitrary out-degrees) DIV floors: still deterministic and
+  order-independent, merely <= 1/(n*S^T) mass lost per edge per
+  iteration.
+
+  Magnitudes: total mass n * 80^6 ~ 2.6e11 * n stays under int64 even
+  at n = 10^7 docs per partition-group; the 17x intermediate adds one
+  decimal digit.  (At 10^12 docs, shard the denominator per Iceberg
+  partition or drop to S = 20, T = 4.)
+
+  Scale shape per iteration: ranks ⋈ edges on src (both sides hash-
+  partition on the join key; edges re-shuffles each round unless the
+  caller pre-buckets by src — `spark/storage.py`'s bucketed layout
+  co-locates it for free) → partial-SUM groupBy dst → left join back
+  onto the node list.  `localCheckpoint` after every round truncates
+  lineage, the same O(1)-plan-size device as `connected_components`.
+
+  Returns one row per document:
+    (doc_id, out_deg, in_deg, pr_num, pagerank)
+  with pagerank = pr_num / (n * S^T) — a single BIGINT→DOUBLE division
+  both engines perform identically (operands < 2^53 at the default
+  config, so even exactly).
+  """
+  d = (docs if docs is not None
+       else spark.read.parquet(f'{sf_dir}/documents.parquet'))
+  nodes = d.select(F.col('doc_id').cast('long').alias('doc_id'))
+  n = nodes.count()
+  if edges is None:
+    edges = link_graph(nodes, n)
+  elif 'out_deg' not in edges.columns:
+    deg = edges.groupBy('src').agg(F.count('*').alias('out_deg'))
+    edges = edges.join(deg, 'src')
+  edges = edges.select(F.col('src').cast('long').alias('src'),
+                       F.col('dst').cast('long').alias('dst'),
+                       F.col('out_deg').cast('long').alias('out_deg')) \
+      .localCheckpoint(eager=True)
+
+  s_pow = _PR_SCALE ** iterations          # S^T
+  teleport = 3 * s_pow // 20               # (1-d)/n at num scale
+  ranks = nodes.select(F.col('doc_id').alias('node'),
+                       F.lit(s_pow).cast('long').alias('num'))
+  for _ in range(iterations):
+    flows = (ranks.join(edges, ranks.node == edges.src)
+             .select(F.col('dst').alias('node'),
+                     F.expr('(num * 17L) DIV (20L * out_deg)')
+                     .alias('c'))
+             .groupBy('node').agg(F.sum('c').alias('flow')))
+    ranks = (nodes.select(F.col('doc_id').alias('node'))
+             .join(flows, 'node', 'left')
+             .select('node',
+                     (F.lit(teleport).cast('long')
+                      + F.coalesce(F.col('flow'), F.lit(0).cast('long')))
+                     .alias('num'))
+             .localCheckpoint(eager=True))
+
+  out_degs = edges.select('src', 'out_deg').groupBy('src') \
+      .agg(F.max('out_deg').alias('out_deg'))
+  in_degs = edges.groupBy('dst').agg(F.count('*').alias('in_deg'))
+  denom = float(n * s_pow)
+  return (nodes
+          .join(out_degs, nodes.doc_id == out_degs.src, 'left')
+          .join(in_degs, nodes.doc_id == in_degs.dst, 'left')
+          .join(ranks, nodes.doc_id == ranks.node)
+          .select(nodes.doc_id,
+                  F.coalesce('out_deg', F.lit(0).cast('long'))
+                  .alias('out_deg'),
+                  F.coalesce('in_deg', F.lit(0).cast('long'))
+                  .alias('in_deg'),
+                  F.col('num').alias('pr_num'),
+                  (F.col('num') / F.lit(denom)).alias('pagerank')))
