@@ -407,15 +407,21 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   """RefinedWeb URL verdicts joined with exact-integer PageRank over
-  the synthesized link graph (gate-budget merge: per-URL quality and
-  link-graph quality in ONE row-set; the DuckDB oracle re-synthesizes
-  the URLs AND the edge list and recomputes every verdict and all six
-  fixed-point iterations from the raw table — the pagerank numerators
-  are BIGINT, so equality is exact, not tolerance-based)."""
+  the synthesized link graph AND per-URL robots.txt crawl-permission
+  verdicts (gate-budget merge: per-URL quality, link-graph quality and
+  politeness/compliance in ONE row-set; the DuckDB oracle
+  re-synthesizes the URLs, the edge list AND every domain's
+  robots.txt, recomputes every verdict, all six fixed-point pagerank
+  iterations — BIGINT numerators, so equality is exact — and
+  re-parses + re-applies the robots rules with the same
+  longest-match/allow-tie semantics, all from the raw table)."""
   from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import graph as G
+  rb = (C.robots_verdicts(spark, sf_dir)
+        .select('doc_id', 'robots_blocked', 'robots_rule'))
   return (C.url_curation(spark, sf_dir)
           .join(G.pagerank(spark, sf_dir), 'doc_id')
+          .join(rb, 'doc_id')
           .orderBy('doc_id'))
 
 
@@ -708,9 +714,15 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   ingest front door: deterministic ISO-28500 response records parsed
   back to uri/status/content-type/length-check/body-text rows with
   pure codegen column ops — its oracle re-synthesizes and re-parses
-  the records from scratch; columns not belonging to a section are
-  typed NULLs."""
-  from blueprint_oss_spark.ops.html_extract import html_main_content
+  the records from scratch.  A third method='links' section carries
+  anchor/href harvesting (`extract_links`, the link-graph + anchor-
+  text-corpus front door): every (link_pos, href, anchor_text) per
+  page, recomputed by the oracle from the boilerplate template
+  structure joined on doc_id % 3 (the links variant is % 3, not
+  xxhash64, precisely so the oracle can).  Columns not belonging to a
+  section are typed NULLs."""
+  from blueprint_oss_spark.ops.html_extract import (extract_links,
+                                                    html_main_content)
   from blueprint_oss_spark.ops.warc import parse_warc_records
   nul_s = F.lit(None).cast('string')
   nul_i = F.lit(None).cast('int')
@@ -720,12 +732,23 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                  nul_s.alias('target_uri'), nul_i.alias('status'),
                  nul_s.alias('content_type'),
                  nul_l.alias('declared_len'), nul_l.alias('body_len'),
-                 nul_i.alias('length_ok')))
+                 nul_i.alias('length_ok'), nul_i.alias('link_pos'),
+                 nul_s.alias('href'), nul_s.alias('anchor_text')))
   wrc = (parse_warc_records(spark, sf_dir)
          .select(F.lit('warc').alias('method'), 'doc_id', 'main_text',
                  'target_uri', 'status', 'content_type',
-                 'declared_len', 'body_len', 'length_ok'))
-  return dom.unionByName(wrc).orderBy('method', 'doc_id')
+                 'declared_len', 'body_len', 'length_ok',
+                 nul_i.alias('link_pos'), nul_s.alias('href'),
+                 nul_s.alias('anchor_text')))
+  lnk = (extract_links(spark, sf_dir)
+         .select(F.lit('links').alias('method'), 'doc_id',
+                 nul_s.alias('main_text'), nul_s.alias('target_uri'),
+                 nul_i.alias('status'), nul_s.alias('content_type'),
+                 nul_l.alias('declared_len'), nul_l.alias('body_len'),
+                 nul_i.alias('length_ok'), 'link_pos', 'href',
+                 'anchor_text'))
+  return (dom.unionByName(wrc).unionByName(lnk)
+          .orderBy('method', 'doc_id', 'link_pos'))
 
 
 def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +844,123 @@ _SNAPSHOT_ORACLES = {
 #: tables — valid only at sf0.01, like the snapshot oracles above.
 _SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups',
                                   'ann_topk_methods'})
+
+
+def _links_template_cte() -> str:
+  """VALUES CTE of the boilerplate template's expected link list per
+  variant (v = doc_id % 3) — the recoverable ground truth extract_links
+  parses back out.  Generated from the template constants (_MENUS) so
+  the oracle and the synthesis cannot drift apart silently; the
+  structure mirrors wrap_in_boilerplate's page layout in document
+  order (header, nav, ad, related, comments, ad, footer)."""
+  from blueprint_oss_spark.ops.html_extract import _MENUS
+  rows = []
+  for v in range(3):
+    menu = _MENUS[v % len(_MENUS)]
+    links = [('/', 'Example Site')]
+    links += [('/' + m.lower(), m) for m in menu]
+    links += [('/buy', 'BUY NOW limited offer')]
+    links += [(f'/story/{i}',
+               f'Related story number {i} about {menu[i % len(menu)]}')
+              for i in range(5)]
+    links += [(f'/user/{i}', f'reply to thread {i}') for i in range(2)]
+    links += [('/subscribe', 'Subscribe for more')]
+    links += [('/terms', 'Terms'), ('/privacy', 'Privacy'),
+              ('/contact', 'Contact')]
+    rows += [f"({v}, {pos}, '{href}', '{anchor}')"
+             for pos, (href, anchor) in enumerate(links)]
+  return ('ltmpl(v, pos, href, anchor) AS (VALUES\n          '
+          + ',\n          '.join(rows) + ')')
+
+
+def _robots_sql_ctes() -> str:
+  """CTE block recomputing the robots.txt chain from scratch in
+  DuckDB: re-synthesize every domain's robots_txt from grid
+  arithmetic, re-split and re-section it (last-non-null User-agent
+  over line position), then apply Google-REP longest-match semantics
+  (ties to Allow) to each doc's normalized path.  Verifies
+  ops.curation.synth_robots_table + parse_robots + robots_verdicts
+  end-to-end; spliced into the url_curation oracle's WITH list (needs
+  the `ranked` CTE for norm_url/domain)."""
+  return r"""rb_grid AS (
+          SELECT s, t,
+                 'site' || CAST(s AS VARCHAR)
+                 || (['.com','.org','.net','.io','.edu'])[t + 1]
+                   AS domain,
+                 (['news','blog','shop','casino',
+                   'forum','wiki','games','poker'])
+                   [CAST((s + 5) % 8 + 1 AS INT)] AS w1,
+                 (['news','blog','shop','casino',
+                   'forum','wiki','games','poker'])
+                   [CAST((s + 2) % 8 + 1 AS INT)] AS w2
+          FROM (SELECT CAST(unnest(generate_series(0, 52)) AS INT) AS s),
+               (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS t)),
+        rb_txt AS (
+          SELECT domain,
+                 concat_ws(chr(10),
+                   'User-agent: *',
+                   'Disallow: /private/',
+                   CASE WHEN s % 4 = 0
+                        THEN 'Disallow: /' || w1 || '/' END,
+                   CASE WHEN s % 4 = 0
+                        THEN 'Disallow: /' || w2 || '/' END,
+                   CASE WHEN s % 12 = 0
+                        THEN 'Allow: /' || w1 || '/p1' END,
+                   'Crawl-delay: ' || CAST(s % 9 AS VARCHAR),
+                   '',
+                   'User-agent: badbot',
+                   'Disallow: /') AS robots_txt
+          FROM rb_grid),
+        rb_lines AS (
+          SELECT domain, CAST(u.pos AS INT) AS pos, u.line AS line
+          FROM (SELECT domain,
+                       unnest(list_transform(
+                         string_split(robots_txt, chr(10)),
+                         (ln, i) -> {'pos': i - 1, 'line': ln})) AS u
+                FROM rb_txt)),
+        rb_staged AS (
+          SELECT domain, pos,
+                 NULLIF(regexp_extract(
+                   line, '^User-agent:\s*(\S+)\s*$', 1), '')
+                   AS agent_decl,
+                 NULLIF(regexp_extract(
+                   line, '^(Disallow|Allow|Crawl-delay):\s*(\S*)\s*$',
+                   1), '') AS directive,
+                 coalesce(regexp_extract(
+                   line, '^(Disallow|Allow|Crawl-delay):\s*(\S*)\s*$',
+                   2), '') AS value
+          FROM rb_lines),
+        rb_rules AS (
+          SELECT domain, agent, directive, value
+          FROM (SELECT domain, pos, directive, value,
+                       last_value(agent_decl IGNORE NULLS) OVER
+                         (PARTITION BY domain ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS agent
+                FROM rb_staged)
+          WHERE directive IS NOT NULL AND agent IS NOT NULL),
+        rb_match AS (
+          SELECT rk.doc_id, r.value AS prefix,
+                 CAST(r.directive = 'Allow' AS INT) AS allow,
+                 ROW_NUMBER() OVER (PARTITION BY rk.doc_id
+                   ORDER BY length(r.value) DESC,
+                            (r.directive = 'Allow') DESC,
+                            r.value DESC) AS rn
+          FROM (SELECT doc_id, domain,
+                       CASE WHEN coalesce(regexp_extract(norm_url,
+                              '^https://[^/]+(/.*)$', 1), '') <> ''
+                            THEN regexp_extract(norm_url,
+                              '^https://[^/]+(/.*)$', 1)
+                            ELSE '/' END AS path
+                FROM ranked) rk
+          JOIN rb_rules r ON r.domain = rk.domain
+           AND r.agent = '*'
+           AND r.directive IN ('Allow', 'Disallow')
+           AND starts_with(rk.path, r.value)),
+        rb_verdict AS (
+          SELECT doc_id, CAST(allow = 0 AS INT) AS robots_blocked,
+                 prefix AS robots_rule
+          FROM rb_match WHERE rn = 1)"""
 
 
 def _pagerank_sql_ctes(iterations: int = 6) -> str:
@@ -1280,7 +1420,8 @@ def oracle_sql() -> dict[str, str]:
       # (e'\r\n' blocks, computed Content-Length headers, 404 and
       # truncation plants) and re-parsed from scratch.
       'html_main_content': r"""
-        WITH w AS (
+        WITH """ + _links_template_cte() + r""",
+        w AS (
           SELECT doc_id, text,
                  CASE WHEN doc_id % 29 = 0
                       THEN '<html><body>Not Found</body></html>'
@@ -1331,7 +1472,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR) AS content_type,
                CAST(NULL AS BIGINT) AS declared_len,
                CAST(NULL AS BIGINT) AS body_len,
-               CAST(NULL AS INT) AS length_ok
+               CAST(NULL AS INT) AS length_ok,
+               CAST(NULL AS INT) AS link_pos,
+               CAST(NULL AS VARCHAR) AS href,
+               CAST(NULL AS VARCHAR) AS anchor_text
         FROM documents
         UNION ALL
         SELECT 'warc', doc_id,
@@ -1354,9 +1498,19 @@ def oracle_sql() -> dict[str, str]:
                                   parts[2],
                                   'Content-Length: ([0-9]+)', 1)
                                   AS BIGINT) AS INT)
-                    ELSE 0 END
+                    ELSE 0 END,
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR)
         FROM parsed
-        ORDER BY method, doc_id
+        UNION ALL
+        SELECT 'links', d.doc_id,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT),
+               CAST(t.pos AS INT), t.href, t.anchor
+        FROM documents d JOIN ltmpl t ON t.v = d.doc_id % 3
+        ORDER BY method, doc_id, link_pos
       """,
       # North-rule span sequence recomputed from the raw documents
       # table: the synthesis formulas (interleaved_html_table) are pure
@@ -2543,14 +2697,18 @@ def oracle_sql() -> dict[str, str]:
                  END AS domain_rank
           FROM elig
         ),
-        """ + _pagerank_sql_ctes() + """
+        """ + _pagerank_sql_ctes() + """,
+        """ + _robots_sql_ctes() + """
         SELECT rk.doc_id, rk.url, rk.norm_url, rk.domain,
                rk.blocked_domain, rk.blocked_word, rk.url_rank,
                rk.domain_rank,
                CAST(rk.eligible = 1 AND rk.domain_rank <= 2 AS INT)
                  AS kept,
-               pr.out_deg, pr.in_deg, pr.pr_num, pr.pagerank
+               pr.out_deg, pr.in_deg, pr.pr_num, pr.pagerank,
+               coalesce(rb.robots_blocked, 0) AS robots_blocked,
+               rb.robots_rule
         FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
+        LEFT JOIN rb_verdict rb ON rb.doc_id = rk.doc_id
         ORDER BY rk.doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the

@@ -60,6 +60,7 @@ def main() -> None:
   from blueprint_oss_spark.spark.pipeline import (
       SPANS_SCHEMA, extract_documents)
   from blueprint_oss_spark.ops import curation as C
+  from blueprint_oss_spark.ops import graph as G
   from blueprint_oss_spark.ops import relational as R
   from blueprint_oss_spark.ops import textops as T
   from blueprint_oss_spark.ops import vectors as V
@@ -213,6 +214,10 @@ def main() -> None:
       # tag strip in ONE codegen projection, zero shuffles
       ('warc_ingest',
        lambda: W.parse_warc_records(spark, sf_dir).count()),
+      # iterative join+agg shape: 6 exact-integer fixed-point rounds,
+      # each ranks⋈edges + partial-SUM groupBy + join-back, lineage
+      # truncated per round; includes link-graph synthesis
+      ('pagerank', lambda: G.pagerank(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

@@ -1059,3 +1059,156 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
                    & (F.col('domain_rank') <= domain_cap)).cast('int')
                   .alias('kept'))
           .orderBy('doc_id'))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — crawl-permission parsing + per-URL verdicts (the
+# politeness/compliance step RefinedWeb/CCNet-style crawls run before
+# URL curation; complements the opt_out_domains= blocklist seam with
+# path-level rules).
+# ---------------------------------------------------------------------------
+
+
+def synth_robots_table(spark: SparkSession) -> DataFrame:
+  """Deterministic robots.txt per synthesized domain (the 53x5
+  site{s}{tld} grid url_curation's URLs live on).  Pure integer
+  arithmetic on the grid id — byte-identically re-synthesizable by the
+  DuckDB oracle:
+
+    * every domain: 'User-agent: *', 'Disallow: /private/' (never
+      matches a synthesized path — the always-inert rule) and a
+      Crawl-delay;
+    * every s % 4 == 0 domain additionally disallows the two word
+      sections its page-1 and page-2 documents live under (domain s
+      hosts page k under word index (s + 5k) % 8 — the word/site
+      congruence of url_curation's synthesis — so these rules hit
+      real documents);
+    * every s % 12 == 0 domain (subset of the above) carves the
+      LONGER 'Allow: /<word1>/p1' back out of the page-1 disallow —
+      the longest-match-wins case (page 2 stays blocked);
+    * a trailing 'User-agent: badbot' section disallowing '/'.
+
+  Returns (domain, robots_txt).  265 rows — a broadcast dimension.
+  """
+  g = spark.range(53 * 5).select(
+      (F.col('id') % 53).alias('s'), (F.col('id') / 53).cast('int').alias('t'))
+  tld = F.element_at(F.array(*[F.lit(x) for x in _URL_TLDS]),
+                     F.col('t') + 1)
+  words = F.array(*[F.lit(w) for w in _URL_WORDS])
+  w1 = F.element_at(words, ((F.col('s') + 5) % 8 + 1).cast('int'))
+  w2 = F.element_at(words, ((F.col('s') + 2) % 8 + 1).cast('int'))
+  txt = F.concat_ws(
+      '\n',
+      F.lit('User-agent: *'),
+      F.lit('Disallow: /private/'),
+      F.when(F.col('s') % 4 == 0,
+             F.concat(F.lit('Disallow: /'), w1, F.lit('/'))),
+      F.when(F.col('s') % 4 == 0,
+             F.concat(F.lit('Disallow: /'), w2, F.lit('/'))),
+      F.when(F.col('s') % 12 == 0,
+             F.concat(F.lit('Allow: /'), w1, F.lit('/p1'))),
+      F.concat(F.lit('Crawl-delay: '), (F.col('s') % 9).cast('string')),
+      F.lit(''),
+      F.lit('User-agent: badbot'),
+      F.lit('Disallow: /'))
+  return g.select(
+      F.concat(F.lit('site'), F.col('s').cast('string'), tld)
+       .alias('domain'),
+      txt.alias('robots_txt'))
+
+
+def parse_robots(spark: SparkSession, sf_dir: str = '', *,
+                 robots: DataFrame = None) -> DataFrame:
+  """Parse (domain, robots_txt) into one row per directive:
+  (domain, agent, directive, value, pos).
+
+  Sectioning (each rule belongs to the most recent 'User-agent:'
+  line) is a running last-non-null over line position — ONE window on
+  the per-DOMAIN table, which is dimension-sized (one row per site,
+  not per document), so the shuffle is a few hundred rows here and
+  O(n_domains) at web scale: robots state is always negligible next
+  to the corpus.  Line grammar kept to the core REP subset: exact
+  'User-agent' / 'Allow' / 'Disallow' / 'Crawl-delay' keys,
+  '\\n'-separated, no wildcard/anchor patterns (documented; the
+  synthesized rules use none).  Unknown lines and blanks drop out;
+  rules before any User-agent line are ignored (agent NULL).
+  """
+  from pyspark.sql import Window
+  r = robots if robots is not None else synth_robots_table(spark)
+  lines = r.select('domain',
+                   F.posexplode(F.split('robots_txt', '\n'))
+                   .alias('pos', 'line'))
+  ag = F.regexp_extract('line', r'^User-agent:\s*(\S+)\s*$', 1)
+  dr = F.regexp_extract('line',
+                        r'^(Disallow|Allow|Crawl-delay):\s*(\S*)\s*$', 1)
+  vl = F.regexp_extract('line',
+                        r'^(Disallow|Allow|Crawl-delay):\s*(\S*)\s*$', 2)
+  staged = lines.select(
+      'domain', 'pos',
+      F.when(ag != '', ag).alias('agent_decl'),
+      F.when(dr != '', dr).alias('directive'),
+      F.when(dr != '', vl).alias('value'))
+  w = (Window.partitionBy('domain').orderBy('pos')
+       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  return (staged
+          .withColumn('agent', F.last('agent_decl', ignorenulls=True)
+                      .over(w))
+          .where(F.col('directive').isNotNull()
+                 & F.col('agent').isNotNull())
+          .select('domain', 'agent', 'directive', 'value', 'pos'))
+
+
+def robots_verdicts(spark: SparkSession, sf_dir: str, *,
+                    agent: str = '*',
+                    urls: DataFrame = None,
+                    rules: DataFrame = None) -> DataFrame:
+  """Per-document crawl-permission verdict: Google-REP longest-match
+  semantics over the agent's Allow/Disallow prefixes (ties go to
+  Allow — the least-restrictive rule), no match = allowed.
+
+  Scale shape: the rules table is aggregated per domain (a
+  dimension-sized groupBy) and BROADCAST as an array column, so the
+  corpus side is one shuffle-free codegen projection — filter the
+  array to matching prefixes (staged as its own column: interpreted
+  HOFs get no CSE), take array_max of (len, allow, prefix) structs.
+  The corpus never shuffles and never joins row-per-rule (which would
+  explode a 10^12-doc scan by rules-per-domain).
+
+  Returns (doc_id, norm_url, domain, path, robots_blocked,
+  robots_rule); robots_rule is the winning prefix (NULL if no rule
+  matched).
+  """
+  u = (urls if urls is not None
+       else url_curation(spark, sf_dir)
+       .select('doc_id', 'norm_url', 'domain'))
+  rl = rules if rules is not None else parse_robots(spark)
+  dim = (rl.where((F.col('agent') == agent)
+                  & F.col('directive').isin('Allow', 'Disallow'))
+         .select('domain',
+                 F.struct(F.length('value').alias('ln'),
+                          (F.col('directive') == 'Allow').cast('int')
+                          .alias('allow'),
+                          F.col('value').alias('prefix')).alias('r'))
+         .groupBy('domain').agg(F.collect_list('r').alias('rules')))
+  path_raw = F.regexp_extract('norm_url', r'^https://[^/]+(/.*)$', 1)
+  staged = (u.join(F.broadcast(dim), 'domain', 'left')
+            .select('doc_id', 'norm_url', 'domain',
+                    F.when(path_raw != '', path_raw).otherwise(F.lit('/'))
+                     .alias('path'),
+                    F.coalesce(
+                        'rules',
+                        F.array().cast(
+                            'array<struct<ln:int,allow:int,'
+                            'prefix:string>>')).alias('rules')))
+  matched = staged.withColumn(
+      'matched',
+      F.filter('rules', lambda r: F.startswith(F.col('path'), r.prefix)))
+  best = F.array_max('matched')
+  return (matched
+          .select('doc_id', 'norm_url', 'domain', 'path',
+                  F.when(F.size('matched') == 0, F.lit(0))
+                   .otherwise((best.allow == 0).cast('int'))
+                   .alias('robots_blocked'),
+                  F.when(F.size('matched') > 0, best.prefix)
+                   .alias('robots_rule'))
+          .orderBy('doc_id'))

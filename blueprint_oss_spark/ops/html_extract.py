@@ -385,3 +385,73 @@ def main_content_doc(spans) -> tuple:
                   'text': ' '.join((s['text'] or '').split()),
                   'media_ref': None, 'order': order})
   return out, n_html
+
+
+# ---------------------------------------------------------------------------
+# Anchor / link extraction — the link-graph and anchor-text-corpus
+# front door (anchor text is a classic relevance / quality training
+# signal; hrefs feed the crawl frontier, url_curation, and
+# ops/graph.pagerank through its edges= seam).
+# ---------------------------------------------------------------------------
+
+_LINK_PAT = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(spark: SparkSession, sf_dir: str, *,
+                  docs: DataFrame = None) -> DataFrame:
+  """Harvest (href, anchor_text) pairs from HTML pages in document
+  order.
+
+  Default input: the documents corpus wrapped in the same
+  boilerplate-heavy template as `html_main_content`, but with
+  variant = doc_id % 3 instead of pmod(xxhash64(doc_id), 3) — the menu
+  hrefs ARE variant-dependent here (unlike main-content output, which
+  is variant-independent), and % 3 keeps the expected link list
+  recomputable in ANSI SQL by the DuckDB gate oracle (xxhash64 is
+  Spark-only).  Through the `docs=` seam any (doc_id, html) frame —
+  e.g. parse_warc_records output — skips the synthesis entirely.
+
+  The OPERATOR is two `regexp_extract_all` passes (href group, anchor
+  group) + arrays_zip + posexplode: one whole-stage-codegen projection
+  with ZERO shuffles and zero Python (the default path's synthesis
+  mapInPandas is the test harness, not the operator).  The two regex
+  passes are projected as their own columns first — interpreted HOFs
+  get no CSE, and a per-element regexp_extract over full matches would
+  re-scan the page per link.  At 10^12 pages this is a pure map over
+  the page scan; the only lever is executor count.
+
+  Returns (doc_id, link_pos, href, anchor_text) with link_pos = 0-based
+  rank of the anchor in page order.  Pages with no anchors contribute
+  no rows (matching the SQL template-join oracle).
+  """
+  if docs is None:
+    base = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text') \
+        .withColumn('variant', (F.col('doc_id') % 3).cast('int'))
+    id_type = base.schema['doc_id'].dataType
+    syn_schema = StructType([
+        StructField('doc_id', id_type),
+        StructField('html', StringType()),
+    ])
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+      for pdf in batches:
+        pages = [wrap_in_boilerplate(str(d), t, int(v))
+                 for d, t, v in zip(pdf['doc_id'], pdf['text'],
+                                    pdf['variant'])]
+        yield pd.DataFrame({'doc_id': pdf['doc_id'], 'html': pages})
+
+    docs = base.mapInPandas(synth, syn_schema)
+
+  staged = docs.select(
+      'doc_id',
+      F.regexp_extract_all('html', F.lit(_LINK_PAT), 1).alias('hrefs'),
+      F.regexp_extract_all('html', F.lit(_LINK_PAT), 2).alias('anchors'))
+  return (staged
+          .select('doc_id',
+                  F.posexplode(F.arrays_zip('hrefs', 'anchors'))
+                  .alias('link_pos', 'z'))
+          .select('doc_id',
+                  F.col('link_pos').cast('int').alias('link_pos'),
+                  F.col('z.hrefs').alias('href'),
+                  F.col('z.anchors').alias('anchor_text')))

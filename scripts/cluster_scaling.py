@@ -204,6 +204,36 @@ elif model == 'paragraphs':
                              'clean_text')
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
+elif model == 'pagerank':
+    # iterative-shuffle counterpart: the only model whose shuffles
+    # REPEAT — six exact-BIGINT fixed-point rounds, each a ranks⋈edges
+    # hash join + map-side-combinable integer SUM groupBy + join-back
+    # onto the node list, lineage truncated per round (the CC/pagerank
+    # iterative family's scale shape).  Node set synthesized directly
+    # at arbitrary n; the planted hub page (in-degree ~n/5) is a
+    # genuine hub-key stress the map-side partial SUM must absorb
+    # before every round's shuffle.  Checksum = exact order-
+    # insensitive hash-sum of (doc_id, pr_num) plus the conserved
+    # total mass n*80^6 — all BIGINT arithmetic, so cross-cluster-size
+    # equality is bit-exact by design, no tolerance.
+    from blueprint_oss_spark.ops.graph import pagerank
+    # MEASURED: overriding shuffle partitions to the input's 6-per-core
+    # fine grain made BOTH levels ~2x slower (96-partition shuffles x 6
+    # rounds = pure task overhead) and efficiency WORSE (0.49 vs 0.65).
+    # The harness's 1-partition-per-core shuffles are right for the
+    # iterative job; the scaling lever is input size + fewer barriers.
+    n = n_docs or 2000000
+    df = (spark.range(n).select(F.col('id').alias('doc_id'))
+          .repartition(n_parts).cache())
+    n_in = df.count()
+    def run_pass():
+        agg = pagerank(spark, '', docs=df).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'pr_num')
+                  .cast('decimal(38,0)')).alias('s'),
+            F.sum(F.col('pr_num').cast('decimal(38,0)'))
+             .alias('mass')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['mass']}"}
 elif model == 'bloom':
     # interpreted-HOF scan counterpart: Bloom decontamination's cost is
     # per-row 8-gram construction (transform/slice/array_join lambdas,
@@ -312,11 +342,22 @@ def make_zip(dest_dir: str) -> str:
 
 def run_level(n_exec: int, n_docs: int, model: str, zpath: str,
               job_path: str, cores_per_exec: int = 4,
-              mem_mb: int = 3072) -> dict:
+              mem_mb: int = 0) -> dict:
+  # BOS_SCALE_MEM_MB raises the per-executor heap for models whose
+  # low level must hold the whole working set in ONE executor (the
+  # pagerank 8M-node run killed a 3 GB executor); same value at both
+  # levels so the comparison stays fair.
+  mem_mb = mem_mb or int(os.environ.get('BOS_SCALE_MEM_MB', '3072'))
   master = f'local-cluster[{n_exec},{cores_per_exec},{mem_mb}]'
   out = subprocess.run(
       [SPARK_SUBMIT, '--master', master, '--py-files', zpath,
        '--conf', 'spark.ui.enabled=false',
+       # local-cluster's third component is only the WORKER's capacity;
+       # the executor JVM still defaults to spark.executor.memory = 1g
+       # (verified in the launch log: -Xmx1024M).  Size the executor to
+       # the worker so mem_mb actually reaches the heap — the pagerank
+       # 8M-node run OOM-killed 1 GB executors.
+       '--conf', f'spark.executor.memory={mem_mb}m',
        '--conf', f'spark.sql.shuffle.partitions={n_exec * cores_per_exec}',
        # Cached blocks land unevenly across executors during the racey
        # materialization pass; with the default 3 s locality wait the
