@@ -414,14 +414,21 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   robots.txt, recomputes every verdict, all six fixed-point pagerank
   iterations — BIGINT numerators, so equality is exact — and
   re-parses + re-applies the robots rules with the same
-  longest-match/allow-tie semantics, all from the raw table)."""
+  longest-match/allow-tie semantics, all from the raw table).  Plus
+  the politeness schedule (`crawl_schedule`, LEFT-joined: only kept
+  docs get slots): per-domain fetch slots spaced by the parsed
+  Crawl-delay, integer-exact offsets the oracle recomputes from the
+  same kept set and re-parsed delays."""
   from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import graph as G
   rb = (C.robots_verdicts(spark, sf_dir)
         .select('doc_id', 'robots_blocked', 'robots_rule'))
+  cs = (C.crawl_schedule(spark, sf_dir)
+        .select('doc_id', 'slot', 'crawl_delay', 'fetch_offset_s'))
   return (C.url_curation(spark, sf_dir)
           .join(G.pagerank(spark, sf_dir), 'doc_id')
           .join(rb, 'doc_id')
+          .join(cs, 'doc_id', 'left')
           .orderBy('doc_id'))
 
 
@@ -719,36 +726,53 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   text-corpus front door): every (link_pos, href, anchor_text) per
   page, recomputed by the oracle from the boilerplate template
   structure joined on doc_id % 3 (the links variant is % 3, not
-  xxhash64, precisely so the oracle can).  Columns not belonging to a
+  xxhash64, precisely so the oracle can).  A fourth method='anchors'
+  section aggregates the anchor-text corpus (`anchor_stats`): per
+  target href, total links, distinct linking docs and the
+  deterministic top anchor — the oracle recomputes the same
+  aggregation from the template join.  Columns not belonging to a
   section are typed NULLs."""
-  from blueprint_oss_spark.ops.html_extract import (extract_links,
+  from blueprint_oss_spark.ops.html_extract import (anchor_stats,
+                                                    extract_links,
                                                     html_main_content)
   from blueprint_oss_spark.ops.warc import parse_warc_records
   nul_s = F.lit(None).cast('string')
   nul_i = F.lit(None).cast('int')
   nul_l = F.lit(None).cast('long')
+  anc_nulls = [nul_l.alias('n_links'), nul_l.alias('n_docs'),
+               nul_s.alias('top_anchor'), nul_l.alias('top_anchor_n')]
   dom = (html_main_content(spark, sf_dir)
          .select(F.lit('dom').alias('method'), 'doc_id', 'main_text',
                  nul_s.alias('target_uri'), nul_i.alias('status'),
                  nul_s.alias('content_type'),
                  nul_l.alias('declared_len'), nul_l.alias('body_len'),
                  nul_i.alias('length_ok'), nul_i.alias('link_pos'),
-                 nul_s.alias('href'), nul_s.alias('anchor_text')))
+                 nul_s.alias('href'), nul_s.alias('anchor_text'),
+                 *anc_nulls))
   wrc = (parse_warc_records(spark, sf_dir)
          .select(F.lit('warc').alias('method'), 'doc_id', 'main_text',
                  'target_uri', 'status', 'content_type',
                  'declared_len', 'body_len', 'length_ok',
                  nul_i.alias('link_pos'), nul_s.alias('href'),
-                 nul_s.alias('anchor_text')))
+                 nul_s.alias('anchor_text'), *anc_nulls))
   lnk = (extract_links(spark, sf_dir)
          .select(F.lit('links').alias('method'), 'doc_id',
                  nul_s.alias('main_text'), nul_s.alias('target_uri'),
                  nul_i.alias('status'), nul_s.alias('content_type'),
                  nul_l.alias('declared_len'), nul_l.alias('body_len'),
                  nul_i.alias('length_ok'), 'link_pos', 'href',
-                 'anchor_text'))
-  return (dom.unionByName(wrc).unionByName(lnk)
-          .orderBy('method', 'doc_id', 'link_pos'))
+                 'anchor_text', *anc_nulls))
+  anc = (anchor_stats(spark, sf_dir)
+         .select(F.lit('anchors').alias('method'),
+                 nul_l.alias('doc_id'), nul_s.alias('main_text'),
+                 nul_s.alias('target_uri'), nul_i.alias('status'),
+                 nul_s.alias('content_type'),
+                 nul_l.alias('declared_len'), nul_l.alias('body_len'),
+                 nul_i.alias('length_ok'), nul_i.alias('link_pos'),
+                 'href', nul_s.alias('anchor_text'),
+                 'n_links', 'n_docs', 'top_anchor', 'top_anchor_n'))
+  return (dom.unionByName(wrc).unionByName(lnk).unionByName(anc)
+          .orderBy('method', 'doc_id', 'link_pos', 'href'))
 
 
 def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +984,27 @@ def _robots_sql_ctes() -> str:
         rb_verdict AS (
           SELECT doc_id, CAST(allow = 0 AS INT) AS robots_blocked,
                  prefix AS robots_rule
-          FROM rb_match WHERE rn = 1)"""
+          FROM rb_match WHERE rn = 1),
+        cs_kept AS (
+          SELECT doc_id, domain,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                   ORDER BY doc_id) - 1 AS BIGINT) AS slot
+          FROM ranked WHERE eligible = 1 AND domain_rank <= 2),
+        cs_delay AS (
+          SELECT domain,
+                 CAST(MIN(CAST(value AS BIGINT)) AS BIGINT)
+                   AS crawl_delay
+          FROM rb_rules
+          WHERE agent = '*' AND directive = 'Crawl-delay'
+            AND regexp_matches(value, '^[0-9]+$')
+          GROUP BY domain),
+        cs_sched AS (
+          SELECT k.doc_id, k.slot,
+                 coalesce(d.crawl_delay, CAST(1 AS BIGINT))
+                   AS crawl_delay,
+                 k.slot * coalesce(d.crawl_delay, CAST(1 AS BIGINT))
+                   AS fetch_offset_s
+          FROM cs_kept k LEFT JOIN cs_delay d ON d.domain = k.domain)"""
 
 
 def _pagerank_sql_ctes(iterations: int = 6) -> str:
@@ -1464,6 +1508,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  string_split_regex(record, '\r\n\r\n') AS parts
           FROM trunc
+        ), la AS (
+          SELECT t.href, t.anchor, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents d JOIN ltmpl t ON t.v = d.doc_id % 3
+          GROUP BY t.href, t.anchor
+        ), lagg AS (
+          SELECT s.href, s.n_links, dct.n_docs,
+                 tp.anchor AS top_anchor, tp.n AS top_anchor_n
+          FROM (SELECT href, CAST(SUM(n) AS BIGINT) AS n_links
+                FROM la GROUP BY href) s
+          JOIN (SELECT t.href,
+                       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT)
+                         AS n_docs
+                FROM documents d JOIN ltmpl t ON t.v = d.doc_id % 3
+                GROUP BY t.href) dct ON dct.href = s.href
+          JOIN (SELECT href, anchor, n,
+                       ROW_NUMBER() OVER (PARTITION BY href
+                         ORDER BY n DESC, anchor DESC) AS rn
+                FROM la) tp ON tp.href = s.href AND tp.rn = 1
         )
         SELECT 'dom' AS method, doc_id,
                trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
@@ -1475,7 +1537,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT) AS length_ok,
                CAST(NULL AS INT) AS link_pos,
                CAST(NULL AS VARCHAR) AS href,
-               CAST(NULL AS VARCHAR) AS anchor_text
+               CAST(NULL AS VARCHAR) AS anchor_text,
+               CAST(NULL AS BIGINT) AS n_links,
+               CAST(NULL AS BIGINT) AS n_docs,
+               CAST(NULL AS VARCHAR) AS top_anchor,
+               CAST(NULL AS BIGINT) AS top_anchor_n
         FROM documents
         UNION ALL
         SELECT 'warc', doc_id,
@@ -1500,7 +1566,9 @@ def oracle_sql() -> dict[str, str]:
                                   AS BIGINT) AS INT)
                     ELSE 0 END,
                CAST(NULL AS INT), CAST(NULL AS VARCHAR),
-               CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
         FROM parsed
         UNION ALL
         SELECT 'links', d.doc_id,
@@ -1508,9 +1576,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT), CAST(NULL AS VARCHAR),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS INT),
-               CAST(t.pos AS INT), t.href, t.anchor
+               CAST(t.pos AS INT), t.href, t.anchor,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
         FROM documents d JOIN ltmpl t ON t.v = d.doc_id % 3
-        ORDER BY method, doc_id, link_pos
+        UNION ALL
+        SELECT 'anchors', CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               a.href, CAST(NULL AS VARCHAR),
+               a.n_links, a.n_docs, a.top_anchor, a.top_anchor_n
+        FROM lagg a
+        ORDER BY method, doc_id, link_pos, href
       """,
       # North-rule span sequence recomputed from the raw documents
       # table: the synthesis formulas (interleaved_html_table) are pure
@@ -2706,9 +2785,11 @@ def oracle_sql() -> dict[str, str]:
                  AS kept,
                pr.out_deg, pr.in_deg, pr.pr_num, pr.pagerank,
                coalesce(rb.robots_blocked, 0) AS robots_blocked,
-               rb.robots_rule
+               rb.robots_rule,
+               cs.slot, cs.crawl_delay, cs.fetch_offset_s
         FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
         LEFT JOIN rb_verdict rb ON rb.doc_id = rk.doc_id
+        LEFT JOIN cs_sched cs ON cs.doc_id = rk.doc_id
         ORDER BY rk.doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the

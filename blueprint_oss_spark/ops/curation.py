@@ -1212,3 +1212,47 @@ def robots_verdicts(spark: SparkSession, sf_dir: str, *,
                   F.when(F.size('matched') > 0, best.prefix)
                    .alias('robots_rule'))
           .orderBy('doc_id'))
+
+
+def crawl_schedule(spark: SparkSession, sf_dir: str, *,
+                   agent: str = '*', default_delay: int = 1,
+                   urls: DataFrame = None,
+                   rules: DataFrame = None) -> DataFrame:
+  """Politeness scheduling for the kept crawl frontier: per domain,
+  order the kept URLs and space fetches by the domain's parsed
+  Crawl-delay — slot k fetches at offset k * delay seconds.  The step
+  a distributed fetcher runs after url_curation + robots_verdicts so
+  no domain is hammered regardless of how many of its URLs survived
+  curation.
+
+  Scale shape: ONE window shuffle (row_number per domain over doc_id
+  — the same key url_curation's domain cap already co-locates, so on
+  a pre-partitioned frame it is exchange-free) + the dimension-sized
+  Crawl-delay broadcast.  Integer arithmetic only, so the DuckDB
+  oracle reproduces offsets exactly.
+
+  Returns (doc_id, domain, slot, crawl_delay, fetch_offset_s) with
+  slot 0-based per domain in doc_id order.
+  """
+  from pyspark.sql import Window
+  u = (urls if urls is not None
+       else url_curation(spark, sf_dir, keep_only=True)
+       .select('doc_id', 'domain'))
+  rl = rules if rules is not None else parse_robots(spark)
+  # rlike guard, not just nonempty: through the rules= seam a
+  # malformed 'Crawl-delay: fast' would THROW under ANSI cast
+  delays = (rl.where((F.col('agent') == agent)
+                     & (F.col('directive') == 'Crawl-delay')
+                     & F.col('value').rlike('^[0-9]+$'))
+            .groupBy('domain')
+            .agg(F.min(F.col('value').cast('long')).alias('crawl_delay')))
+  w = Window.partitionBy('domain').orderBy('doc_id')
+  return (u.join(F.broadcast(delays), 'domain', 'left')
+          .select('doc_id', 'domain',
+                  (F.row_number().over(w) - 1).cast('long').alias('slot'),
+                  F.coalesce('crawl_delay',
+                             F.lit(int(default_delay)).cast('long'))
+                  .alias('crawl_delay'))
+          .withColumn('fetch_offset_s',
+                      (F.col('slot') * F.col('crawl_delay')).cast('long'))
+          .orderBy('doc_id'))

@@ -455,3 +455,38 @@ def extract_links(spark: SparkSession, sf_dir: str, *,
                   F.col('link_pos').cast('int').alias('link_pos'),
                   F.col('z.hrefs').alias('href'),
                   F.col('z.anchors').alias('anchor_text')))
+
+
+def anchor_stats(spark: SparkSession, sf_dir: str, *,
+                 links: DataFrame = None) -> DataFrame:
+  """Anchor-text corpus aggregation over extract_links output — the
+  DQ-style per-target summary (how many pages link here, with what
+  text) used for link-graph quality features and anchor-text training
+  corpora.
+
+  Scale shape: two word-count-shaped aggregations.  The first groups
+  (href, anchor_text) with a map-side partial count — this is what
+  absorbs hub targets ('/' is linked from EVERY page) before the
+  shuffle; the second reduces per href: total links, the
+  deterministic top anchor via max(struct(n, anchor_text)) (count,
+  then text, breaks ties — never a collect_list of a hub's anchors),
+  and distinct linking docs via Spark's own two-phase partial
+  count(DISTINCT).  No window, no join, no Python.
+
+  Returns (href, n_links, n_docs, top_anchor, top_anchor_n).
+  """
+  l = links if links is not None else extract_links(spark, sf_dir)
+  per_anchor = (l.groupBy('href', 'anchor_text')
+                .agg(F.count('*').alias('n')))
+  tops = (per_anchor.groupBy('href')
+          .agg(F.sum('n').cast('long').alias('n_links'),
+               F.max(F.struct(F.col('n').alias('n'),
+                              F.col('anchor_text').alias('a')))
+               .alias('t')))
+  docs = l.groupBy('href').agg(F.count_distinct('doc_id')
+                               .cast('long').alias('n_docs'))
+  return (tops.join(docs, 'href')
+          .select('href', 'n_links', 'n_docs',
+                  F.col('t.a').alias('top_anchor'),
+                  F.col('t.n').cast('long').alias('top_anchor_n'))
+          .orderBy('href'))

@@ -97,3 +97,28 @@ def test_feeds_pagerank_edges_seam(spark):
   # must sum to the edge count
   assert sum(r['out_deg'] for r in out) == 2 * n
   assert sum(r['in_deg'] for r in out) == 2 * n
+
+
+def test_anchor_stats_matches_python(spark):
+  from blueprint_oss_spark.ops.html_extract import anchor_stats
+  n = spark.read.parquet(f'{SF_DIR}/documents.parquet').count()
+  # recompute the whole anchor-text corpus sequentially
+  per_anchor = {}
+  per_href_docs = {}
+  for i in range(n):
+    for href, anchor in _py_links(i):
+      per_anchor[(href, anchor)] = per_anchor.get((href, anchor), 0) + 1
+      per_href_docs.setdefault(href, set()).add(i)
+  expect = {}
+  for href, docs in per_href_docs.items():
+    pairs = [(c, a) for (h, a), c in per_anchor.items() if h == href]
+    n_links = sum(c for c, _ in pairs)
+    top_n, top_a = max(pairs)
+    expect[href] = (n_links, len(docs), top_a, top_n)
+  got = {r['href']: (r['n_links'], r['n_docs'], r['top_anchor'],
+                     r['top_anchor_n'])
+         for r in anchor_stats(spark, SF_DIR).collect()}
+  assert got == expect
+  # the footer/nav dual-appearance case must be present: more links
+  # than linking docs for at least one target
+  assert any(nl > nd for nl, nd, _, _ in got.values())

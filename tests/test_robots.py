@@ -138,3 +138,43 @@ def test_synth_covers_grid(spark):
   assert len(rows) == 53 * 5
   doms = {r['domain'] for r in rows}
   assert f'site0{_URL_TLDS[0]}' in doms and f'site52{_URL_TLDS[4]}' in doms
+
+
+def test_crawl_schedule_matches_python(spark):
+  from blueprint_oss_spark.ops.curation import crawl_schedule
+  kept = url_curation(spark, SF_DIR, keep_only=True) \
+      .select('doc_id', 'domain').collect()
+  by_dom = {}
+  for r in kept:
+    by_dom.setdefault(r['domain'], []).append(int(r['doc_id']))
+  expect = {}
+  for dom, ids in by_dom.items():
+    s = int(dom[4:].split('.')[0])
+    delay = s % 9
+    for slot, did in enumerate(sorted(ids)):
+      expect[did] = (dom, slot, delay, slot * delay)
+  got = {int(r['doc_id']): (r['domain'], r['slot'], r['crawl_delay'],
+                            r['fetch_offset_s'])
+         for r in crawl_schedule(spark, SF_DIR).collect()}
+  assert got == expect
+  assert len(got) == len(kept)
+
+
+def test_crawl_schedule_seams_and_malformed_delay(spark):
+  from blueprint_oss_spark.ops.curation import crawl_schedule
+  urls = spark.createDataFrame(
+      [(3, 'a.com'), (1, 'a.com'), (2, 'a.com'), (9, 'b.com'),
+       (5, 'c.com')],
+      'doc_id long, domain string')
+  rules = spark.createDataFrame(
+      [('a.com', '*', 'Crawl-delay', '10', 1),
+       ('b.com', '*', 'Crawl-delay', 'fast', 1),   # malformed -> default
+       ('c.com', 'badbot', 'Crawl-delay', '99', 1)],  # wrong agent
+      'domain string, agent string, directive string, value string, '
+      'pos int')
+  got = {int(r['doc_id']): (r['slot'], r['crawl_delay'],
+                            r['fetch_offset_s'])
+         for r in crawl_schedule(spark, '', urls=urls, rules=rules,
+                                 default_delay=2).collect()}
+  assert got == {1: (0, 10, 0), 2: (1, 10, 10), 3: (2, 10, 20),
+                 9: (0, 2, 0), 5: (0, 2, 0)}
