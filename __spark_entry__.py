@@ -421,11 +421,21 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   same kept set and re-parsed delays."""
   from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import graph as G
-  rb = (C.robots_verdicts(spark, sf_dir)
+  # ONE url_curation frame threaded through the robots / schedule
+  # seams (review fix: the defaults each recomputed the full curation
+  # surface — synthesis + blocklist join + both windows — making the
+  # gate query pay it three times; identical subtrees also let Spark
+  # reuse the exchanges)
+  uc = C.url_curation(spark, sf_dir)
+  rb = (C.robots_verdicts(
+            spark, sf_dir,
+            urls=uc.select('doc_id', 'norm_url', 'domain'))
         .select('doc_id', 'robots_blocked', 'robots_rule'))
-  cs = (C.crawl_schedule(spark, sf_dir)
+  cs = (C.crawl_schedule(
+            spark, sf_dir,
+            urls=uc.where(F.col('kept') == 1).select('doc_id', 'domain'))
         .select('doc_id', 'slot', 'crawl_delay', 'fetch_offset_s'))
-  return (C.url_curation(spark, sf_dir)
+  return (uc
           .join(G.pagerank(spark, sf_dir), 'doc_id')
           .join(rb, 'doc_id')
           .join(cs, 'doc_id', 'left')
@@ -905,20 +915,21 @@ def _robots_sql_ctes() -> str:
   (ties to Allow) to each doc's normalized path.  Verifies
   ops.curation.synth_robots_table + parse_robots + robots_verdicts
   end-to-end; spliced into the url_curation oracle's WITH list (needs
-  the `ranked` CTE for norm_url/domain)."""
-  return r"""rb_grid AS (
+  the `ranked` CTE for norm_url/domain).  The word/TLD lists are
+  interpolated from the package constants (the _links_template_cte
+  device) so oracle and synthesis cannot drift apart silently."""
+  from blueprint_oss_spark.ops.curation import _URL_TLDS, _URL_WORDS
+  words = '[' + ','.join(f"'{w}'" for w in _URL_WORDS) + ']'
+  tlds = '[' + ','.join(f"'{t}'" for t in _URL_TLDS) + ']'
+  grid = rf"""rb_grid AS (
           SELECT s, t,
                  'site' || CAST(s AS VARCHAR)
-                 || (['.com','.org','.net','.io','.edu'])[t + 1]
-                   AS domain,
-                 (['news','blog','shop','casino',
-                   'forum','wiki','games','poker'])
-                   [CAST((s + 5) % 8 + 1 AS INT)] AS w1,
-                 (['news','blog','shop','casino',
-                   'forum','wiki','games','poker'])
-                   [CAST((s + 2) % 8 + 1 AS INT)] AS w2
+                 || ({tlds})[t + 1] AS domain,
+                 ({words})[CAST((s + 5) % 8 + 1 AS INT)] AS w1,
+                 ({words})[CAST((s + 2) % 8 + 1 AS INT)] AS w2
           FROM (SELECT CAST(unnest(generate_series(0, 52)) AS INT) AS s),
-               (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS t)),
+               (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS t)),"""
+  return grid + r"""
         rb_txt AS (
           SELECT domain,
                  concat_ws(chr(10),

@@ -1164,7 +1164,12 @@ def robots_verdicts(spark: SparkSession, sf_dir: str, *,
                     rules: DataFrame = None) -> DataFrame:
   """Per-document crawl-permission verdict: Google-REP longest-match
   semantics over the agent's Allow/Disallow prefixes (ties go to
-  Allow — the least-restrictive rule), no match = allowed.
+  Allow — the least-restrictive rule), no match = allowed.  RFC 9309
+  group selection: a domain's rules come from the group naming
+  `agent` when one exists, else its '*' group (never both — a
+  specific group REPLACES the default).  Empty-value Allow/Disallow
+  lines (the canonical allow-all 'Disallow:') are no-ops per the RFC
+  and are dropped, not treated as match-everything prefixes.
 
   Scale shape: the rules table is aggregated per domain (a
   dimension-sized groupBy) and BROADCAST as an array column, so the
@@ -1182,8 +1187,18 @@ def robots_verdicts(spark: SparkSession, sf_dir: str, *,
        else url_curation(spark, sf_dir)
        .select('doc_id', 'norm_url', 'domain'))
   rl = rules if rules is not None else parse_robots(spark)
-  dim = (rl.where((F.col('agent') == agent)
-                  & F.col('directive').isin('Allow', 'Disallow'))
+  cand = rl.where(F.col('agent').isin(agent, '*')
+                  & F.col('directive').isin('Allow', 'Disallow')
+                  & (F.length('value') > 0))
+  # RFC 9309 group selection on the dimension side: domains with a
+  # group naming `agent` use ONLY it; the rest fall back to '*'.
+  # Group PRESENCE is judged over all the agent's directives (a group
+  # holding only a Crawl-delay still replaces '*' entirely)
+  spec = (rl.where(F.col('agent') == F.lit(agent))
+          .select('domain').distinct()
+          .withColumn('has_spec', F.lit(1)))
+  dim = (cand.join(spec, 'domain', 'left')
+         .where((F.col('agent') == agent) | F.col('has_spec').isNull())
          .select('domain',
                  F.struct(F.length('value').alias('ln'),
                           (F.col('directive') == 'Allow').cast('int')
@@ -1233,6 +1248,13 @@ def crawl_schedule(spark: SparkSession, sf_dir: str, *,
 
   Returns (doc_id, domain, slot, crawl_delay, fetch_offset_s) with
   slot 0-based per domain in doc_id order.
+
+  Agent selection: Crawl-delay is a de-facto extension outside RFC
+  9309's group-replacement rule, so the conservative politeness read
+  applies — a group naming `agent` wins when it carries a delay, but
+  a specific group WITHOUT one inherits the '*' delay rather than
+  going unthrottled (deliberately different from robots_verdicts'
+  strict group replacement for path rules).
   """
   from pyspark.sql import Window
   u = (urls if urls is not None
@@ -1240,12 +1262,18 @@ def crawl_schedule(spark: SparkSession, sf_dir: str, *,
        .select('doc_id', 'domain'))
   rl = rules if rules is not None else parse_robots(spark)
   # rlike guard, not just nonempty: through the rules= seam a
-  # malformed 'Crawl-delay: fast' would THROW under ANSI cast
-  delays = (rl.where((F.col('agent') == agent)
+  # malformed 'Crawl-delay: fast' would THROW under ANSI cast.
+  # RFC 9309 group fallback in one aggregate: min(struct(is_fallback,
+  # delay)) prefers a group naming `agent` (0 sorts first) and takes
+  # the smallest delay within the chosen tier
+  delays = (rl.where(F.col('agent').isin(agent, '*')
                      & (F.col('directive') == 'Crawl-delay')
                      & F.col('value').rlike('^[0-9]+$'))
             .groupBy('domain')
-            .agg(F.min(F.col('value').cast('long')).alias('crawl_delay')))
+            .agg(F.min(F.struct(
+                (F.col('agent') != agent).cast('int').alias('fb'),
+                F.col('value').cast('long').alias('d'))).alias('t'))
+            .select('domain', F.col('t.d').alias('crawl_delay')))
   w = Window.partitionBy('domain').orderBy('doc_id')
   return (u.join(F.broadcast(delays), 'domain', 'left')
           .select('doc_id', 'domain',

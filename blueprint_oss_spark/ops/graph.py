@@ -141,6 +141,12 @@ def link_graph(docs: DataFrame, n_docs: int) -> DataFrame:
   a zero-shuffle codegen projection + explode over the doc scan.
   """
   did = F.col('doc_id')
+  if n_docs <= 0:
+    # empty corpus: no edges (the Python-level 17 % n_docs below
+    # would raise ZeroDivisionError at plan-build time)
+    return docs.select(did.alias('src'),
+                       did.alias('dst'),
+                       F.lit(0).cast('long').alias('out_deg')).limit(0)
   deg = F.element_at(F.array(*[F.lit(k) for k in _PR_DEGREES]),
                      (did % 3 + 1).cast('int')).cast('long')
   e = (docs.select(did.alias('src'), deg.alias('out_deg'))

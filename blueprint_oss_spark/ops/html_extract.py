@@ -464,18 +464,22 @@ def anchor_stats(spark: SparkSession, sf_dir: str, *,
   text) used for link-graph quality features and anchor-text training
   corpora.
 
-  Scale shape: two word-count-shaped aggregations.  The first groups
-  (href, anchor_text) with a map-side partial count — this is what
-  absorbs hub targets ('/' is linked from EVERY page) before the
-  shuffle; the second reduces per href: total links, the
-  deterministic top anchor via max(struct(n, anchor_text)) (count,
-  then text, breaks ties — never a collect_list of a hub's anchors),
-  and distinct linking docs via Spark's own two-phase partial
-  count(DISTINCT).  No window, no join, no Python.
+  Scale shape: two word-count-shaped aggregation TREES over the same
+  link table — anchor-keyed (top anchor + totals) and doc-keyed
+  (distinct linking docs) — joined on the href dimension.  Each
+  groupBy carries a map-side partial count, which is what absorbs hub
+  targets ('/' is linked from EVERY page) before any shuffle; the top
+  anchor is a deterministic max(struct(n, anchor_text)), never a
+  collect_list of a hub's anchors.  When this function builds the
+  link table itself it localCheckpoints it first — the two trees
+  would otherwise re-run the page synthesis and both full-page regex
+  passes (the dominant cost) once each; a caller-supplied `links=`
+  frame is left untouched so the caller controls persistence.
 
   Returns (href, n_links, n_docs, top_anchor, top_anchor_n).
   """
-  l = links if links is not None else extract_links(spark, sf_dir)
+  l = links if links is not None else \
+      extract_links(spark, sf_dir).localCheckpoint(eager=True)
   per_anchor = (l.groupBy('href', 'anchor_text')
                 .agg(F.count('*').alias('n')))
   tops = (per_anchor.groupBy('href')

@@ -130,3 +130,10 @@ def test_edges_seam_and_repartition_determinism(spark, n_docs):
   # budget evenly everywhere — result must still be mass-bounded
   total = sum(r['pr_num'] for r in a)
   assert total <= n_docs * _PR_SCALE ** 3
+
+
+def test_empty_corpus_yields_empty_result(spark):
+  # review fix: link_graph's Python-level 17 % n raised
+  # ZeroDivisionError at plan-build time on an empty documents frame
+  empty = spark.createDataFrame([], 'doc_id long')
+  assert pagerank(spark, '', docs=empty, iterations=2).count() == 0

@@ -178,3 +178,64 @@ def test_crawl_schedule_seams_and_malformed_delay(spark):
                                  default_delay=2).collect()}
   assert got == {1: (0, 10, 0), 2: (1, 10, 10), 3: (2, 10, 20),
                  9: (0, 2, 0), 5: (0, 2, 0)}
+
+
+def test_empty_disallow_is_allow_all(spark):
+  # RFC 9309: 'Disallow:' with no value permits everything — it must
+  # not become a match-everything '' prefix (review fix)
+  r = spark.createDataFrame(
+      [('d.com', 'User-agent: *\nDisallow:\nDisallow: /x/\n')],
+      'domain string, robots_txt string')
+  urls = spark.createDataFrame(
+      [(1, 'https://d.com/ok', 'd.com'), (2, 'https://d.com/x/q', 'd.com')],
+      'doc_id long, norm_url string, domain string')
+  got = {r2['doc_id']: r2['robots_blocked']
+         for r2 in robots_verdicts(spark, '', urls=urls,
+                                   rules=parse_robots(spark, robots=r))
+         .collect()}
+  assert got == {1: 0, 2: 1}
+
+
+def test_agent_fallback_to_star(spark):
+  # an agent with no named group anywhere gets the '*' group (RFC
+  # 9309 group selection), so verdicts equal the '*' run
+  base = {(r['doc_id'], r['robots_blocked'], r['robots_rule'])
+          for r in robots_verdicts(spark, SF_DIR).collect()}
+  other = {(r['doc_id'], r['robots_blocked'], r['robots_rule'])
+           for r in robots_verdicts(spark, SF_DIR,
+                                    agent='somebot').collect()}
+  assert base == other
+
+
+def test_specific_group_replaces_star_entirely(spark):
+  # a group naming the agent REPLACES '*' even when it carries only a
+  # Crawl-delay — its (empty) path-rule set applies, not '*'s
+  rules = spark.createDataFrame(
+      [('d.com', '*', 'Disallow', '/x/', 1),
+       ('d.com', 'mybot', 'Crawl-delay', '5', 2)],
+      'domain string, agent string, directive string, value string, '
+      'pos int')
+  urls = spark.createDataFrame([(1, 'https://d.com/x/q', 'd.com')],
+                               'doc_id long, norm_url string, '
+                               'domain string')
+  got = robots_verdicts(spark, '', agent='mybot', urls=urls,
+                        rules=rules).collect()
+  assert got[0]['robots_blocked'] == 0 and got[0]['robots_rule'] is None
+
+
+def test_crawl_schedule_agent_fallback_and_override(spark):
+  from blueprint_oss_spark.ops.curation import crawl_schedule
+  urls = spark.createDataFrame([(1, 'a.com'), (2, 'b.com')],
+                               'doc_id long, domain string')
+  rules = spark.createDataFrame(
+      [('a.com', '*', 'Crawl-delay', '3', 1),
+       ('b.com', '*', 'Crawl-delay', '3', 1),
+       ('b.com', 'mybot', 'Crawl-delay', '7', 2)],
+      'domain string, agent string, directive string, value string, '
+      'pos int')
+  got = {int(r['doc_id']): r['crawl_delay']
+         for r in crawl_schedule(spark, '', agent='mybot', urls=urls,
+                                 rules=rules).collect()}
+  # a.com: no mybot delay -> inherits '*' (conservative politeness);
+  # b.com: mybot's own delay wins over '*'
+  assert got == {1: 3, 2: 7}
