@@ -122,3 +122,15 @@ def test_anchor_stats_matches_python(spark):
   # the footer/nav dual-appearance case must be present: more links
   # than linking docs for at least one target
   assert any(nl > nd for nl, nd, _, _ in got.values())
+
+
+def test_anchor_stats_plan_is_partial_agg_no_collect(spark):
+  from blueprint_oss_spark.ops.html_extract import anchor_stats
+  links = spark.createDataFrame(
+      [(1, 0, '/a', 'x'), (2, 0, '/a', 'x'), (2, 1, '/b', 'y')],
+      'doc_id long, link_pos int, href string, anchor_text string')
+  plan = anchor_stats(spark, '', links=links) \
+      ._jdf.queryExecution().executedPlan().toString()
+  # hub absorption: map-side partial counts, never an anchor array
+  assert 'partial_count' in plan
+  assert 'collect_list' not in plan and 'collect_set' not in plan

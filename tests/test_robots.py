@@ -239,3 +239,20 @@ def test_crawl_schedule_agent_fallback_and_override(spark):
   # a.com: no mybot delay -> inherits '*' (conservative politeness);
   # b.com: mybot's own delay wins over '*'
   assert got == {1: 3, 2: 7}
+
+
+def test_crawl_schedule_one_corpus_shuffle(spark):
+  from blueprint_oss_spark.ops.curation import crawl_schedule
+  urls = spark.createDataFrame([(1, 'a.com'), (2, 'a.com')],
+                               'doc_id long, domain string')
+  rules = spark.createDataFrame(
+      [('a.com', '*', 'Crawl-delay', '3', 1)],
+      'domain string, agent string, directive string, value string, '
+      'pos int')
+  plan = crawl_schedule(spark, '', urls=urls, rules=rules) \
+      ._jdf.queryExecution().executedPlan().toString()
+  # the url side pays exactly the one window shuffle on domain; the
+  # delay dimension rides a broadcast join
+  assert plan.count('hashpartitioning(domain') >= 1
+  assert 'BroadcastHashJoin' in plan
+  assert 'hashpartitioning(doc_id' not in plan
