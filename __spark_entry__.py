@@ -424,9 +424,10 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   # ONE url_curation frame threaded through the robots / schedule
   # seams (review fix: the defaults each recomputed the full curation
   # surface — synthesis + blocklist join + both windows — making the
-  # gate query pay it three times; identical subtrees also let Spark
-  # reuse the exchanges)
-  uc = C.url_curation(spark, sf_dir)
+  # gate query pay it three times).  localCheckpoint materializes it
+  # once: identical subtrees alone left 23 static Exchanges with no
+  # ReusedExchange (measured)
+  uc = C.url_curation(spark, sf_dir).localCheckpoint(eager=True)
   rb = (C.robots_verdicts(
             spark, sf_dir,
             urls=uc.select('doc_id', 'norm_url', 'domain'))
