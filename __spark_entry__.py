@@ -418,9 +418,14 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   the politeness schedule (`crawl_schedule`, LEFT-joined: only kept
   docs get slots): per-domain fetch slots spaced by the parsed
   Crawl-delay, integer-exact offsets the oracle recomputes from the
-  same kept set and re-parsed delays."""
+  same kept set and re-parsed delays.  Plus sitemap discovery
+  (`sitemap_coverage`): per-doc membership + lastmod/changefreq/
+  priority from each publishing domain's synthesized sitemap.xml —
+  the oracle re-synthesizes the XML byte-identically, re-parses the
+  <url> blocks and re-joins the verdicts from scratch."""
   from blueprint_oss_spark.ops import curation as C
   from blueprint_oss_spark.ops import graph as G
+  from blueprint_oss_spark.ops import sitemaps as SM
   # ONE url_curation frame threaded through the robots / schedule
   # seams (review fix: the defaults each recomputed the full curation
   # surface — synthesis + blocklist join + both windows — making the
@@ -436,10 +441,16 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir,
             urls=uc.where(F.col('kept') == 1).select('doc_id', 'domain'))
         .select('doc_id', 'slot', 'crawl_delay', 'fetch_offset_s'))
+  sc = (SM.sitemap_coverage(
+            spark, sf_dir,
+            urls=uc.select('doc_id', 'norm_url', 'domain'))
+        .select('doc_id', 'has_sitemap', 'sm_listed', 'sm_lastmod',
+                'sm_changefreq', 'sm_priority'))
   return (uc
           .join(G.pagerank(spark, sf_dir), 'doc_id')
           .join(rb, 'doc_id')
           .join(cs, 'doc_id', 'left')
+          .join(sc, 'doc_id')
           .orderBy('doc_id'))
 
 
@@ -1017,6 +1028,95 @@ def _robots_sql_ctes() -> str:
                  k.slot * coalesce(d.crawl_delay, CAST(1 AS BIGINT))
                    AS fetch_offset_s
           FROM cs_kept k LEFT JOIN cs_delay d ON d.domain = k.domain)"""
+
+
+def _sitemap_sql_ctes() -> str:
+  """CTE block recomputing the sitemap chain from scratch in DuckDB:
+  re-synthesize every publishing domain's sitemap.xml from grid
+  arithmetic (string_agg over uk order — byte-identical to
+  synth_sitemaps), re-parse it (<url> block extraction + per-block
+  field regexes, exactly parse_sitemaps' grammar), and re-join the
+  coverage verdict against each doc's normalized URL.  Verifies
+  ops.sitemaps.synth_sitemaps + parse_sitemaps + sitemap_coverage
+  end-to-end; spliced into the url_curation oracle's WITH list (needs
+  the `ranked` CTE for norm_url/domain).  Word/TLD lists interpolated
+  from the package constants (the _links_template_cte device)."""
+  from blueprint_oss_spark.ops.curation import _URL_TLDS, _URL_WORDS
+  from blueprint_oss_spark.ops.sitemaps import _SM_CHANGEFREQS, _SM_HEADER
+  words = '[' + ','.join(f"'{w}'" for w in _URL_WORDS) + ']'
+  tlds = '[' + ','.join(f"'{t}'" for t in _URL_TLDS) + ']'
+  cfs = '[' + ','.join(f"'{c}'" for c in _SM_CHANGEFREQS) + ']'
+  header_sql = "'" + _SM_HEADER.replace('\n', "' || chr(10) || '") + "'"
+  return rf"""sm_e AS (
+          SELECT uk, s,
+                 'site' || CAST(s AS VARCHAR) || ({tlds})[t + 1]
+                   AS domain,
+                 'https://site' || CAST(s AS VARCHAR) || ({tlds})[t + 1]
+                 || '/' || ({words})[CAST(uk % 8 + 1 AS INT)]
+                 || '/p' || CAST(CAST(uk // 53 AS INT) AS VARCHAR)
+                   AS loc,
+                 '2026-' || lpad(CAST(uk % 12 + 1 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(uk % 28 + 1 AS VARCHAR), 2, '0')
+                   AS lastmod,
+                 ({cfs})[CAST(uk % 3 AS INT)] AS changefreq,
+                 '0.' || CAST(uk % 10 AS VARCHAR) AS priority
+          FROM (SELECT CAST(range AS BIGINT) AS uk,
+                       CAST(range % 53 AS INT) AS s,
+                       CAST(range % 5 AS INT) AS t
+                FROM range(350))),
+        sm_xml AS (
+          SELECT domain,
+                 concat_ws(chr(10), {header_sql},
+                   string_agg(
+                     CASE WHEN uk % 3 <> 0 THEN
+                       '  <url>' || chr(10)
+                       || '    <loc>' || loc || '</loc>' || chr(10)
+                       || '    <lastmod>' || lastmod || '</lastmod>'
+                       || chr(10)
+                       || '    <changefreq>' || changefreq
+                       || '</changefreq>' || chr(10)
+                       || '    <priority>' || priority || '</priority>'
+                       || chr(10) || '  </url>'
+                     END, chr(10) ORDER BY uk),
+                   '</urlset>') AS sitemap_xml
+          FROM sm_e
+          WHERE s % 2 = 0
+          GROUP BY domain),
+        sm_blocks AS (
+          SELECT domain,
+                 unnest(regexp_extract_all(sitemap_xml,
+                        '(<url>[\s\S]*?</url>)', 1)) AS block,
+                 generate_subscripts(regexp_extract_all(sitemap_xml,
+                        '(<url>[\s\S]*?</url>)', 1), 1) - 1
+                   AS entry_pos
+          FROM sm_xml),
+        sm_parsed AS (
+          SELECT domain, entry_pos,
+                 regexp_extract(block, '<loc>([^<]*)</loc>', 1)
+                   AS loc,
+                 nullif(regexp_extract(block,
+                        '<lastmod>([^<]*)</lastmod>', 1), '')
+                   AS lastmod,
+                 nullif(regexp_extract(block,
+                        '<changefreq>([^<]*)</changefreq>', 1), '')
+                   AS changefreq,
+                 nullif(regexp_extract(block,
+                        '<priority>([^<]*)</priority>', 1), '')
+                   AS priority
+          FROM sm_blocks
+          WHERE nullif(regexp_extract(block,
+                       '<loc>([^<]*)</loc>', 1), '') IS NOT NULL),
+        sm_cov AS (
+          SELECT rk.doc_id,
+                 CAST(p.domain IS NOT NULL AS INT) AS has_sitemap,
+                 CAST(e.loc IS NOT NULL AS INT) AS sm_listed,
+                 e.lastmod AS sm_lastmod,
+                 e.changefreq AS sm_changefreq,
+                 e.priority AS sm_priority
+          FROM ranked rk
+          LEFT JOIN (SELECT DISTINCT domain FROM sm_xml) p
+                 ON p.domain = rk.domain
+          LEFT JOIN sm_parsed e ON e.loc = rk.norm_url)"""
 
 
 def _pagerank_sql_ctes(iterations: int = 6) -> str:
@@ -2789,7 +2889,8 @@ def oracle_sql() -> dict[str, str]:
           FROM elig
         ),
         """ + _pagerank_sql_ctes() + """,
-        """ + _robots_sql_ctes() + """
+        """ + _robots_sql_ctes() + """,
+        """ + _sitemap_sql_ctes() + """
         SELECT rk.doc_id, rk.url, rk.norm_url, rk.domain,
                rk.blocked_domain, rk.blocked_word, rk.url_rank,
                rk.domain_rank,
@@ -2798,10 +2899,13 @@ def oracle_sql() -> dict[str, str]:
                pr.out_deg, pr.in_deg, pr.pr_num, pr.pagerank,
                coalesce(rb.robots_blocked, 0) AS robots_blocked,
                rb.robots_rule,
-               cs.slot, cs.crawl_delay, cs.fetch_offset_s
+               cs.slot, cs.crawl_delay, cs.fetch_offset_s,
+               sm.has_sitemap, sm.sm_listed, sm.sm_lastmod,
+               sm.sm_changefreq, sm.sm_priority
         FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
         LEFT JOIN rb_verdict rb ON rb.doc_id = rk.doc_id
         LEFT JOIN cs_sched cs ON cs.doc_id = rk.doc_id
+        JOIN sm_cov sm ON sm.doc_id = rk.doc_id
         ORDER BY rk.doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the
