@@ -679,11 +679,16 @@ def _corpus_split_temperature_mix(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
   """corpus_split_mix (stable split/shard/order + fixed per-source
   token-budget prefix) JOINED with temperature_mix (T5 §3.5.3
-  examples-proportional budgets: limit K=2000, T=2, budget 3000) on
-  doc_id — one driver row-set, every column of both allocators
-  value-checked (gate-budget merge).  tm_keep and mix_keep share the
-  same stable order_key prefix semantics but differ per source, so
-  both greedy paths are independently exercised."""
+  examples-proportional budgets: limit K=2000, T=2, budget 3000) AND
+  unimax_mix (Chung et al. 2023 uniform-with-epoch-caps budgets:
+  epoch_cap 1, budget 24000 — at the gate scale the ascending
+  allocation exercises BOTH branches: capped small sources and
+  fair-share larger ones) on doc_id — one driver row-set, every
+  column of all three allocators value-checked (gate-budget merge).
+  tm_keep / um_keep / mix_keep share the same stable order_key prefix
+  semantics but differ per source, so each greedy path is
+  independently exercised; the oracle recomputes the UniMax
+  allocation with a recursive CTE over the ascending source order."""
   from blueprint_oss_spark.ops import curation as C
   csm = C.corpus_split_mix(spark, sf_dir)
   tm = (C.temperature_mix(spark, sf_dir)
@@ -691,7 +696,11 @@ def _corpus_split_temperature_mix(spark: SparkSession,
                 F.col('src_tokens').alias('tm_src_tokens'),
                 F.col('src_budget').alias('tm_budget'),
                 F.col('mix_keep').alias('tm_keep')))
-  return csm.join(tm, 'doc_id').orderBy('doc_id')
+  um = (C.unimax_mix(spark, sf_dir)
+        .select('doc_id',
+                F.col('src_budget').alias('um_budget'),
+                F.col('mix_keep').alias('um_keep')))
+  return csm.join(tm, 'doc_id').join(um, 'doc_id').orderBy('doc_id')
 
 
 def _pii_scrub_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,7 +2208,7 @@ def oracle_sql() -> dict[str, str]:
       # the direct window formulation the bucket-accelerated Spark
       # plan must equal exactly.
       'corpus_split_mix': """
-        WITH t AS (
+        WITH RECURSIVE t AS (
           SELECT doc_id, source,
                  CAST(len(list_filter(string_split(text, ' '),
                           x -> len(x) > 0)) AS BIGINT) AS n_tokens,
@@ -2233,7 +2242,31 @@ def oracle_sql() -> dict[str, str]:
         tmb AS (SELECT source, n_s AS tm_src_tokens,
                        CAST(floor(3000 * (w / tms.wsum)) AS BIGINT)
                          AS tm_budget
-                FROM tmr, tms)
+                FROM tmr, tms),
+        -- UniMax (epoch_cap 1, budget 24000): walk sources in
+        -- ascending corpus-size order; each gets min(cap * n_s,
+        -- b_rem // sources_remaining) — the recursive CTE carries
+        -- the remaining budget, all integer-exact
+        umr AS (SELECT source, n_s,
+                       CAST(ROW_NUMBER() OVER (ORDER BY n_s, source)
+                            AS BIGINT) AS rn
+                FROM tmtot),
+        umn AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM umr),
+        umalloc AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(24000 AS BIGINT) AS b_rem,
+                 CAST(NULL AS VARCHAR) AS source,
+                 CAST(NULL AS BIGINT) AS alloc
+          UNION ALL
+          SELECT a.i + 1,
+                 a.b_rem - least(1 * u.n_s, a.b_rem // (n.n_src - a.i)),
+                 u.source,
+                 least(1 * u.n_s, a.b_rem // (n.n_src - a.i))
+          FROM umalloc a
+          CROSS JOIN umn n
+          JOIN umr u ON u.rn = a.i + 1
+          WHERE a.i < n.n_src),
+        umb AS (SELECT source, alloc AS um_budget FROM umalloc
+                WHERE source IS NOT NULL)
         SELECT doc_id, o.source, n_tokens,
                CASE WHEN split_h % 100 < 90 THEN 'train'
                     WHEN split_h % 100 < 95 THEN 'valid'
@@ -2243,8 +2276,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(prec < 800 AS INT) AS mix_keep,
                tmb.tm_src_tokens,
                tmb.tm_budget,
-               CAST(prec < tmb.tm_budget AS INT) AS tm_keep
+               CAST(prec < tmb.tm_budget AS INT) AS tm_keep,
+               umb.um_budget,
+               CAST(prec < umb.um_budget AS INT) AS um_keep
         FROM o JOIN tmb ON o.source = tmb.source
+             JOIN umb ON o.source = umb.source
         ORDER BY doc_id
       """,
       # Joined composite: fingerprints + language-ID + exact-dedup

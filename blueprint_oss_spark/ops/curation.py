@@ -702,6 +702,75 @@ def temperature_mix(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def unimax_mix(spark: SparkSession, sf_dir: str, *,
+               epoch_cap: int = 1,
+               total_budget_tokens: int = 24000,
+               docs: DataFrame | None = None) -> DataFrame:
+  """UniMax language/source sampling (Chung et al. 2023, "UniMax:
+  Fairer and More Effective Language Sampling for Large-Scale
+  Multilingual Pretraining"): distribute the token budget as uniformly
+  as possible across sources subject to a per-source epoch cap — no
+  source is repeated more than `epoch_cap` epochs, and budget a capped
+  source can't absorb is re-spread over the remaining (larger)
+  sources.  The allocation walks sources in ascending corpus-size
+  order (ties by name): at each step the source gets
+  min(epoch_cap · n_s, floor(B_remaining / sources_remaining)) — pure
+  integer arithmetic, so the from-scratch SQL oracle reproduces every
+  budget exactly (the paper's real-valued division is floored; with
+  everything integral the fair share is exact, not approximated).
+
+  The temperature-sampling complement: temperature_mix flattens by
+  exponent, UniMax flattens to uniform-with-caps, which is what
+  multilingual runs use to stop low-resource languages from being
+  epoch-repeated into memorization.  Budgets are spent on the same
+  stable (order_key, doc_id) greedy prefix via the shared
+  `_bucketed_greedy_prefix`, so — like temperature_mix — the whole
+  allocation adds NO corpus pass beyond the bounded sources × 256
+  collect, and each source's crossing bucket alone pays a window.
+
+  Returns (doc_id, source, n_tokens, src_tokens, src_budget,
+  mix_keep).
+  """
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'source', 'text')
+
+  def h(salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ':'),
+                           F.col('doc_id').cast('string'))), 1, 8),
+        16, 10).cast('long')
+
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  base = (d.select('doc_id', 'source',
+                   F.size(toks).cast('long').alias('n_tokens'),
+                   h('order').alias('order_key'))
+          .withColumn('bucket', F.shiftright('order_key', 24)))
+
+  budget_holder: dict = {}
+
+  def _budgets(totals: dict) -> dict:
+    order = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))
+    b_rem = int(total_budget_tokens)
+    out = {}
+    for i, (s, n) in enumerate(order):
+      fair = b_rem // (len(order) - i)
+      out[s] = min(int(epoch_cap) * int(n), fair)
+      b_rem -= out[s]
+    budget_holder.update({s: (totals[s], out[s]) for s in totals})
+    return out
+
+  assigned = _bucketed_greedy_prefix(spark, base, _budgets)
+  src_dim = spark.createDataFrame(
+      [(s, t, b) for s, (t, b) in sorted(budget_holder.items())],
+      'source string, src_tokens long, src_budget long')
+  return (assigned
+          .join(F.broadcast(src_dim), 'source')
+          .select('doc_id', 'source', 'n_tokens', 'src_tokens',
+                  'src_budget', 'mix_keep')
+          .orderBy('doc_id'))
+
+
 def dsir_importance_select(spark: SparkSession, sf_dir: str, *,
                            m: int = 64, target_lang: str = 'en',
                            docs: DataFrame = None,
