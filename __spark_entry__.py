@@ -375,17 +375,23 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
   dedup_exact's content_hash IS fp_full, so its keeper/count columns
   ride per-doc without losing a value check (every dedup_exact output
   cell appears on some row); lm_score rides as a LEFT join so
-  token-less docs stay present with null score; topic_tagging's
-  per-lexicon counts + deterministic argmax topic ride as
-  n_db/n_infra/n_data/topic/n_topic_hits."""
+  token-less docs stay present with null score, and lm_buckets'
+  CCNet head/middle/tail terciles (sampled per-lang cut points) ride
+  the SAME checkpointed score frame so the LM trains once;
+  topic_tagging's per-lexicon counts + deterministic argmax topic
+  ride as n_db/n_infra/n_data/topic/n_topic_hits."""
   from pyspark.sql import functions as FF
   from blueprint_oss_spark.ops import textops as T
+  lm = T.lm_score(spark, sf_dir).localCheckpoint(eager=True)
+  lb = (T.lm_buckets(spark, sf_dir, scores=lm)
+        .select('doc_id', 'lm_t_lo', 'lm_t_hi', 'lm_bucket'))
   return (T.doc_fingerprints(spark, sf_dir)
           .join(T.lang_id_heuristic(spark, sf_dir), 'doc_id')
           .join(T.dedup_exact(spark, sf_dir),
                 FF.col('fp_full') == FF.col('content_hash'))
           .drop('content_hash')
-          .join(T.lm_score(spark, sf_dir), 'doc_id', 'left')
+          .join(lm, 'doc_id', 'left')
+          .join(lb, 'doc_id', 'left')
           .join(T.topic_tagging(spark, sf_dir), 'doc_id')
           .orderBy('doc_id'))
 
@@ -2367,6 +2373,30 @@ def oracle_sql() -> dict[str, str]:
                        / lfirst.n_scored, 6) AS lm_score
           FROM lfirst LEFT JOIN lsum ON lfirst.doc_id = lsum.doc_id
         )
+        -- CCNet terciles: md5-threshold sample, nearest-rank cut
+        -- points per lang, ties to the lower bucket
+        , lmth AS (
+          SELECT d.lang,
+                 list_sort(list(lm.lm_score)) AS vs,
+                 count(*) AS n
+          FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+          WHERE md5(CAST(lm.doc_id AS VARCHAR))
+                < '80000000000000000000000000000000'
+          GROUP BY d.lang
+        ), lmcut AS (
+          SELECT lang,
+                 vs[CAST(ceil(n / 3.0) AS INT)] AS lm_t_lo,
+                 vs[CAST(ceil(n * 2 / 3.0) AS INT)] AS lm_t_hi
+          FROM lmth
+        ), lmb AS (
+          SELECT lm.doc_id, c.lm_t_lo, c.lm_t_hi,
+                 CASE WHEN c.lm_t_hi IS NULL THEN NULL
+                      WHEN lm.lm_score > c.lm_t_hi THEN 'head'
+                      WHEN lm.lm_score > c.lm_t_lo THEN 'middle'
+                      ELSE 'tail' END AS lm_bucket
+          FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+          LEFT JOIN lmcut c ON c.lang = d.lang
+        )
         , tpc AS (
           SELECT doc_id,
                  CAST(len(list_filter(list_filter(
@@ -2400,11 +2430,13 @@ def oracle_sql() -> dict[str, str]:
                li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr,
                dd.keeper_doc_id, dd.n_copies,
                lm.n_scored, lm.lm_score,
+               lmb.lm_t_lo, lmb.lm_t_hi, lmb.lm_bucket,
                tp.n_db, tp.n_infra, tp.n_data, tp.topic,
                tp.n_topic_hits
         FROM fp JOIN li ON fp.doc_id = li.doc_id
         JOIN dd ON fp.fp_full = dd.content_hash
         LEFT JOIN lm ON fp.doc_id = lm.doc_id
+        LEFT JOIN lmb ON fp.doc_id = lmb.doc_id
         JOIN tp ON fp.doc_id = tp.doc_id
         ORDER BY fp.doc_id
       """,

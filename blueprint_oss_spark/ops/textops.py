@@ -1353,6 +1353,63 @@ def lm_score(spark: SparkSession, sf_dir: str, *,
                           / F.col('n_scored'), 6).alias('lm_score'))
           .orderBy('doc_id'))
 
+def lm_buckets(spark: SparkSession, sf_dir: str, *,
+               threshold: str = '8' + '0' * 31,
+               docs: DataFrame = None,
+               scores: DataFrame = None) -> DataFrame:
+  """CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3,
+  "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  Data"): split each language's documents into score terciles —
+  'head' (the cleanest third, by LM score), 'middle', 'tail' — the
+  bucket label CC-100-style corpora ship so consumers can trade
+  quality for volume.
+
+  CCNet sorts each language by perplexity and cuts at 1/3 and 2/3; a
+  per-language GLOBAL sort is exactly the shuffle that dies at 100 TB
+  (a language is a handful of giant partitions).  Instead the cut
+  points are estimated the sampled_quantiles way: a deterministic
+  md5-threshold sample (stable under retries/repartitioning), one
+  BOUNDED per-lang collect of sampled scores, nearest-rank selection
+  at ceil(n/3) and ceil(2n/3), then bucket assignment is a broadcast
+  join + comparison on the scan — no corpus shuffle beyond what
+  lm_score already paid.  `threshold` is the sample-rate knob (same
+  contract as sampled_quantiles: at 100 TB sample 1e-5, the tercile
+  estimate concentrates); the default samples half the corpus.
+
+  Ties sit with the lower bucket (score must EXCEED a cut point to
+  move up) — deterministic because lm_score is rounded to 6 decimals
+  and +,/ are exactly rounded, so the DuckDB oracle reproduces every
+  label bit-for-bit.  Only scored docs (>=1 token) get rows; a lang
+  absent from the sample gets NULL buckets (raise the rate).
+
+  Returns (doc_id, lang, lm_score, lm_t_lo, lm_t_hi, lm_bucket).
+  """
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'lang')
+  sc = (scores if scores is not None
+        else lm_score(spark, sf_dir, docs=docs))
+  j = sc.select('doc_id', 'lm_score').join(d, 'doc_id')
+  s = j.where(F.md5(F.col('doc_id').cast('string')) < F.lit(threshold))
+  th = (s.groupBy('lang')
+        .agg(F.array_sort(F.collect_list('lm_score')).alias('vs'),
+             F.count(F.lit(1)).alias('n'))
+        .select('lang',
+                F.element_at('vs', F.ceil(F.col('n') / 3).cast('int'))
+                 .alias('lm_t_lo'),
+                F.element_at('vs',
+                             F.ceil(F.col('n') * 2 / 3).cast('int'))
+                 .alias('lm_t_hi')))
+  bucket = (F.when(F.col('lm_t_hi').isNull(),
+                   F.lit(None).cast('string'))
+            .when(F.col('lm_score') > F.col('lm_t_hi'), 'head')
+            .when(F.col('lm_score') > F.col('lm_t_lo'), 'middle')
+            .otherwise('tail'))
+  return (j.join(F.broadcast(th), 'lang', 'left')
+          .select('doc_id', 'lang', 'lm_score', 'lm_t_lo', 'lm_t_hi',
+                  bucket.alias('lm_bucket'))
+          .orderBy('doc_id'))
+
+
 #: Boilerplate paragraphs planted by dedup_paragraphs — the synthetic
 #: corpus is unique word soup, so corpus-wide duplicate paragraphs are
 #: synthesized deterministically (same device as pii_scrub's planted
