@@ -164,6 +164,7 @@ def pagerank(spark: SparkSession, sf_dir: str, *,
              iterations: int = 6,
              docs: DataFrame = None,
              edges: DataFrame = None,
+             seeds=None,
              checkpoint_interval: int = 2) -> DataFrame:
   """Exact-integer PageRank over the (synthesized) document link graph
   — the link-graph quality signal web curation pipelines rank crawl
@@ -216,6 +217,23 @@ def pagerank(spark: SparkSession, sf_dir: str, *,
   with pagerank = pr_num / (n * S^T) — a single BIGINT→DOUBLE division
   both engines perform identically (operands < 2^53 at the default
   config, so even exactly).
+
+  TrustRank personalization (`seeds=`, Gyöngyi et al. 2004,
+  "Combating Web Spam with TrustRank"): a list of doc_ids or a
+  (doc_id) DataFrame restricts the teleport to the trusted seed set —
+  rank then measures reachability-weighted proximity to the seeds
+  (pages no seed's trust flows to converge to exactly 0), the
+  white-list complement of url_curation's blocklists.  Ranks start AT
+  the trust vector (the paper's d^* iteration): seeds get
+  n·S^T DIV n_seeds, others 0; each round's teleport is
+  3·n·S^T DIV (20·n_seeds) per seed.  Both divisions are exact —
+  and total mass therefore conserved to the last bit, like the
+  uniform case — whenever n_seeds divides 12·n·80^(T-1) (in
+  particular whenever n_seeds | 4·n); otherwise DIV floors
+  deterministically (documented mass loss < n_seeds + edges per
+  round).  `seeds=` covering ALL nodes reproduces the uniform
+  teleport bit-for-bit (asserted by tests).  The seed flag is a
+  broadcast dimension; the per-round plan shape is unchanged.
   """
   d = (docs if docs is not None
        else spark.read.parquet(f'{sf_dir}/documents.parquet'))
@@ -232,19 +250,44 @@ def pagerank(spark: SparkSession, sf_dir: str, *,
       .localCheckpoint(eager=True)
 
   s_pow = _PR_SCALE ** iterations          # S^T
-  teleport = 3 * s_pow // 20               # (1-d)/n at num scale
-  ranks = nodes.select(F.col('doc_id').alias('node'),
-                       F.lit(s_pow).cast('long').alias('num'))
+  if seeds is None:
+    teleport = 3 * s_pow // 20             # (1-d)/n at num scale
+    base = nodes.select(F.col('doc_id').alias('node'),
+                        F.lit(teleport).cast('long').alias('tele'))
+    ranks = nodes.select(F.col('doc_id').alias('node'),
+                         F.lit(s_pow).cast('long').alias('num'))
+  else:
+    seed_df = (seeds if isinstance(seeds, DataFrame)
+               else spark.createDataFrame([(int(s),) for s in seeds],
+                                          'doc_id long'))
+    seed_df = (seed_df.select(F.col('doc_id').cast('long')
+                              .alias('doc_id'))
+               .distinct().withColumn('_s', F.lit(1)))
+    n_seeds = seed_df.count()
+    if n_seeds == 0:
+      raise ValueError('seeds= must name at least one document')
+    per_seed_tele = (3 * n * s_pow) // (20 * n_seeds)
+    per_seed_init = (n * s_pow) // n_seeds
+    flagged = nodes.join(F.broadcast(seed_df), 'doc_id', 'left')
+    base = flagged.select(
+        F.col('doc_id').alias('node'),
+        F.when(F.col('_s') == 1, F.lit(per_seed_tele))
+         .otherwise(F.lit(0)).cast('long').alias('tele'))
+    ranks = flagged.select(
+        F.col('doc_id').alias('node'),
+        F.when(F.col('_s') == 1, F.lit(per_seed_init))
+         .otherwise(F.lit(0)).cast('long').alias('num'))
+  base = base.localCheckpoint(eager=True)
   for it in range(iterations):
     flows = (ranks.join(edges, ranks.node == edges.src)
              .select(F.col('dst').alias('node'),
                      F.expr('(num * 17L) DIV (20L * out_deg)')
                      .alias('c'))
              .groupBy('node').agg(F.sum('c').alias('flow')))
-    ranks = (nodes.select(F.col('doc_id').alias('node'))
+    ranks = (base
              .join(flows, 'node', 'left')
              .select('node',
-                     (F.lit(teleport).cast('long')
+                     (F.col('tele')
                       + F.coalesce(F.col('flow'), F.lit(0).cast('long')))
                      .alias('num')))
     if (it + 1) % max(checkpoint_interval, 1) == 0:
