@@ -567,12 +567,29 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
   row-set (the ann_topk_methods precedent): method='pack' rows are
   pack_sequences' cross-doc concat-and-chunk assignment, method='chunk'
   rows are chunk_documents' within-doc overlapping windows (RAG/eval
-  chunking) — each section keeps every column of its operator
-  value-checked; columns not belonging to a section are typed NULLs."""
+  chunking), and method='interleaved' rows are
+  pack_interleaved_sequences' span-granularity multimodal packing
+  over the north-rule main-content output (media spans cost a fixed
+  64-token budget; chunk_no carries the span order and chunk_text
+  carries kind:media_ref so the interleave stays value-checked) —
+  each section keeps every column of its operator value-checked;
+  columns not belonging to a section are typed NULLs."""
   from blueprint_oss_spark.ops import textops as T
   nul_l = F.lit(None).cast('long')
   nul_i = F.lit(None).cast('int')
   nul_s = F.lit(None).cast('string')
+  il = (T.pack_interleaved_sequences(spark, sf_dir)
+        .select(F.lit('interleaved').alias('method'),
+                F.col('doc_id').cast('long').alias('doc_id'),
+                F.col('shard').cast('long').alias('shard'),
+                F.col('n_tokens').cast('int').alias('n_tokens'),
+                'tokens_before', 'chunk_first', 'chunk_last',
+                'n_chunks',
+                F.col('order').cast('int').alias('chunk_no'),
+                nul_i.alias('start_tok'),
+                F.concat(F.col('kind'), F.lit(':'),
+                         F.coalesce('media_ref', F.lit('')))
+                 .alias('chunk_text')))
   pack = (T.pack_sequences(spark, sf_dir)
           .select(F.lit('pack').alias('method'), 'doc_id',
                   F.col('shard').cast('long').alias('shard'),
@@ -589,7 +606,7 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nul_l.alias('chunk_first'),
                    nul_l.alias('chunk_last'), nul_l.alias('n_chunks'),
                    'chunk_no', 'start_tok', 'chunk_text'))
-  return (pack.unionByName(chunk)
+  return (pack.unionByName(chunk).unionByName(il)
           .orderBy('method', 'doc_id', 'chunk_no'))
 
 
@@ -3010,6 +3027,57 @@ def oracle_sql() -> dict[str, str]:
           FROM nn, (SELECT unnest(generate_series(0, 4096)) AS i) i
           WHERE i.i < 1 + floor((greatest(n - 64, 0) + 47) / 48)
         )
+        -- interleaved multimodal packing: re-derive the main-content
+        -- span sequence (the main_content_spans recoverable ground
+        -- truth), cost text spans by exact token count and media
+        -- spans at 64, re-run the same per-shard window sum
+        , il AS (
+          SELECT CAST(doc_id AS VARCHAR) AS sdoc, doc_id AS did, text
+          FROM documents
+        ), ilspans AS (
+          SELECT sdoc, 0 AS span_order, 'text' AS kind,
+                 CAST(NULL AS VARCHAR) AS media_ref,
+                 CAST(len(list_filter(string_split(
+                   trim(regexp_replace(
+                     'Document ' || sdoc || ' part 0. ' || text,
+                     '\s+', ' ', 'g')), ' '),
+                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+          FROM il
+          UNION ALL
+          SELECT sdoc, 1, 'media', 'media/' || sdoc || '/0',
+                 CAST(64 AS BIGINT)
+          FROM il
+          UNION ALL
+          SELECT sdoc, 2, 'text', CAST(NULL AS VARCHAR),
+                 CAST(len(list_filter(string_split(
+                   'Document ' || sdoc || ' closing section part 1.',
+                   ' '), x -> len(x) > 0)) AS BIGINT)
+          FROM il
+          UNION ALL
+          SELECT sdoc, 3, 'media', 'media/' || sdoc || '/1',
+                 CAST(64 AS BIGINT)
+          FROM il WHERE did % 3 = 0
+          UNION ALL
+          SELECT sdoc,
+                 CAST(3 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                      AS INT),
+                 'text', CAST(NULL AS VARCHAR),
+                 CAST(len(list_filter(string_split(
+                   'PDF appendix for document ' || sdoc, ' '),
+                   x -> len(x) > 0)) AS BIGINT)
+          FROM il WHERE did % 2 = 0
+        ), ilc AS (
+          SELECT sdoc, span_order, kind, media_ref, n_tokens,
+                 CAST(('0x' || substring(md5('shard:' || sdoc), 1, 8))
+                      AS BIGINT) % 8 AS shard,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY CAST(('0x' || substring(
+                       md5('shard:' || sdoc), 1, 8)) AS BIGINT) % 8
+                   ORDER BY sdoc, span_order
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM ilspans
+        )
         SELECT 'pack' AS method, doc_id,
                CAST(shard AS BIGINT) AS shard,
                n_tokens,
@@ -3032,6 +3100,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                chunk_no, start_tok, chunk_text
         FROM ck
+        UNION ALL
+        SELECT 'interleaved', CAST(sdoc AS BIGINT),
+               CAST(shard AS BIGINT),
+               CAST(n_tokens AS INT),
+               CAST(cum - n_tokens AS BIGINT),
+               CAST((cum - n_tokens) // 256 AS BIGINT),
+               CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                    ELSE (cum - n_tokens) // 256 END AS BIGINT),
+               CAST((CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                     ELSE (cum - n_tokens) // 256 END)
+                    - ((cum - n_tokens) // 256) + 1 AS BIGINT),
+               CAST(span_order AS INT),
+               CAST(NULL AS INT),
+               kind || ':' || coalesce(media_ref, '')
+        FROM ilc
         ORDER BY method, doc_id, chunk_no
       """,
       # The web-scale end-to-end chain recomputed from the RAW table:

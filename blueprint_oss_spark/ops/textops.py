@@ -690,21 +690,106 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
       F.pmod(F.col('doc_id'), F.lit(shards)).alias('shard'))
   w = (Window.partitionBy('shard').orderBy('doc_id')
        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-  cum = F.sum('n_tokens').over(w)
+  # stage cum as ONE column first — referencing the window expression
+  # from two derived columns left two stacked Window nodes (two full
+  # per-shard sort passes) in the physical plan
   return (sized
-          .withColumn('tokens_before', cum - F.col('n_tokens'))
+          .withColumn('cum', F.sum('n_tokens').over(w))
+          .withColumn('tokens_before', F.col('cum') - F.col('n_tokens'))
           .withColumn('chunk_first',
                       F.floor(F.col('tokens_before') / max_tokens))
           .withColumn(
               'chunk_last',
               F.when(F.col('n_tokens') > 0,
-                     F.floor((cum - 1) / max_tokens))
+                     F.floor((F.col('cum') - 1) / max_tokens))
               .otherwise(F.floor(F.col('tokens_before') / max_tokens)))
           .withColumn('n_chunks',
                       F.col('chunk_last') - F.col('chunk_first') + 1)
           .select('doc_id', 'shard', 'n_tokens', 'tokens_before',
                   'chunk_first', 'chunk_last', 'n_chunks')
           .orderBy('doc_id'))
+
+
+def pack_interleaved_sequences(spark: SparkSession, sf_dir: str, *,
+                               max_tokens: int = 256,
+                               media_token_cost: int = 64,
+                               shards: int = 8,
+                               spans: DataFrame = None) -> DataFrame:
+  """Multimodal sequence packing over the north-rule pipeline's
+  interleaved output — pack_sequences' concat-and-chunk contract
+  extended to SPAN granularity with heterogeneous costs, the packing
+  step an interleaved text+media pretraining run (Flamingo /
+  Chameleon-style) makes: text spans cost their exact whitespace
+  token count, media spans cost a fixed `media_token_cost` (the
+  image-token budget the vision tower emits), and spans are
+  concatenated per shard in (doc_id, order) sequence — the
+  document's interleave is never reordered — then chunked into
+  `max_tokens` training sequences.
+
+  Per span this reports its shard, token offset and first/last chunk
+  (n_chunks > 1 = the span straddles a boundary; for a media span the
+  loader bumps-or-duplicates at read time — the straddle accounting
+  is the operator's job, the policy the loader's).
+
+  Scale shape: the span derivation is the main-content pipeline's
+  zero-shuffle Arrow map; packing itself is ONE window shuffle
+  partitioned by shard (pack_sequences' shape — thousands of
+  independent shards at 100 TB, no global ordering bottleneck).
+  Shard is an md5 hash of doc_id (engine-portable on the STRING
+  doc_ids the spans schema carries) and ordering within a shard is
+  (doc_id, order) — lexicographic on doc_id, identical in Spark and
+  DuckDB for the ASCII ids both engines see.
+
+  Returns (doc_id, order, kind, media_ref, n_tokens, shard,
+  tokens_before, chunk_first, chunk_last, n_chunks).  `spans=`
+  accepts any (doc_id, out_spans) frame with the OUT_SPAN_STRUCT
+  element type (e.g. a checkpointed main_content_from_spans result).
+  """
+  from pyspark.sql import Window
+
+  if spans is None:
+    from blueprint_oss_spark.ops.html_extract import (
+        interleaved_html_table, main_content_from_spans)
+    spans = main_content_from_spans(
+        interleaved_html_table(spark, sf_dir))
+  toks = F.filter(F.split(F.col('s.text'), ' '),
+                  lambda x: F.length(x) > 0)
+  cost = (F.when(F.col('s.kind') == 'media',
+                 F.lit(int(media_token_cost)))
+          .otherwise(F.size(toks))).cast('long')
+  shard = F.pmod(
+      F.conv(F.substring(F.md5(F.concat(F.lit('shard:'), 'doc_id')),
+                         1, 8), 16, 10).cast('long'),
+      F.lit(int(shards)))
+  sized = (spans
+           .select('doc_id', F.explode('out_spans').alias('s'))
+           .select('doc_id',
+                   F.col('s.order').alias('order'),
+                   F.col('s.kind').alias('kind'),
+                   F.col('s.media_ref').alias('media_ref'),
+                   cost.alias('n_tokens'),
+                   shard.alias('shard')))
+  w = (Window.partitionBy('shard').orderBy('doc_id', 'order')
+       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  # stage cum as ONE column first: referencing the window expression
+  # from several derived columns leaves two stacked Window nodes in
+  # the physical plan (CollapseWindow does not merge them here)
+  return (sized
+          .withColumn('cum', F.sum('n_tokens').over(w))
+          .withColumn('tokens_before', F.col('cum') - F.col('n_tokens'))
+          .withColumn('chunk_first',
+                      F.floor(F.col('tokens_before') / max_tokens))
+          .withColumn(
+              'chunk_last',
+              F.when(F.col('n_tokens') > 0,
+                     F.floor((F.col('cum') - 1) / max_tokens))
+              .otherwise(F.floor(F.col('tokens_before') / max_tokens)))
+          .withColumn('n_chunks',
+                      F.col('chunk_last') - F.col('chunk_first') + 1)
+          .select('doc_id', 'order', 'kind', 'media_ref', 'n_tokens',
+                  'shard', 'tokens_before', 'chunk_first',
+                  'chunk_last', 'n_chunks')
+          .orderBy('doc_id', 'order'))
 
 
 def count_min_terms(spark: SparkSession, sf_dir: str, *,
