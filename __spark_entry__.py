@@ -550,15 +550,26 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
   estimate of each surfaced term (gate-budget merge): cms_est /
   cms_overcount value-check the full sketch — every cell the term
   touches and the never-undercount minimum — against the from-scratch
-  oracle, riding the existing per-(doc,term) row-set."""
+  oracle, riding the existing per-(doc,term) row-set.  Plus the exact
+  two-pass φ-heavy-hitter verdict (φ = 1/29 splits the gate
+  vocabulary): hh_heavy / hh_count / hh_n_total LEFT-joined per term,
+  the oracle recomputing the heavy set with a plain word count +
+  cross-multiplied threshold."""
   from blueprint_oss_spark.ops import textops as T
   cms = (T.count_min_terms(spark, sf_dir)
          .select('term', 'cms_est',
                  F.col('overcount').alias('cms_overcount')))
+  hh = (T.heavy_hitters(spark, sf_dir)
+        .select('term', F.lit(1).alias('hh_heavy'),
+                F.col('count').alias('hh_count'),
+                F.col('n_total').alias('hh_n_total')))
   return (T.tfidf_top_terms(spark, sf_dir)
           .join(cms, 'term')
+          .join(hh, 'term', 'left')
           .select('doc_id', 'term', 'tf', 'df', 'score_r', 'rnk',
-                  'cms_est', 'cms_overcount')
+                  'cms_est', 'cms_overcount',
+                  F.coalesce('hh_heavy', F.lit(0)).alias('hh_heavy'),
+                  'hh_count', 'hh_n_total')
           .orderBy('doc_id', 'rnk'))
 
 
@@ -2661,16 +2672,26 @@ def oracle_sql() -> dict[str, str]:
                      0)) AS cms_est
           FROM truec
         )
+        , hhn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+        , hhv AS (
+          SELECT tc.term, tc.true_count AS hh_count, hhn.n_total
+          FROM truec tc, hhn
+          WHERE tc.true_count * 29 >= hhn.n_total * 1
+        )
         SELECT t.doc_id, t.term, t.tf, t.df,
                ROUND(t.score, 6) AS score_r, t.rnk,
                CAST(cms.cms_est AS BIGINT) AS cms_est,
                CAST(cms.cms_est - cms.true_count AS BIGINT)
-                 AS cms_overcount
+                 AS cms_overcount,
+               CAST(hhv.term IS NOT NULL AS INT) AS hh_heavy,
+               CAST(hhv.hh_count AS BIGINT) AS hh_count,
+               CAST(hhv.n_total AS BIGINT) AS hh_n_total
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, term) AS rnk
           FROM scored) t
         JOIN cms ON t.term = cms.term
+        LEFT JOIN hhv ON t.term = hhv.term
         WHERE rnk <= 3
         ORDER BY doc_id, rnk
       """,

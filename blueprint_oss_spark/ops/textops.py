@@ -6,6 +6,9 @@ UDFs — so they stay inside whole-stage codegen and push down to the scan.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from blueprint_oss_spark.ops.common import spread_small_scan
@@ -856,6 +859,68 @@ def count_min_terms(spark: SparkSession, sf_dir: str, *,
                      mins.cast('long').alias('cms_est'),
                      (mins - F.coalesce('true_count', F.lit(0)))
                      .cast('long').alias('overcount'))
+          .orderBy('term'))
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str, *,
+                  phi_num: int = 1, phi_den: int = 29,
+                  docs: DataFrame = None) -> DataFrame:
+  """EXACT φ-frequent terms (count ≥ φ·N) in two bounded-memory
+  passes — the candidates-then-verify pattern the streaming literature
+  settles on for exact results (Cormode & Hadjieleftheriou 2008,
+  "Finding Frequent Items in Data Streams": one summary pass for a
+  no-false-negative candidate set, one exact counting pass restricted
+  to it).  The CMS sibling (`count_min_terms`) estimates; this
+  returns exact counts with zero misses — the shape used for "which
+  boilerplate strings / stopwords / template shards dominate this
+  crawl" reports where an overcount is not acceptable.
+
+  Pass 1 (candidates): each Arrow batch counts its own tokens and
+  emits the terms that are φ-frequent LOCALLY (count·φ_den ≥
+  batch_tokens·φ_num).  By the average argument a globally φ-frequent
+  term must be φ-frequent in at least one batch (if c_b < φ·N_b for
+  every batch, summing gives c < φ·N), so the union is a SUPERSET of
+  the answer — never a miss; each batch emits ≤ φ_den/φ_num terms, so
+  the candidate table is bounded by batches/φ regardless of
+  vocabulary size.  Pass 2 (verify): exact corpus counts of ONLY the
+  candidates — a broadcast semi-join filter on the token scan feeding
+  a groupBy over ≤ |candidates| keys with map-side partial counts —
+  then keep count·φ_den ≥ N·φ_num.  The vocabulary-sized word-count
+  shuffle never happens; both shuffles are candidate-bounded.
+
+  The OUTPUT is exact and partitioning-independent (the candidate
+  superset varies with batching, the verified answer cannot — pinned
+  by test).  φ is a rational (phi_num/phi_den) and every comparison
+  is cross-multiplied integer arithmetic, so the from-scratch DuckDB
+  oracle (plain word count + threshold) matches bit-for-bit.
+
+  Returns (term, count, n_total), term-sorted, heavy terms only.
+  """
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+
+  def local_cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from collections import Counter
+    for pdf in batches:
+      cnt: Counter = Counter()
+      total = 0
+      for t in pdf['text']:
+        ws = str(t).split()
+        cnt.update(ws)
+        total += len(ws)
+      yield pd.DataFrame({'term': [w for w, c in cnt.items()
+                                   if c * phi_den >= total * phi_num]})
+
+  cands = (d.mapInPandas(local_cands, 'term string')
+           .distinct())
+  occ = d.select(F.explode(toks).alias('term'))
+  n_total = d.select(F.sum(F.size(toks)).alias('n_total'))
+  counted = (occ.join(F.broadcast(cands), 'term')
+             .groupBy('term').agg(F.count(F.lit(1)).alias('count')))
+  return (counted.crossJoin(F.broadcast(n_total))
+          .where(F.col('count') * phi_den >= F.col('n_total') * phi_num)
+          .select('term', 'count', 'n_total')
           .orderBy('term'))
 
 
