@@ -218,6 +218,14 @@ def main() -> None:
       # each ranks⋈edges + partial-SUM groupBy + join-back, lineage
       # truncated per round; includes link-graph synthesis
       ('pagerank', lambda: G.pagerank(spark, sf_dir).count()),
+      # interleaved multimodal packing END-TO-END: span synthesis +
+      # main-content strip + explode + ONE per-shard window (the
+      # north-rule output feeding the tokenizer)
+      ('pack_interleaved',
+       lambda: T.pack_interleaved_sequences(spark, sf_dir).count()),
+      # exact two-pass heavy hitters: Arrow-batch candidates + exact
+      # verify of the broadcast candidate set (no vocab-sized shuffle)
+      ('heavy_hitters', lambda: T.heavy_hitters(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()
