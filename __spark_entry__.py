@@ -554,8 +554,16 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
   two-pass φ-heavy-hitter verdict (φ = 1/29 splits the gate
   vocabulary): hh_heavy / hh_count / hh_n_total LEFT-joined per term,
   the oracle recomputing the heavy set with a plain word count +
-  cross-multiplied threshold."""
+  cross-multiplied threshold.  A method='bm25' section (the
+  ann_topk_methods precedent) adds BM25 ranked retrieval over
+  corpus-synthesized two-term queries: the query string rides term,
+  the document length rides tf (both value-checked — the oracle
+  re-synthesizes the queries and recomputes the bit-exact saturating
+  score from scratch), score_r/rnk carry the rounded score and the
+  per-query rank."""
   from blueprint_oss_spark.ops import textops as T
+  nul_l = F.lit(None).cast('bigint')
+  nul_i = F.lit(None).cast('int')
   cms = (T.count_min_terms(spark, sf_dir)
          .select('term', 'cms_est',
                  F.col('overcount').alias('cms_overcount')))
@@ -563,14 +571,23 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select('term', F.lit(1).alias('hh_heavy'),
                 F.col('count').alias('hh_count'),
                 F.col('n_total').alias('hh_n_total')))
-  return (T.tfidf_top_terms(spark, sf_dir)
-          .join(cms, 'term')
-          .join(hh, 'term', 'left')
-          .select('doc_id', 'term', 'tf', 'df', 'score_r', 'rnk',
-                  'cms_est', 'cms_overcount',
-                  F.coalesce('hh_heavy', F.lit(0)).alias('hh_heavy'),
-                  'hh_count', 'hh_n_total')
-          .orderBy('doc_id', 'rnk'))
+  tft = (T.tfidf_top_terms(spark, sf_dir)
+         .join(cms, 'term')
+         .join(hh, 'term', 'left')
+         .select(F.lit('tfidf').alias('method'),
+                 'doc_id', 'term', 'tf', 'df', 'score_r', 'rnk',
+                 'cms_est', 'cms_overcount',
+                 F.coalesce('hh_heavy', F.lit(0)).alias('hh_heavy'),
+                 'hh_count', 'hh_n_total'))
+  bm = (T.bm25_topk(spark, sf_dir)
+        .select(F.lit('bm25').alias('method'), 'doc_id',
+                F.col('query').alias('term'),
+                F.col('dl').alias('tf'), nul_l.alias('df'),
+                'score_r', 'rnk', nul_l.alias('cms_est'),
+                nul_l.alias('cms_overcount'), nul_i.alias('hh_heavy'),
+                nul_l.alias('hh_count'), nul_l.alias('hh_n_total')))
+  return (tft.unionByName(bm)
+          .orderBy('method', 'doc_id', 'rnk', 'term'))
 
 
 def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2678,7 +2695,56 @@ def oracle_sql() -> dict[str, str]:
           FROM truec tc, hhn
           WHERE tc.true_count * 29 >= hhn.n_total * 1
         )
-        SELECT t.doc_id, t.term, t.tf, t.df,
+        , d_dl AS (
+          SELECT d.doc_id, CAST(coalesce(t.c, 0) AS BIGINT) AS dl
+          FROM documents d LEFT JOIN (SELECT doc_id, COUNT(*) AS c
+                                      FROM toks GROUP BY doc_id) t
+               ON d.doc_id = t.doc_id
+        ), bconst AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM d_dl
+        ), ranked_terms AS (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                          term) AS rn
+          FROM toks GROUP BY term
+        ), qterms AS (
+          SELECT CAST((rn - 1) // 2 AS INT) AS query_id, term
+          FROM ranked_terms WHERE rn <= 16
+        ), qnames AS (
+          SELECT query_id, string_agg(term, ' ' ORDER BY term) AS query
+          FROM qterms GROUP BY query_id
+        ), btf AS (
+          SELECT t.doc_id, t.term, q.query_id,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks t JOIN qterms q ON t.term = q.term
+          GROUP BY t.doc_id, t.term, q.query_id
+        ), bdf AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+          FROM btf GROUP BY term
+        ), bscored AS (
+          SELECT btf.query_id, btf.doc_id,
+                 SUM(((CAST(bconst.n AS DOUBLE) - bdf.df + 0.5)
+                      / (bdf.df + 0.5))
+                     * ((CAST(btf.tf AS DOUBLE) * 2.2)
+                        / (CAST(btf.tf AS DOUBLE)
+                           + 1.2 * (0.25
+                                    + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                              / bconst.avgdl)))))
+                   AS score,
+                 MIN(dl.dl) AS dl
+          FROM btf JOIN bdf ON btf.term = bdf.term
+                   JOIN d_dl dl ON btf.doc_id = dl.doc_id
+                   CROSS JOIN bconst
+          GROUP BY btf.query_id, btf.doc_id
+        ), btop AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rnk
+          FROM bscored
+        )
+        SELECT 'tfidf' AS method,
+               t.doc_id, t.term, t.tf, t.df,
                ROUND(t.score, 6) AS score_r, t.rnk,
                CAST(cms.cms_est AS BIGINT) AS cms_est,
                CAST(cms.cms_est - cms.true_count AS BIGINT)
@@ -2693,7 +2759,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN cms ON t.term = cms.term
         LEFT JOIN hhv ON t.term = hhv.term
         WHERE rnk <= 3
-        ORDER BY doc_id, rnk
+        UNION ALL
+        SELECT 'bm25' AS method,
+               b.doc_id, q.query AS term, b.dl AS tf,
+               CAST(NULL AS BIGINT) AS df,
+               ROUND(b.score, 6) AS score_r, b.rnk,
+               CAST(NULL AS BIGINT) AS cms_est,
+               CAST(NULL AS BIGINT) AS cms_overcount,
+               CAST(NULL AS INT) AS hh_heavy,
+               CAST(NULL AS BIGINT) AS hh_count,
+               CAST(NULL AS BIGINT) AS hh_n_total
+        FROM btop b JOIN qnames q ON b.query_id = q.query_id
+        WHERE b.rnk <= 5
+        ORDER BY method, doc_id, rnk, term
       """,
       # Hash-threshold stratified sampling: md5 hex compared against a
       # per-stratum threshold string — deterministic, engine-identical.

@@ -924,6 +924,121 @@ def heavy_hitters(spark: SparkSession, sf_dir: str, *,
           .orderBy('term'))
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str, *,
+              n_queries: int = 8, k: int = 5,
+              docs: DataFrame = None) -> DataFrame:
+  """BM25 ranked retrieval (Robertson & Walker 1994, the Okapi
+  formula): top-k documents per query by the classic saturating-tf
+  scorer — the retrieval complement of `tfidf_top_terms`' per-doc
+  characteristic terms (this family now covers per-doc terms, sketch
+  estimates, exact heavy hitters, and query-time ranking).
+
+  Queries are synthesized deterministically from the corpus itself:
+  the 2·n_queries most frequent terms (count DESC, term ASC), paired
+  in rank order — query i is "term_{2i} term_{2i+1}".  Exactly two
+  terms per query, which makes the per-(query, doc) score sum a
+  SINGLE IEEE addition: commutative, so aggregation order cannot
+  change a bit (the reason a DuckDB oracle can demand exact equality
+  on a double score).  Every other arithmetic step (+, −, ×, ÷) is a
+  correctly-rounded double op with the parenthesization mirrored in
+  the oracle, the idf is the log-free BM25 ratio
+  (N − df + 0.5)/(df + 0.5) shared with tfidf_top_terms (ln() is
+  implementation-defined in the last ulp), and avgdl is ONE double
+  division computed driver-side from exact integer totals — so the
+  score is bit-identical across engines and the (score DESC, doc_id)
+  top-k order is too.
+
+  Scale shape: query SYNTHESIS costs one vocabulary-shaped term-count
+  shuffle + a TakeOrdered (gate-only — production queries arrive from
+  the user); the SCORING side is ONE corpus scan: per-doc length and
+  the explode of query-term hits ride the same staged tokenization
+  (tokenize once per row — re-deriving the interpreted-HOF token
+  array in two expressions would tokenize twice, the documented
+  no-CSE hazard), the query-term filter is a ≤2Q-element literal
+  array evaluated map-side, and everything after the explode is
+  candidate-sized: a (doc_id, term) groupBy carrying dl via first(),
+  df as a count over a term-partitioned window on that SAME frame
+  (a recomputed countDistinct branch would rescan the corpus — this
+  plan scans it exactly once), a (query_id, doc_id) partial-sum
+  groupBy, and ONE top-k window over Q query partitions.  The corpus
+  is never shuffled whole and nothing query-side scales with corpus
+  size.
+
+  tf saturation constants k1 = 1.2, b = 0.75 (the textbook defaults);
+  the length norm is written k1·(0.25 + 0.75·dl/avgdl) — 0.25 and
+  0.75 are exact doubles, so no 1−b rounding question arises.
+
+  Returns (query_id, query, doc_id, dl, score_r, rnk) — score_r
+  rounded to 6 places for presentation, rank decided on the raw
+  double.
+  """
+  from pyspark.sql import Window
+
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+
+  # corpus constants from ONE exact-integer aggregate (bounded collect)
+  tot = d.select(F.count(F.lit(1)).alias('n'),
+                 F.sum(F.size(toks)).alias('sum_dl')).collect()[0]
+  n_docs, sum_dl = int(tot['n']), int(tot['sum_dl'] or 0)
+  if n_docs == 0:
+    return spark.createDataFrame(
+        [], 'query_id int, query string, doc_id string, dl bigint, '
+            'score_r double, rnk int')
+  avgdl = sum_dl / n_docs  # one IEEE division; oracle repeats it
+
+  occ = d.select('doc_id', F.explode(toks).alias('term'))
+  top_terms = (occ.groupBy('term').agg(F.count(F.lit(1)).alias('cnt'))
+               .orderBy(F.col('cnt').desc(), 'term')
+               .limit(2 * n_queries).collect())
+  qrows = [(i // 2, str(r['term'])) for i, r in enumerate(top_terms)]
+  if not qrows:
+    return spark.createDataFrame(
+        [], 'query_id int, query string, doc_id string, dl bigint, '
+            'score_r double, rnk int')
+  qterms = spark.createDataFrame(qrows, 'query_id int, term string')
+  qnames = (qterms.groupBy('query_id')
+            .agg(F.concat_ws(' ', F.array_sort(F.collect_list('term')))
+                 .alias('query')))
+
+  qarr = F.array(*[F.lit(t) for _, t in qrows])
+  # stage the token array as a column: dl and the hit filter both read
+  # it, and interpreted HOF expressions get no CSE otherwise
+  arr = d.select('doc_id', toks.alias('arr'))
+  hits = arr.select(
+      'doc_id', F.size('arr').cast('bigint').alias('dl'),
+      F.explode(F.filter('arr', lambda x: F.array_contains(qarr, x)))
+      .alias('term'))
+  tfq = (hits.groupBy('doc_id', 'term')
+         .agg(F.count(F.lit(1)).alias('tf'), F.first('dl').alias('dl'))
+         .join(F.broadcast(qterms), 'term'))
+  # grain is (doc_id, term), so a plain count over the term partition
+  # IS the document frequency — no countDistinct rescan branch
+  wdf = Window.partitionBy('term')
+  tfq = tfq.withColumn('df', F.count(F.lit(1)).over(wdf))
+  idf = ((F.lit(float(n_docs)) - F.col('df') + F.lit(0.5))
+         / (F.col('df') + F.lit(0.5)))
+  tf_d = F.col('tf').cast('double')
+  norm = F.lit(1.2) * (F.lit(0.25)
+                       + F.lit(0.75) * (F.col('dl').cast('double')
+                                        / F.lit(avgdl)))
+  contrib = idf * ((tf_d * F.lit(2.2)) / (tf_d + norm))
+  scored = (tfq.groupBy('query_id', 'doc_id')
+            # ≤ 2 addends (2-term queries): a single commutative IEEE
+            # addition, order-independent by construction
+            .agg(F.sum(contrib).alias('score'),
+                 F.first('dl').alias('dl')))
+  w = Window.partitionBy('query_id').orderBy(
+      F.col('score').desc(), 'doc_id')
+  return (scored.withColumn('rnk', F.row_number().over(w))
+          .where(F.col('rnk') <= k)
+          .join(F.broadcast(qnames), 'query_id')
+          .select('query_id', 'query', 'doc_id', 'dl',
+                  F.round('score', 6).alias('score_r'), 'rnk')
+          .orderBy('query_id', 'rnk'))
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str, *,
                     chunk_tokens: int = 64, overlap: int = 16,
                     docs: DataFrame = None) -> DataFrame:
