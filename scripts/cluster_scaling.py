@@ -234,6 +234,49 @@ elif model == 'pagerank':
             F.sum(F.col('pr_num').cast('decimal(38,0)'))
              .alias('mass')).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['mass']}"}
+elif model == 'pack_interleaved':
+    # the north-rule OUTPUT feeding the tokenizer: interleaved
+    # HTML+PDF+media spans -> main-content strip (Arrow map, the
+    # main_content model's workload) -> explode -> ONE per-shard
+    # window (token-cost cumsum + chunk assignment).  Measures the
+    # map-heavy strip and the window shuffle TOGETHER, the composite
+    # a pretraining run actually executes.  shards=256 (not the gate
+    # default 8): shard count must be >= total cores x waves or the
+    # window stage caps parallelism — at 100 TB you run thousands of
+    # shards, so the scaling config models that, not the oracle
+    # fixture.  Input synthesized once and cached (synthesis is test
+    # scaffolding, not the operator); replicas salt the STRING doc_id
+    # so shards and chunk boundaries stay doc-local and disjoint.
+    # Checksum = exact order-insensitive hash-sum of the full span
+    # assignment (all-integer/string columns - bit-exact by design).
+    from blueprint_oss_spark.ops.html_extract import (
+        interleaved_html_table, main_content_from_spans)
+    from blueprint_oss_spark.ops.textops import \
+        pack_interleaved_sequences
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = interleaved_html_table(spark, sf_dir)
+    if n_docs:
+        src = src.limit(n_docs)
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '4'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select(F.concat(F.col('doc_id'), F.lit('#'),
+                                F.col('rep').cast('string'))
+                       .alias('doc_id'), 'spans'))
+    df = src.repartition(n_parts).cache()
+    n_in = df.count()
+    def run_pass():
+        packed = pack_interleaved_sequences(
+            spark, sf_dir, shards=256,
+            spans=main_content_from_spans(df))
+        agg = packed.agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'order', 'kind', 'media_ref',
+                             'n_tokens', 'shard', 'tokens_before',
+                             'chunk_first', 'chunk_last', 'n_chunks')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 elif model == 'bloom':
     # interpreted-HOF scan counterpart: Bloom decontamination's cost is
     # per-row 8-gram construction (transform/slice/array_join lambdas,
