@@ -267,7 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # budget merge) with exact-integer PageRank over the synthesized
       # link graph, all six iterations recomputed from scratch in SQL
       'url_curation': _url_curation_pagerank,
-      'ngram_jaccard_pairs': lambda s, d: T.ngram_jaccard_pairs(s, d),
+      'ngram_jaccard_pairs': _ngram_with_interleaved,
       # C4-style line-level page cleaning (Raffel et al. §2.2);
       # deterministic synthesized line structure, DuckDB re-synthesizes
       # and re-filters everything from the raw table
@@ -588,6 +588,51 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nul_l.alias('hh_count'), nul_l.alias('hh_n_total')))
   return (tft.unionByName(bm)
           .orderBy('method', 'doc_id', 'rnk', 'term'))
+
+
+def _ngram_with_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """ngram_jaccard_pairs plus the cross-modal interleaved near-dup
+  verdicts in one method-tagged row-set: method='text' rows are the
+  original exact n-gram Jaccard pairs over the documents table (ids
+  cast to string for the union); method='interleaved' rows run the
+  full north-rule pipeline (synthesis → main-content strip) and merge
+  TEXT evidence (Jaccard over the concatenated main-content spans)
+  with MEDIA evidence (shared media_refs).  Media sharing is planted
+  deterministically — docs with doc_id % 101 == 0 have their first
+  media span remapped to one of 3 shared asset refs — so the oracle
+  re-derives both the assembled text AND the shared refs from the raw
+  documents table with the same formulas (the recoverable-ground-
+  truth design of the main_content_spans row)."""
+  from blueprint_oss_spark.ops import textops as T
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans)
+  from blueprint_oss_spark.ops.multimodal import interleaved_near_dup
+  nul_i = F.lit(None).cast('int')
+  text = (T.ngram_jaccard_pairs(spark, sf_dir)
+          .select(F.lit('text').alias('method'),
+                  F.col('doc_a').cast('string').alias('doc_a'),
+                  F.col('doc_b').cast('string').alias('doc_b'),
+                  F.lit(1).alias('text_dup'), nul_i.alias('media_dup'),
+                  'n_common', 'n_a', 'n_b',
+                  F.lit(None).cast('bigint').alias('shared_media')))
+  spans = main_content_from_spans(interleaved_html_table(spark, sf_dir))
+  did = F.col('doc_id').cast('bigint')
+  shared = F.concat(F.lit('media/shared'),
+                    F.pmod(did, F.lit(3)).cast('string'), F.lit('/0'))
+  remapped = spans.withColumn(
+      'out_spans',
+      F.transform('out_spans', lambda s: F.struct(
+          s['kind'].alias('kind'), s['text'].alias('text'),
+          F.when((s['kind'] == 'media') & (F.pmod(did, F.lit(101)) == 0)
+                 & s['media_ref'].endswith('/0'), shared)
+          .otherwise(s['media_ref']).alias('media_ref'),
+          s['order'].alias('order'))))
+  inter = (interleaved_near_dup(spark, sf_dir, spans=remapped)
+           .select(F.lit('interleaved').alias('method'),
+                   'doc_a', 'doc_b', 'text_dup', 'media_dup',
+                   'n_common', 'n_a', 'n_b', 'shared_media'))
+  return (text.unionByName(inter)
+          .orderBy('method', 'doc_a', 'doc_b'))
 
 
 def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2607,7 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         FROM hnranked WHERE rnk <= 3
         ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
-      'ngram_jaccard_pairs': """
+      'ngram_jaccard_pairs': r"""
         WITH toks AS (
           SELECT doc_id,
                  list_filter(string_split(text, ' '),
@@ -2626,14 +2671,87 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) AS n_common
           FROM sh a JOIN sh b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+          GROUP BY 1, 2
+        )
+        -- interleaved section: the main-content pipeline's output is
+        -- recoverable ground truth (same formulas as the
+        -- main_content_spans oracle), so the assembled per-doc text
+        -- and the planted shared media refs re-derive from raw docs
+        , itext AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 trim(regexp_replace(
+                   'Document ' || doc_id || ' part 0. ' || text,
+                   '\s+', ' ', 'g'))
+                 || ' Document ' || doc_id || ' closing section part 1.'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN ' PDF appendix for document ' || doc_id
+                         ELSE '' END AS text
+          FROM documents
+        ), imedia AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN doc_id % 101 = 0
+                      THEN 'media/shared'
+                           || CAST(doc_id % 3 AS VARCHAR) || '/0'
+                      ELSE 'media/' || doc_id || '/0' END AS media_ref
+          FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 'media/' || doc_id || '/1'
+          FROM documents WHERE doc_id % 3 = 0
+        ), itoks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0) AS t
+          FROM itext
+        ), ish AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 1, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM itoks
+        ), isizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY doc_id
+        ), iinter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_common
+          FROM ish a JOIN ish b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), itp AS (
+          SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b
+          FROM iinter
+          JOIN isizes sa ON iinter.doc_a = sa.doc_id
+          JOIN isizes sb ON iinter.doc_b = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE)
+                / (sa.n + sb.n - n_common) >= 0.8
+        ), imp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_media
+          FROM imedia a JOIN imedia b
+            ON a.media_ref = b.media_ref AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 1
+        )
+        SELECT 'text' AS method,
+               CAST(doc_a AS VARCHAR) AS doc_a,
+               CAST(doc_b AS VARCHAR) AS doc_b,
+               1 AS text_dup, CAST(NULL AS INT) AS media_dup,
+               n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(NULL AS BIGINT) AS shared_media
         FROM inter
         JOIN sizes sa ON inter.doc_a = sa.doc_id
         JOIN sizes sb ON inter.doc_b = sb.doc_id
         WHERE CAST(n_common AS DOUBLE)
               / (sa.n + sb.n - n_common) >= 0.8
-        ORDER BY doc_a, doc_b
+        UNION ALL
+        SELECT 'interleaved' AS method,
+               coalesce(itp.doc_a, imp.doc_a) AS doc_a,
+               coalesce(itp.doc_b, imp.doc_b) AS doc_b,
+               CAST(itp.doc_a IS NOT NULL AS INT) AS text_dup,
+               CAST(imp.doc_a IS NOT NULL AS INT) AS media_dup,
+               itp.n_common, itp.n_a, itp.n_b,
+               coalesce(imp.shared_media, 0) AS shared_media
+        FROM itp FULL OUTER JOIN imp
+          ON itp.doc_a = imp.doc_a AND itp.doc_b = imp.doc_b
+        ORDER BY method, doc_a, doc_b
       """,
       # TF·IDF with the log-free BM25 idf ratio (N-df+0.5)/(df+0.5):
       # every step is a correctly-rounded IEEE double op, so scores and

@@ -677,3 +677,88 @@ def join_media_features_to_spans(spans_df: DataFrame,
                 'left')
           .select('doc_id', F.col('s.media_ref').alias('media_ref'),
                   'feature', 'decode_status'))
+
+
+def interleaved_near_dup(spark: SparkSession, sf_dir: str, *,
+                         jaccard_threshold: float = 0.8,
+                         shingle: int = 3,
+                         min_shared_media: int = 1,
+                         max_media_df: int = 0,
+                         spans: DataFrame = None) -> DataFrame:
+  """Cross-modal near-duplicate verdicts over INTERLEAVED documents —
+  the dedup shape unique to the text+media corpus the north rule
+  processes: two docs are near-dups on TEXT evidence (exact n-gram
+  Jaccard ≥ threshold over the concatenated main-content text spans,
+  the `ngram_jaccard_pairs` machinery through its docs= seam) and/or
+  on MEDIA evidence (≥ min_shared_media common media_refs — the
+  shared-asset signal: the same image URL embedded by two pages is
+  how crawl-scale media dedup actually triggers, no pixel decode
+  needed).  A syndication copy that swaps the hero image is caught by
+  text; a photo gallery with rewritten captions is caught by media;
+  a mirror is caught by both — the per-pair booleans keep the
+  evidence auditable instead of collapsing it into one verdict.
+
+  Scale shape: the text side inherits ngram_jaccard_pairs' inverted-
+  index join and its hot-shingle df cap; the media side is the same
+  inverted-index on media_ref with its own `max_media_df` cap (a
+  site-wide logo shared by millions of pages is the classic quadratic
+  hub — capped refs are dropped from the JOIN side only, a documented
+  recall-trading knob, zero silent truncation at the default 0); the
+  final merge is a pair-keyed full outer join of two already-
+  pair-grained frames.  Per-doc text assembly is one groupBy with an
+  array_sort on (order, text) structs — span order is restored
+  deterministically without a window.
+
+  `spans=` accepts any (doc_id, out_spans) frame with the
+  OUT_SPAN_STRUCT element type; default is the full north-rule
+  pipeline (synthesis → main-content strip).
+
+  Returns (doc_a, doc_b, text_dup, media_dup, n_common, n_a, n_b,
+  shared_media) pair-sorted; n_* are NULL on media-only pairs.
+  """
+  if spans is None:
+    from .html_extract import (interleaved_html_table,
+                               main_content_from_spans)
+    spans = main_content_from_spans(
+        interleaved_html_table(spark, sf_dir))
+  from .textops import ngram_jaccard_pairs
+
+  ex = spans.select('doc_id', F.explode('out_spans').alias('s'))
+  txt = (ex.where(F.col('s.kind') == 'text')
+         .groupBy('doc_id')
+         .agg(F.concat_ws(' ', F.transform(
+             F.array_sort(F.collect_list(
+                 F.struct('s.order', 's.text'))),
+             lambda st: st['text'])).alias('text')))
+  tp = (ngram_jaccard_pairs(spark, sf_dir, shingle=shingle,
+                            threshold=jaccard_threshold, docs=txt)
+        .withColumn('text_dup', F.lit(1)))
+
+  med = (ex.where(F.col('s.kind') == 'media')
+         .select('doc_id', F.col('s.media_ref').alias('media_ref'))
+         .distinct())
+  join_side = med
+  if max_media_df > 0:
+    hot = (med.groupBy('media_ref')
+           .agg(F.count(F.lit(1)).alias('df'))
+           .where(F.col('df') > max_media_df)
+           .select('media_ref'))
+    join_side = med.join(hot, 'media_ref', 'left_anti')
+  a = join_side.alias('a')
+  b = join_side.alias('b')
+  mp = (a.join(b, (F.col('a.media_ref') == F.col('b.media_ref'))
+               & (F.col('a.doc_id') < F.col('b.doc_id')))
+        .groupBy(F.col('a.doc_id').alias('doc_a'),
+                 F.col('b.doc_id').alias('doc_b'))
+        .agg(F.count(F.lit(1)).alias('shared_media'))
+        .where(F.col('shared_media') >= min_shared_media)
+        .withColumn('media_dup', F.lit(1)))
+
+  return (tp.join(mp, ['doc_a', 'doc_b'], 'full_outer')
+          .select('doc_a', 'doc_b',
+                  F.coalesce('text_dup', F.lit(0)).alias('text_dup'),
+                  F.coalesce('media_dup', F.lit(0)).alias('media_dup'),
+                  'n_common', 'n_a', 'n_b',
+                  F.coalesce('shared_media', F.lit(0))
+                  .alias('shared_media'))
+          .orderBy('doc_a', 'doc_b'))
