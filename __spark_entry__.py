@@ -909,19 +909,38 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   (kind, text, media_ref, order) out, media passthrough preserving
   the interleave.  The table is synthesized deterministically from
   the documents corpus so the DuckDB oracle recomputes the expected
-  span sequence from the raw table (recoverable ground truth)."""
+  span sequence from the raw table (recoverable ground truth).
+
+  method='span' is the pipeline output itself; method='caption' is
+  caption_pairs over the SAME content frame (gate-budget merge) — the
+  M3W/MMC4 media↔adjacent-text pair mining, every caption recomputed
+  from the raw documents table by the oracle (last-8-token truncation
+  of the preceding text exercises the slice arithmetic corpus-wide).
+  The shared main-content frame is localCheckpointed so the Arrow
+  synthesis+strip stage runs ONCE for both sections."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
+  from blueprint_oss_spark.ops.multimodal import caption_pairs
   df = interleaved_html_table(spark, sf_dir)
-  out = main_content_from_spans(df)
-  return (out.select('doc_id', F.explode('out_spans').alias('s'))
-          .select('doc_id',
-                  F.col('s.order').alias('span_order'),
-                  F.col('s.kind').alias('kind'),
-                  F.col('s.text').alias('text'),
-                  F.col('s.media_ref').alias('media_ref'))
-          .orderBy('doc_id', 'span_order'))
+  out = main_content_from_spans(df).localCheckpoint()
+  ns = F.lit(None).cast('string')
+  spans = (out.select('doc_id', F.explode('out_spans').alias('s'))
+           .select(F.lit('span').alias('method'), 'doc_id',
+                   F.col('s.order').alias('span_order'),
+                   F.col('s.kind').alias('kind'),
+                   F.col('s.text').alias('text'),
+                   F.col('s.media_ref').alias('media_ref'),
+                   ns.alias('cap_before'), ns.alias('cap_after')))
+  caps = (caption_pairs(out, max_caption_tokens=8)
+          .select(F.lit('caption').alias('method'), 'doc_id',
+                  F.col('media_order').alias('span_order'),
+                  F.lit('media').alias('kind'), ns.alias('text'),
+                  'media_ref',
+                  F.col('caption_before').alias('cap_before'),
+                  F.col('caption_after').alias('cap_after')))
+  return (spans.unionByName(caps)
+          .orderBy('method', 'doc_id', 'span_order'))
 
 
 def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1816,7 +1835,8 @@ def oracle_sql() -> dict[str, str]:
       # strip -> reassemble loop has an engine-independent oracle.
       'main_content_spans': r"""
         WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                          doc_id AS did, text FROM documents)
+                          doc_id AS did, text FROM documents),
+        spans AS (
         SELECT doc_id, CAST(0 AS INTEGER) AS span_order,
                'text' AS kind,
                trim(regexp_replace(
@@ -1849,8 +1869,36 @@ def oracle_sql() -> dict[str, str]:
                'text',
                'PDF appendix for document ' || doc_id,
                CAST(NULL AS VARCHAR)
-        FROM d WHERE did % 2 = 0
-        ORDER BY doc_id, span_order
+        FROM d WHERE did % 2 = 0),
+        -- caption mining (method='caption'): the interleave per doc is
+        -- [text0, media0, text2, media1?, pdf-text?], so media0's
+        -- captions are (last 8 tokens of text0, whole closing line) and
+        -- media1's are (closing line, pdf line when the doc has one)
+        t0 AS (SELECT doc_id, did,
+                      string_split(trim(regexp_replace(
+                        'Document ' || doc_id || ' part 0. ' || text,
+                        '\s+', ' ', 'g')), ' ') AS toks
+               FROM d)
+        SELECT 'span' AS method, doc_id, span_order, kind, text,
+               media_ref, CAST(NULL AS VARCHAR) AS cap_before,
+               CAST(NULL AS VARCHAR) AS cap_after
+        FROM spans
+        UNION ALL
+        SELECT 'caption', doc_id, CAST(1 AS INTEGER), 'media',
+               CAST(NULL AS VARCHAR), 'media/' || doc_id || '/0',
+               array_to_string(
+                 toks[greatest(1, len(toks) - 7):len(toks)], ' '),
+               'Document ' || doc_id || ' closing section part 1.'
+        FROM t0
+        UNION ALL
+        SELECT 'caption', doc_id, CAST(3 AS INTEGER), 'media',
+               CAST(NULL AS VARCHAR), 'media/' || doc_id || '/1',
+               'Document ' || doc_id || ' closing section part 1.',
+               CASE WHEN did % 2 = 0
+                    THEN 'PDF appendix for document ' || doc_id
+                    ELSE NULL END
+        FROM d WHERE did % 3 = 0
+        ORDER BY method, doc_id, span_order
       """,
       'events_cube': """
         SELECT event_type, dow, COUNT(*) AS n_events,
@@ -3213,7 +3261,7 @@ def oracle_sql() -> dict[str, str]:
       # GPT-style concat-and-chunk sequence packing recomputed with the
       # same per-shard window sum; integer-exact (floor of non-negative
       # integer division).
-      'pack_sequences': """
+      'pack_sequences': r"""
         WITH sized AS (
           SELECT doc_id,
                  CAST(len(list_filter(string_split(text, ' '),

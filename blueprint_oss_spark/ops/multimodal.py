@@ -762,3 +762,98 @@ def interleaved_near_dup(spark: SparkSession, sf_dir: str, *,
                   F.coalesce('shared_media', F.lit(0))
                   .alias('shared_media'))
           .orderBy('doc_a', 'doc_b'))
+
+
+def caption_pairs(content: DataFrame, *,
+                  max_caption_tokens: int = 32) -> DataFrame:
+  """Media↔text training-pair mining over the north-rule main-content
+  output — the interleaved-document complement of alt-text caption
+  scraping: for every media span, the nearest non-empty text span
+  BEFORE it and the nearest AFTER it, truncated to the closest
+  `max_caption_tokens` whitespace tokens (the last K of the preceding
+  text, the first K of the following text).  This is the pair
+  extraction step interleaved image-text corpora are built from
+  (M3W in Alayrac et al. 2022 "Flamingo", arXiv:2204.14198; MMC4 in
+  Zhu et al. 2023, arXiv:2304.06939): surrounding prose is the weak
+  caption supervision for contrastive/captioning training.
+
+  Semantics:
+    * input is any (doc_id, out_spans:array<struct<kind,text,
+      media_ref,order>>) frame — by construction the output of
+      main_content_from_spans; spans are re-sorted by `order` so the
+      operator is safe on any span permutation;
+    * "text span" means kind='text' with non-empty trimmed text —
+      empty spans (e.g. the documented failed-PDF degradation) are
+      never captions;
+    * consecutive media spans share neighbors (each pairs with the
+      same before/after text), a media span at the head/tail of the
+      doc gets NULL on the missing side — rows are kept so the miss
+      rate is auditable (filter downstream);
+    * caption token counts ride along (n_before/after_tokens, NULL
+      with the caption).
+
+  Scale shape: Scan → Project (higher-order functions over the span
+  array) → Generate (posexplode of the per-doc media list) → Project
+  — ZERO shuffles, zero Python, embarrassingly parallel over doc_id
+  like the main-content stage itself (plan pinned by test).  The
+  sorted span array and the filtered text-span array are staged as
+  their own projected columns: interpreted higher-order lambdas get
+  no common-subexpression elimination (the _bloom_flat_positions
+  lesson), and CollapseProject will not duplicate a multi-consumer
+  non-cheap alias, so array_sort/filter run once per row.  Per-row
+  work is O(spans · media) on in-memory arrays — bounded by document
+  size, never by corpus size; at 10^12 docs the only lever is
+  executor count.
+  """
+  if max_caption_tokens < 1:
+    raise ValueError('max_caption_tokens must be >= 1')
+  k = int(max_caption_tokens)
+
+  staged = (content
+            .select('doc_id',
+                    F.expr('array_sort(out_spans, '
+                           '(a, b) -> a.order - b.order)')
+                    .alias('_spans'))
+            .select('doc_id', '_spans',
+                    F.expr("filter(_spans, t -> t.kind = 'text' "
+                           'AND t.text IS NOT NULL '
+                           "AND length(trim(t.text)) > 0)")
+                    .alias('_texts')))
+  pairs = staged.select(
+      'doc_id',
+      F.expr("""
+        transform(
+          filter(_spans, s -> s.kind = 'media'),
+          m -> struct(
+            m.media_ref AS media_ref,
+            m.order AS media_order,
+            try_element_at(filter(_texts, t -> t.order < m.order), -1)
+              AS b,
+            try_element_at(filter(_texts, t -> t.order > m.order), 1)
+              AS a))
+      """).alias('_pairs'))
+  ex = (pairs
+        .select('doc_id', F.explode('_pairs').alias('p'))
+        .select('doc_id',
+                F.col('p.media_ref').alias('media_ref'),
+                F.col('p.media_order').alias('media_order'),
+                F.col('p.b.order').alias('before_order'),
+                F.col('p.a.order').alias('after_order'),
+                F.split(F.trim(F.col('p.b.text')), r'\s+').alias('_bt'),
+                F.split(F.trim(F.col('p.a.text')), r'\s+').alias('_at'))
+        # the slice start is 1-based from the END for the before side:
+        # last k tokens = slice(arr, max(1, size-k+1), k); NULL text ->
+        # NULL token array -> NULL slice -> NULL caption (greatest()
+        # skips the NULL size, slice(NULL,...) stays NULL)
+        .withColumn('_bs', F.slice(
+            '_bt',
+            F.greatest(F.lit(1), F.size('_bt') - F.lit(k - 1)),
+            F.lit(k)))
+        .withColumn('_as', F.slice('_at', F.lit(1), F.lit(k))))
+  return ex.select(
+      'doc_id', 'media_ref', 'media_order', 'before_order',
+      F.array_join('_bs', ' ').alias('caption_before'),
+      F.size('_bs').alias('n_before_tokens'),
+      'after_order',
+      F.array_join('_as', ' ').alias('caption_after'),
+      F.size('_as').alias('n_after_tokens'))
