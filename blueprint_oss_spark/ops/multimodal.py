@@ -857,3 +857,187 @@ def caption_pairs(content: DataFrame, *,
       'after_order',
       F.array_join('_as', ' ').alias('caption_after'),
       F.size('_as').alias('n_after_tokens'))
+
+
+def interleaved_doc_stats(content: DataFrame, *,
+                          min_images: int = 1,
+                          max_images: int = 32,
+                          min_text_tokens: int = 8,
+                          max_media_run: int = 4) -> DataFrame:
+  """Per-document multimodal composition stats + keep verdict over the
+  north-rule main-content output — the document-level filtering pass
+  interleaved image-text corpora apply after pair/sequence extraction
+  (OBELICS in Laurencon et al. 2023, arXiv:2306.16527 caps images per
+  document and drops text-poor pages; MMC4 in Zhu et al. 2023,
+  arXiv:2304.06939 discards docs whose images have no usable
+  surrounding text).  Emits exact-integer counts so the verdict is
+  auditable and the thresholds replayable:
+
+    * n_spans / n_text / n_media — span counts by kind (text counts
+      ALL text spans including empty degraded ones; n_tokens only
+      counts non-empty);
+    * n_tokens — total whitespace tokens over non-empty text spans;
+    * media_run — longest run of consecutive media spans in `order`
+      (a gallery page signal: many adjacent images with no
+      interleaved prose);
+    * lead_media / trail_media — document starts/ends with media
+      (head/tail images have only one caption side);
+    * keep — min_images <= n_media <= max_images AND
+      n_tokens >= min_text_tokens AND media_run <= max_media_run.
+
+  Scale shape: Scan -> Project, higher-order functions over the span
+  array only — ZERO shuffles, zero Python, embarrassingly parallel
+  over doc_id (plan pinned by test).  The sorted span array and the
+  non-empty-text array are staged as projected columns (interpreted
+  HOF lambdas get no common-subexpression elimination — the
+  _bloom_flat_positions lesson), so each runs once per row.  Per-row
+  work is O(spans); at 10^12 docs the only lever is executor count.
+  """
+  if min_images < 0 or max_images < min_images:
+    raise ValueError('need 0 <= min_images <= max_images')
+  staged = (content
+            .select('doc_id',
+                    F.expr('array_sort(out_spans, '
+                           '(a, b) -> a.order - b.order)')
+                    .alias('_spans'))
+            .select('doc_id', '_spans',
+                    F.expr("filter(_spans, t -> t.kind = 'text' "
+                           'AND t.text IS NOT NULL '
+                           "AND length(trim(t.text)) > 0)")
+                    .alias('_texts')))
+  stats = staged.select(
+      'doc_id',
+      F.size('_spans').alias('n_spans'),
+      F.expr("size(filter(_spans, s -> s.kind = 'text'))")
+      .alias('n_text'),
+      F.expr("size(filter(_spans, s -> s.kind = 'media'))")
+      .alias('n_media'),
+      F.expr("aggregate(_texts, 0, (acc, t) -> "
+             "acc + size(split(trim(t.text), '\\\\s+')))")
+      .alias('n_tokens'),
+      # longest consecutive-media run: one left fold carrying
+      # (current run, best run)
+      F.expr("aggregate(_spans, named_struct('cur', 0, 'best', 0), "
+             "(acc, s) -> IF(s.kind = 'media', "
+             "  named_struct('cur', acc.cur + 1, "
+             "               'best', greatest(acc.best, acc.cur + 1)), "
+             "  named_struct('cur', 0, 'best', acc.best)), "
+             'acc -> acc.best)').alias('media_run'),
+      F.coalesce(
+          F.expr("try_element_at(_spans, 1).kind = 'media'").cast('int'),
+          F.lit(0)).alias('lead_media'),
+      F.coalesce(
+          F.expr("try_element_at(_spans, -1).kind = 'media'").cast('int'),
+          F.lit(0)).alias('trail_media'))
+  return stats.withColumn(
+      'keep',
+      ((F.col('n_media') >= min_images)
+       & (F.col('n_media') <= max_images)
+       & (F.col('n_tokens') >= min_text_tokens)
+       & (F.col('media_run') <= max_media_run)).cast('int'))
+
+
+def render_interleaved(content: DataFrame, *,
+                       media_token: str = '<|image|>') -> DataFrame:
+  """Render north-rule main-content output into the flat training-text
+  form multimodal LMs consume: text spans joined in span order with
+  every media span replaced by a sentinel token, plus the ordered
+  media manifest that maps the i-th sentinel back to its media_ref
+  (the loader resolves refs to pixels at batch time; the text side is
+  now a plain LM corpus).  Empty text spans (the documented
+  failed-parse degradation) are dropped from the rendering — they
+  would contribute only stray separators.
+
+  Returns (doc_id, rendered_text, media_manifest:array<string>,
+  n_sentinels, n_render_tokens) where n_render_tokens counts
+  whitespace tokens of rendered_text (text tokens + one per
+  sentinel, exact by construction since the sentinel contains no
+  whitespace).
+
+  Scale shape: Scan -> Project, higher-order functions only — ZERO
+  shuffles, zero Python (plan pinned by test); the sorted/filtered
+  arrays are staged once as projected columns.
+  """
+  if not media_token or any(c.isspace() for c in media_token):
+    raise ValueError('media_token must be non-empty and '
+                     'whitespace-free')
+  staged = (content
+            .select('doc_id',
+                    F.expr('array_sort(out_spans, '
+                           '(a, b) -> a.order - b.order)')
+                    .alias('_spans'))
+            .select('doc_id',
+                    F.expr("filter(_spans, s -> s.kind = 'media' OR "
+                           "(s.kind = 'text' AND s.text IS NOT NULL "
+                           'AND length(trim(s.text)) > 0))')
+                    .alias('_keep'),
+                    F.expr("transform(filter(_spans, "
+                           "s -> s.kind = 'media'), s -> s.media_ref)")
+                    .alias('media_manifest')))
+  tok = F.lit(media_token)
+  return staged.select(
+      'doc_id',
+      F.array_join(
+          F.transform('_keep',
+                      lambda s: F.when(s['kind'] == 'media', tok)
+                      .otherwise(F.trim(s['text']))), ' ')
+      .alias('rendered_text'),
+      'media_manifest',
+      F.size('media_manifest').alias('n_sentinels'),
+      (F.expr("aggregate(filter(_keep, s -> s.kind = 'text'), 0, "
+              "(acc, s) -> acc + size(split(trim(s.text), '\\\\s+')))")
+       + F.size('media_manifest')).alias('n_render_tokens'))
+
+
+def dedup_media_spans(content: DataFrame, *,
+                      max_media_df: int) -> DataFrame:
+  """Corpus-level boilerplate-media removal over the north-rule
+  main-content output: media spans whose media_ref is embedded by
+  more than `max_media_df` distinct documents are removed from every
+  document (site-wide logos, tracking pixels, social-share buttons —
+  MMC4 discards the most-frequent images outright because an asset on
+  thousands of pages is never document content; no pixel decode
+  needed, the shared URL IS the signal).  Text spans and span order
+  are untouched; the complement of interleaved_near_dup's shared-media
+  EVIDENCE, this is the shared-media REMOVAL.
+
+  Returns (doc_id, out_spans, n_media_removed) with the same span
+  element type as the input, hot media spans filtered out.
+
+  Scale shape: the hot-ref set is bounded by construction —
+  df > max_media_df means at most total_media_occurrences /
+  max_media_df distinct hot refs (the heavy_hitters argument), a
+  dimension, not a corpus.  Plan: one distinct+groupBy on media_ref
+  (word-count shape, map-side combinable) builds the hot set; hot
+  membership is re-keyed per doc with ONE doc_id-grained aggregation
+  of only the AFFECTED docs, LEFT-joined back (docs with no hot media
+  pay a join probe, never a spans rewrite shuffle); the span filter
+  itself is a higher-order function on the already-co-located array.
+  The document payload (the spans) never shuffles.
+  """
+  if max_media_df < 1:
+    raise ValueError('max_media_df must be >= 1')
+  refs = (content
+          .select('doc_id', F.explode(F.expr(
+              "transform(filter(out_spans, s -> s.kind = 'media'), "
+              's -> s.media_ref)')).alias('media_ref'))
+          .distinct())
+  hot = (refs.groupBy('media_ref')
+         .agg(F.count(F.lit(1)).alias('df'))
+         .where(F.col('df') > max_media_df)
+         .select('media_ref'))
+  per_doc_hot = (refs.join(hot, 'media_ref')
+                 .groupBy('doc_id')
+                 .agg(F.collect_set('media_ref').alias('_hot')))
+  joined = (content.join(per_doc_hot, 'doc_id', 'left')
+            .withColumn('_hot', F.coalesce(
+                '_hot', F.array().cast('array<string>'))))
+  out = joined.select(
+      'doc_id',
+      F.expr("filter(out_spans, s -> NOT (s.kind = 'media' "
+             'AND array_contains(_hot, s.media_ref)))')
+      .alias('out_spans'),
+      F.expr("size(filter(out_spans, s -> s.kind = 'media' "
+             'AND array_contains(_hot, s.media_ref)))')
+      .alias('n_media_removed'))
+  return out
