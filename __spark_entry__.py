@@ -917,29 +917,98 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   from the raw documents table by the oracle (last-8-token truncation
   of the preceding text exercises the slice arithmetic corpus-wide).
   The shared main-content frame is localCheckpointed so the Arrow
-  synthesis+strip stage runs ONCE for both sections."""
+  synthesis+strip stage runs ONCE for all sections.
+
+  methods 'stats' / 'render' / 'mediadedup' are the post-extraction
+  interleaved-corpus passes (interleaved_doc_stats /
+  render_interleaved / dedup_media_spans) over the SAME content frame
+  with three deterministically planted site-wide assets appended per
+  doc (logo: df = n_docs; banner/did%10: df = n/10; tile/did%100:
+  df = n/100) so the OBELICS-style keep verdict, the sentinel
+  rendering and the hot-media removal (max_media_df=20: logo+banner
+  removed, tile kept at the gate scale) are all exercised corpus-wide
+  and recomputable in SQL from the raw documents table."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
-  from blueprint_oss_spark.ops.multimodal import caption_pairs
+  from blueprint_oss_spark.ops.multimodal import (
+      caption_pairs, dedup_media_spans, interleaved_doc_stats,
+      render_interleaved,
+  )
   df = interleaved_html_table(spark, sf_dir)
   out = main_content_from_spans(df).localCheckpoint()
   ns = F.lit(None).cast('string')
-  spans = (out.select('doc_id', F.explode('out_spans').alias('s'))
-           .select(F.lit('span').alias('method'), 'doc_id',
-                   F.col('s.order').alias('span_order'),
-                   F.col('s.kind').alias('kind'),
-                   F.col('s.text').alias('text'),
-                   F.col('s.media_ref').alias('media_ref'),
-                   ns.alias('cap_before'), ns.alias('cap_after')))
-  caps = (caption_pairs(out, max_caption_tokens=8)
-          .select(F.lit('caption').alias('method'), 'doc_id',
-                  F.col('media_order').alias('span_order'),
-                  F.lit('media').alias('kind'), ns.alias('text'),
-                  'media_ref',
-                  F.col('caption_before').alias('cap_before'),
-                  F.col('caption_after').alias('cap_after')))
-  return (spans.unionByName(caps)
+  ni = F.lit(None).cast('int')
+
+  def _pad(d):
+    cols = ('n_spans', 'n_text', 'n_media', 'n_tokens', 'media_run',
+            'lead_media', 'trail_media', 'keep', 'n_sentinels',
+            'n_render_tokens', 'n_media_removed')
+    for c in cols:
+      if c not in d.columns:
+        d = d.withColumn(c, ni)
+    if 'manifest' not in d.columns:
+      d = d.withColumn('manifest', ns)
+    return d
+
+  spans = _pad(out.select('doc_id', F.explode('out_spans').alias('s'))
+               .select(F.lit('span').alias('method'), 'doc_id',
+                       F.col('s.order').alias('span_order'),
+                       F.col('s.kind').alias('kind'),
+                       F.col('s.text').alias('text'),
+                       F.col('s.media_ref').alias('media_ref'),
+                       ns.alias('cap_before'), ns.alias('cap_after')))
+  caps = _pad(caption_pairs(out, max_caption_tokens=8)
+              .select(F.lit('caption').alias('method'), 'doc_id',
+                      F.col('media_order').alias('span_order'),
+                      F.lit('media').alias('kind'), ns.alias('text'),
+                      'media_ref',
+                      F.col('caption_before').alias('cap_before'),
+                      F.col('caption_after').alias('cap_after')))
+
+  did = F.col('doc_id').cast('long')
+
+  def _media_span(ref, order):
+    return F.struct(F.lit('media').alias('kind'),
+                    F.lit(None).cast('string').alias('text'),
+                    ref.alias('media_ref'),
+                    F.lit(order).cast('int').alias('order'))
+
+  planted = out.withColumn(
+      'out_spans',
+      F.concat('out_spans', F.array(
+          _media_span(F.lit('media/logo'), 100),
+          _media_span(F.concat(F.lit('media/banner/'),
+                               F.pmod(did, F.lit(10))), 101),
+          _media_span(F.concat(F.lit('media/tile/'),
+                               F.pmod(did, F.lit(100))), 102))))
+  doc_cols = [F.lit(None).cast('int').alias('span_order'),
+              ns.alias('kind'), ns.alias('text'),
+              ns.alias('media_ref'), ns.alias('cap_before'),
+              ns.alias('cap_after')]
+  stats = _pad(interleaved_doc_stats(
+      planted, min_images=1, max_images=4, min_text_tokens=8,
+      max_media_run=3)
+      .select(F.lit('stats').alias('method'), 'doc_id', *doc_cols,
+              'n_spans', 'n_text', 'n_media', 'n_tokens', 'media_run',
+              'lead_media', 'trail_media', 'keep'))
+  rend = _pad(render_interleaved(planted)
+              .select(F.lit('render').alias('method'), 'doc_id',
+                      *doc_cols[:2],
+                      F.col('rendered_text').alias('text'),
+                      *doc_cols[3:],
+                      F.array_join('media_manifest', ',')
+                      .alias('manifest'),
+                      'n_sentinels', 'n_render_tokens'))
+  mdd = _pad(dedup_media_spans(planted, max_media_df=20)
+             .select(F.lit('mediadedup').alias('method'), 'doc_id',
+                     *doc_cols,
+                     F.expr("array_join(transform(filter(out_spans, "
+                            "s -> s.kind = 'media'), s -> s.media_ref)"
+                            ", ',')").alias('manifest'),
+                     'n_media_removed'))
+  return (spans.unionByName(caps).unionByName(stats)
+          .unionByName(rend).unionByName(mdd)
           .orderBy('method', 'doc_id', 'span_order'))
 
 
@@ -1878,17 +1947,61 @@ def oracle_sql() -> dict[str, str]:
                       string_split(trim(regexp_replace(
                         'Document ' || doc_id || ' part 0. ' || text,
                         '\s+', ' ', 'g')), ' ') AS toks
-               FROM d)
+               FROM d),
+        -- interleaved-corpus passes (methods stats/render/mediadedup):
+        -- the Spark side appends three planted site-wide media spans
+        -- per doc (logo, banner/did%10, tile/did%100), so every
+        -- composition stat, the sentinel rendering and the hot-media
+        -- removal verdict (df > 20) are pure formulas over (did, text)
+        c10 AS (SELECT did % 10 AS k, COUNT(*) AS c FROM d GROUP BY 1),
+        c100 AS (SELECT did % 100 AS k, COUNT(*) AS c FROM d
+                 GROUP BY 1),
+        feat AS (
+          SELECT doc_id, did,
+                 trim(regexp_replace(
+                   'Document ' || doc_id || ' part 0. ' || text,
+                   '\s+', ' ', 'g')) AS text0,
+                 CAST(len(string_split(trim(regexp_replace(
+                     'Document ' || doc_id || ' part 0. ' || text,
+                     '\s+', ' ', 'g')), ' '))
+                   + 6 + CASE WHEN did % 2 = 0 THEN 5 ELSE 0 END
+                   AS INTEGER) AS n_tokens,
+                 CAST(4 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                   AS INTEGER) AS n_media,
+                 CAST(2 + CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END
+                   AS INTEGER) AS n_text,
+                 CAST(CASE WHEN did % 3 = 0 AND did % 2 <> 0
+                      THEN 4 ELSE 3 END AS INTEGER) AS media_run,
+                 (SELECT COUNT(*) FROM d) > 20 AS logo_hot,
+                 (SELECT c FROM c10 WHERE k = did % 10) > 20
+                   AS banner_hot,
+                 (SELECT c FROM c100 WHERE k = did % 100) > 20
+                   AS tile_hot
+          FROM d)
         SELECT 'span' AS method, doc_id, span_order, kind, text,
                media_ref, CAST(NULL AS VARCHAR) AS cap_before,
-               CAST(NULL AS VARCHAR) AS cap_after
+               CAST(NULL AS VARCHAR) AS cap_after,
+               CAST(NULL AS INTEGER) AS n_spans,
+               CAST(NULL AS INTEGER) AS n_text,
+               CAST(NULL AS INTEGER) AS n_media,
+               CAST(NULL AS INTEGER) AS n_tokens,
+               CAST(NULL AS INTEGER) AS media_run,
+               CAST(NULL AS INTEGER) AS lead_media,
+               CAST(NULL AS INTEGER) AS trail_media,
+               CAST(NULL AS INTEGER) AS keep,
+               CAST(NULL AS INTEGER) AS n_sentinels,
+               CAST(NULL AS INTEGER) AS n_render_tokens,
+               CAST(NULL AS INTEGER) AS n_media_removed,
+               CAST(NULL AS VARCHAR) AS manifest
         FROM spans
         UNION ALL
         SELECT 'caption', doc_id, CAST(1 AS INTEGER), 'media',
                CAST(NULL AS VARCHAR), 'media/' || doc_id || '/0',
                array_to_string(
                  toks[greatest(1, len(toks) - 7):len(toks)], ' '),
-               'Document ' || doc_id || ' closing section part 1.'
+               'Document ' || doc_id || ' closing section part 1.',
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM t0
         UNION ALL
         SELECT 'caption', doc_id, CAST(3 AS INTEGER), 'media',
@@ -1896,8 +2009,63 @@ def oracle_sql() -> dict[str, str]:
                'Document ' || doc_id || ' closing section part 1.',
                CASE WHEN did % 2 = 0
                     THEN 'PDF appendix for document ' || doc_id
-                    ELSE NULL END
+                    ELSE NULL END,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM d WHERE did % 3 = 0
+        UNION ALL
+        SELECT 'stats', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+               n_text + n_media, n_text, n_media, n_tokens, media_run,
+               CAST(0 AS INTEGER), CAST(1 AS INTEGER),
+               CAST(CASE WHEN n_media <= 4 AND n_tokens >= 8
+                         AND media_run <= 3
+                    THEN 1 ELSE 0 END AS INTEGER),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+        FROM feat
+        UNION ALL
+        SELECT 'render', doc_id, NULL, NULL,
+               text0 || ' <|image|> Document ' || doc_id
+                 || ' closing section part 1.'
+                 || CASE WHEN did % 3 = 0 THEN ' <|image|>'
+                    ELSE '' END
+                 || CASE WHEN did % 2 = 0
+                    THEN ' PDF appendix for document ' || doc_id
+                    ELSE '' END
+                 || ' <|image|> <|image|> <|image|>',
+               NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(4 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                 AS INTEGER),
+               CAST(n_tokens + 4
+                 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                 AS INTEGER),
+               NULL,
+               'media/' || doc_id || '/0'
+                 || CASE WHEN did % 3 = 0
+                    THEN ',media/' || doc_id || '/1' ELSE '' END
+                 || ',media/logo,media/banner/'
+                 || CAST(did % 10 AS VARCHAR)
+                 || ',media/tile/' || CAST(did % 100 AS VARCHAR)
+        FROM feat
+        UNION ALL
+        SELECT 'mediadedup', doc_id, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL,
+               CAST(CASE WHEN logo_hot THEN 1 ELSE 0 END
+                 + CASE WHEN banner_hot THEN 1 ELSE 0 END
+                 + CASE WHEN tile_hot THEN 1 ELSE 0 END AS INTEGER),
+               'media/' || doc_id || '/0'
+                 || CASE WHEN did % 3 = 0
+                    THEN ',media/' || doc_id || '/1' ELSE '' END
+                 || CASE WHEN NOT logo_hot THEN ',media/logo'
+                    ELSE '' END
+                 || CASE WHEN NOT banner_hot
+                    THEN ',media/banner/' || CAST(did % 10 AS VARCHAR)
+                    ELSE '' END
+                 || CASE WHEN NOT tile_hot
+                    THEN ',media/tile/' || CAST(did % 100 AS VARCHAR)
+                    ELSE '' END
+        FROM feat
         ORDER BY method, doc_id, span_order
       """,
       'events_cube': """
