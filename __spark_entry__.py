@@ -927,13 +927,22 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   df = n/100) so the OBELICS-style keep verdict, the sentinel
   rendering and the hot-media removal (max_media_df=20: logo+banner
   removed, tile kept at the gate scale) are all exercised corpus-wide
-  and recomputable in SQL from the raw documents table."""
+  and recomputable in SQL from the raw documents table.
+
+  The 'span' section rides span_token_offsets (not a plain explode):
+  every span also carries its (token_start, span_n_tokens) slice in
+  the rendered token sequence, and the oracle recomputes the prefix
+  sums from the synthesis formulas.  method='resolve' is
+  resolve_media_refs over the planted frame against a deterministic
+  media dimension built from the documents table (media/{id}/0 rows
+  for even ids + the logo), so hit/miss accounting and manifest-order
+  sentinel indexing are verified corpus-wide."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
   from blueprint_oss_spark.ops.multimodal import (
       caption_pairs, dedup_media_spans, interleaved_doc_stats,
-      render_interleaved,
+      render_interleaved, resolve_media_refs, span_token_offsets,
   )
   df = interleaved_html_table(spark, sf_dir)
   out = main_content_from_spans(df).localCheckpoint()
@@ -943,21 +952,22 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   def _pad(d):
     cols = ('n_spans', 'n_text', 'n_media', 'n_tokens', 'media_run',
             'lead_media', 'trail_media', 'keep', 'n_sentinels',
-            'n_render_tokens', 'n_media_removed')
+            'n_render_tokens', 'n_media_removed', 'token_start',
+            'span_n_tokens', 'sentinel_idx', 'found', 'n_bytes')
     for c in cols:
       if c not in d.columns:
         d = d.withColumn(c, ni)
-    if 'manifest' not in d.columns:
-      d = d.withColumn('manifest', ns)
+    for c in ('manifest', 'mime'):
+      if c not in d.columns:
+        d = d.withColumn(c, ns)
     return d
 
-  spans = _pad(out.select('doc_id', F.explode('out_spans').alias('s'))
+  spans = _pad(span_token_offsets(out)
                .select(F.lit('span').alias('method'), 'doc_id',
-                       F.col('s.order').alias('span_order'),
-                       F.col('s.kind').alias('kind'),
-                       F.col('s.text').alias('text'),
-                       F.col('s.media_ref').alias('media_ref'),
-                       ns.alias('cap_before'), ns.alias('cap_after')))
+                       'span_order', 'kind', 'text', 'media_ref',
+                       ns.alias('cap_before'), ns.alias('cap_after'),
+                       'token_start',
+                       F.col('n_tokens').alias('span_n_tokens')))
   caps = _pad(caption_pairs(out, max_caption_tokens=8)
               .select(F.lit('caption').alias('method'), 'doc_id',
                       F.col('media_order').alias('span_order'),
@@ -1007,9 +1017,24 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "s -> s.kind = 'media'), s -> s.media_ref)"
                             ", ',')").alias('manifest'),
                      'n_media_removed'))
+  docs = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+          .select(F.col('doc_id').cast('long').alias('did')))
+  media_dim = (docs.where(F.pmod('did', F.lit(2)) == 0)
+               .select(F.concat(F.lit('media/'), F.col('did'),
+                                F.lit('/0')).alias('media_ref'),
+                       (F.pmod('did', F.lit(997)) + 1).cast('int')
+                       .alias('n_bytes'),
+                       F.lit('image/png').alias('mime'))
+               .unionByName(spark.createDataFrame(
+                   [('media/logo', 7, 'image/gif')],
+                   'media_ref string, n_bytes int, mime string')))
+  res = _pad(resolve_media_refs(planted, media_dim)
+             .select(F.lit('resolve').alias('method'), 'doc_id',
+                     *doc_cols[:3], 'media_ref', *doc_cols[4:],
+                     'sentinel_idx', 'found', 'n_bytes', 'mime'))
   return (spans.unionByName(caps).unionByName(stats)
-          .unionByName(rend).unionByName(mdd)
-          .orderBy('method', 'doc_id', 'span_order'))
+          .unionByName(rend).unionByName(mdd).unionByName(res)
+          .orderBy('method', 'doc_id', 'span_order', 'sentinel_idx'))
 
 
 def _extraction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,29 +1930,43 @@ def oracle_sql() -> dict[str, str]:
       'main_content_spans': r"""
         WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                           doc_id AS did, text FROM documents),
+        ln AS (SELECT doc_id, did, text,
+                      CAST(len(string_split(trim(regexp_replace(
+                        'Document ' || doc_id || ' part 0. ' || text,
+                        '\s+', ' ', 'g')), ' ')) AS INTEGER) AS len0
+               FROM d),
+        -- every span also carries its (token_start, n_toks) slice in
+        -- the rendered token sequence (span_token_offsets): text0
+        -- covers [0, len0), the first sentinel is token len0, the
+        -- closing line covers [len0+1, len0+7), etc.
         spans AS (
         SELECT doc_id, CAST(0 AS INTEGER) AS span_order,
                'text' AS kind,
                trim(regexp_replace(
                  'Document ' || doc_id || ' part 0. ' || text,
                  '\s+', ' ', 'g')) AS text,
-               CAST(NULL AS VARCHAR) AS media_ref
-        FROM d
+               CAST(NULL AS VARCHAR) AS media_ref,
+               CAST(0 AS INTEGER) AS token_start,
+               len0 AS n_toks
+        FROM ln
         UNION ALL
         SELECT doc_id, CAST(1 AS INTEGER), 'media',
                CAST(NULL AS VARCHAR),
-               'media/' || doc_id || '/0'
-        FROM d
+               'media/' || doc_id || '/0',
+               len0, CAST(1 AS INTEGER)
+        FROM ln
         UNION ALL
         SELECT doc_id, CAST(2 AS INTEGER), 'text',
                'Document ' || doc_id || ' closing section part 1.',
-               CAST(NULL AS VARCHAR)
-        FROM d
+               CAST(NULL AS VARCHAR),
+               len0 + 1, CAST(6 AS INTEGER)
+        FROM ln
         UNION ALL
         SELECT doc_id, CAST(3 AS INTEGER), 'media',
                CAST(NULL AS VARCHAR),
-               'media/' || doc_id || '/1'
-        FROM d WHERE did % 3 = 0
+               'media/' || doc_id || '/1',
+               len0 + 7, CAST(1 AS INTEGER)
+        FROM ln WHERE did % 3 = 0
         UNION ALL
         -- the PDF branch: write_simple_pdf -> parse_pdf round-trips
         -- the appendix line exactly, at order 3 or 4 depending on
@@ -1937,8 +1976,10 @@ def oracle_sql() -> dict[str, str]:
                     AS INTEGER),
                'text',
                'PDF appendix for document ' || doc_id,
-               CAST(NULL AS VARCHAR)
-        FROM d WHERE did % 2 = 0),
+               CAST(NULL AS VARCHAR),
+               len0 + 7 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END,
+               CAST(5 AS INTEGER)
+        FROM ln WHERE did % 2 = 0),
         -- caption mining (method='caption'): the interleave per doc is
         -- [text0, media0, text2, media1?, pdf-text?], so media0's
         -- captions are (last 8 tokens of text0, whole closing line) and
@@ -1948,23 +1989,19 @@ def oracle_sql() -> dict[str, str]:
                         'Document ' || doc_id || ' part 0. ' || text,
                         '\s+', ' ', 'g')), ' ') AS toks
                FROM d),
-        -- interleaved-corpus passes (methods stats/render/mediadedup):
-        -- the Spark side appends three planted site-wide media spans
-        -- per doc (logo, banner/did%10, tile/did%100), so every
-        -- composition stat, the sentinel rendering and the hot-media
-        -- removal verdict (df > 20) are pure formulas over (did, text)
+        -- interleaved-corpus passes (methods stats/render/mediadedup/
+        -- resolve): the Spark side appends three planted site-wide
+        -- media spans per doc (logo, banner/did%10, tile/did%100), so
+        -- every composition stat, the sentinel rendering, the
+        -- hot-media removal verdict (df > 20) and the media-dimension
+        -- hit/miss accounting are pure formulas over (did, text)
         c10 AS (SELECT did % 10 AS k, COUNT(*) AS c FROM d GROUP BY 1),
         c100 AS (SELECT did % 100 AS k, COUNT(*) AS c FROM d
                  GROUP BY 1),
         feat AS (
-          SELECT doc_id, did,
-                 trim(regexp_replace(
-                   'Document ' || doc_id || ' part 0. ' || text,
-                   '\s+', ' ', 'g')) AS text0,
-                 CAST(len(string_split(trim(regexp_replace(
-                     'Document ' || doc_id || ' part 0. ' || text,
-                     '\s+', ' ', 'g')), ' '))
-                   + 6 + CASE WHEN did % 2 = 0 THEN 5 ELSE 0 END
+          SELECT doc_id, did, text0, len0,
+                 CAST(len0 + 6
+                   + CASE WHEN did % 2 = 0 THEN 5 ELSE 0 END
                    AS INTEGER) AS n_tokens,
                  CAST(4 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
                    AS INTEGER) AS n_media,
@@ -1976,8 +2013,46 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT c FROM c10 WHERE k = did % 10) > 20
                    AS banner_hot,
                  (SELECT c FROM c100 WHERE k = did % 100) > 20
-                   AS tile_hot
-          FROM d)
+                   AS tile_hot,
+                 CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END AS e3
+          FROM (SELECT doc_id, did,
+                       trim(regexp_replace(
+                         'Document ' || doc_id || ' part 0. ' || text,
+                         '\s+', ' ', 'g')) AS text0,
+                       len0
+                FROM ln) b),
+        -- the resolve section's media dimension: media/{id}/0 rows
+        -- for even ids (n_bytes = did%997+1, image/png) + the logo
+        resolved AS (
+          SELECT doc_id, CAST(0 AS INTEGER) AS sentinel_idx,
+                 'media/' || doc_id || '/0' AS media_ref,
+                 CAST(CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END
+                   AS INTEGER) AS found,
+                 CASE WHEN did % 2 = 0
+                      THEN CAST(did % 997 + 1 AS INTEGER)
+                      ELSE NULL END AS n_bytes,
+                 CASE WHEN did % 2 = 0 THEN 'image/png'
+                      ELSE NULL END AS mime
+          FROM feat
+          UNION ALL
+          SELECT doc_id, CAST(1 AS INTEGER),
+                 'media/' || doc_id || '/1',
+                 CAST(0 AS INTEGER), NULL, NULL
+          FROM feat WHERE e3 = 1
+          UNION ALL
+          SELECT doc_id, CAST(1 + e3 AS INTEGER), 'media/logo',
+                 CAST(1 AS INTEGER), CAST(7 AS INTEGER), 'image/gif'
+          FROM feat
+          UNION ALL
+          SELECT doc_id, CAST(2 + e3 AS INTEGER),
+                 'media/banner/' || CAST(did % 10 AS VARCHAR),
+                 CAST(0 AS INTEGER), NULL, NULL
+          FROM feat
+          UNION ALL
+          SELECT doc_id, CAST(3 + e3 AS INTEGER),
+                 'media/tile/' || CAST(did % 100 AS VARCHAR),
+                 CAST(0 AS INTEGER), NULL, NULL
+          FROM feat)
         SELECT 'span' AS method, doc_id, span_order, kind, text,
                media_ref, CAST(NULL AS VARCHAR) AS cap_before,
                CAST(NULL AS VARCHAR) AS cap_after,
@@ -1992,7 +2067,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INTEGER) AS n_sentinels,
                CAST(NULL AS INTEGER) AS n_render_tokens,
                CAST(NULL AS INTEGER) AS n_media_removed,
-               CAST(NULL AS VARCHAR) AS manifest
+               token_start,
+               n_toks AS span_n_tokens,
+               CAST(NULL AS INTEGER) AS sentinel_idx,
+               CAST(NULL AS INTEGER) AS found,
+               CAST(NULL AS INTEGER) AS n_bytes,
+               CAST(NULL AS VARCHAR) AS manifest,
+               CAST(NULL AS VARCHAR) AS mime
         FROM spans
         UNION ALL
         SELECT 'caption', doc_id, CAST(1 AS INTEGER), 'media',
@@ -2001,7 +2082,8 @@ def oracle_sql() -> dict[str, str]:
                  toks[greatest(1, len(toks) - 7):len(toks)], ' '),
                'Document ' || doc_id || ' closing section part 1.',
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         FROM t0
         UNION ALL
         SELECT 'caption', doc_id, CAST(3 AS INTEGER), 'media',
@@ -2011,7 +2093,8 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'PDF appendix for document ' || doc_id
                     ELSE NULL END,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         FROM d WHERE did % 3 = 0
         UNION ALL
         SELECT 'stats', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -2020,7 +2103,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n_media <= 4 AND n_tokens >= 8
                          AND media_run <= 3
                     THEN 1 ELSE 0 END AS INTEGER),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         FROM feat
         UNION ALL
         SELECT 'render', doc_id, NULL, NULL,
@@ -2034,18 +2118,16 @@ def oracle_sql() -> dict[str, str]:
                  || ' <|image|> <|image|> <|image|>',
                NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               CAST(4 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
-                 AS INTEGER),
-               CAST(n_tokens + 4
-                 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
-                 AS INTEGER),
-               NULL,
+               CAST(4 + e3 AS INTEGER),
+               CAST(n_tokens + 4 + e3 AS INTEGER),
+               NULL, NULL, NULL, NULL, NULL, NULL,
                'media/' || doc_id || '/0'
                  || CASE WHEN did % 3 = 0
                     THEN ',media/' || doc_id || '/1' ELSE '' END
                  || ',media/logo,media/banner/'
                  || CAST(did % 10 AS VARCHAR)
-                 || ',media/tile/' || CAST(did % 100 AS VARCHAR)
+                 || ',media/tile/' || CAST(did % 100 AS VARCHAR),
+               CAST(NULL AS VARCHAR)
         FROM feat
         UNION ALL
         SELECT 'mediadedup', doc_id, NULL, NULL, NULL, NULL, NULL,
@@ -2054,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN logo_hot THEN 1 ELSE 0 END
                  + CASE WHEN banner_hot THEN 1 ELSE 0 END
                  + CASE WHEN tile_hot THEN 1 ELSE 0 END AS INTEGER),
+               NULL, NULL, NULL, NULL, NULL,
                'media/' || doc_id || '/0'
                  || CASE WHEN did % 3 = 0
                     THEN ',media/' || doc_id || '/1' ELSE '' END
@@ -2064,9 +2147,17 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '' END
                  || CASE WHEN NOT tile_hot
                     THEN ',media/tile/' || CAST(did % 100 AS VARCHAR)
-                    ELSE '' END
+                    ELSE '' END,
+               CAST(NULL AS VARCHAR)
         FROM feat
-        ORDER BY method, doc_id, span_order
+        UNION ALL
+        SELECT 'resolve', doc_id, NULL, NULL, NULL, media_ref, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL,
+               sentinel_idx, found, n_bytes,
+               CAST(NULL AS VARCHAR), mime
+        FROM resolved
+        ORDER BY method, doc_id, span_order, sentinel_idx
       """,
       'events_cube': """
         SELECT event_type, dow, COUNT(*) AS n_events,

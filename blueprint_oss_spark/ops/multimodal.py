@@ -1041,3 +1041,102 @@ def dedup_media_spans(content: DataFrame, *,
              'AND array_contains(_hot, s.media_ref)))')
       .alias('n_media_removed'))
   return out
+
+
+def span_token_offsets(content: DataFrame) -> DataFrame:
+  """Span -> token alignment table for the rendered training text:
+  each span of the north-rule main-content output is mapped to its
+  (token_start, n_tokens) slice in render_interleaved's token
+  sequence — text spans cover their whitespace-token count, media
+  spans cover exactly one sentinel token, empty/whitespace text spans
+  cover zero tokens (they are dropped from the rendering).  This is
+  the alignment a multimodal loader needs to know which token
+  positions are image sentinels (and which text tokens came from
+  which source span) without re-tokenizing — sum(n_tokens) per doc
+  equals render_interleaved's n_render_tokens by construction
+  (pinned by test).
+
+  Returns one row per span: (doc_id, span_order, kind, text,
+  media_ref, token_start, n_tokens).
+
+  Scale shape: Scan -> Project -> Generate — ZERO shuffles, zero
+  Python (plan pinned by test).  The prefix sum runs as one left
+  fold over the order-sorted span array (the offsets array is built
+  by the same pass that sums the counts); per-row work is O(spans^2)
+  array-copy worst case in the fold's concat, bounded by per-doc
+  span counts (tens), never corpus-shaped.
+  """
+  staged = (content
+            .select('doc_id',
+                    F.expr('array_sort(out_spans, '
+                           '(a, b) -> a.order - b.order)')
+                    .alias('_spans'))
+            .select('doc_id', '_spans',
+                    F.expr("transform(_spans, s -> CASE "
+                           "WHEN s.kind = 'media' THEN 1 "
+                           "WHEN s.text IS NOT NULL "
+                           "AND length(trim(s.text)) > 0 "
+                           "THEN size(split(trim(s.text), '\\\\s+')) "
+                           'ELSE 0 END)').alias('_counts')))
+  starts = staged.select(
+      'doc_id', '_spans', '_counts',
+      F.expr("aggregate(_counts, "
+             "named_struct('off', 0, 'starts', "
+             "CAST(array() AS ARRAY<INT>)), "
+             "(acc, c) -> named_struct('off', acc.off + c, "
+             "'starts', concat(acc.starts, array(acc.off))), "
+             'acc -> acc.starts)').alias('_starts'))
+  return (starts
+          .select('doc_id',
+                  F.posexplode(F.arrays_zip('_spans', '_starts',
+                                            '_counts'))
+                  .alias('_i', 'z'))
+          .select('doc_id',
+                  F.col('z._spans.order').alias('span_order'),
+                  F.col('z._spans.kind').alias('kind'),
+                  F.col('z._spans.text').alias('text'),
+                  F.col('z._spans.media_ref').alias('media_ref'),
+                  F.col('z._starts').alias('token_start'),
+                  F.col('z._counts').alias('n_tokens')))
+
+
+def resolve_media_refs(content: DataFrame, media_dim: DataFrame, *,
+                       broadcast_dim: bool = True) -> DataFrame:
+  """Loader-side media resolution over the north-rule main-content
+  output: every media span's media_ref is joined against a media
+  metadata/payload dimension keyed by `media_ref`, yielding one row
+  per sentinel in manifest order — (doc_id, sentinel_idx, media_ref,
+  found, <dim columns>) — so the training loader can map the i-th
+  <|image|> sentinel of render_interleaved straight to its payload
+  row (sentinel_idx is the media_manifest array index) and unresolved
+  refs (dead links, takedowns) are explicit `found = 0` rows instead
+  of silent drops.
+
+  Scale shape: the corpus side is Scan -> Project -> Generate (the
+  sentinel explode) and with broadcast_dim=True (the default: media
+  metadata is dimension-sized next to a 10^12-doc corpus) the join is
+  map-side — the corpus NEVER shuffles (no hashpartitioning Exchange;
+  plan pinned by test), so hub refs (site-wide logos shared by
+  millions of docs) cost nothing beyond their probe.  Set
+  broadcast_dim=False when the dimension itself is corpus-scale
+  (per-doc unique assets); the join then shuffles BOTH sides on
+  media_ref and hub refs hot-spot — run dedup_media_spans first so
+  boilerplate hubs are already gone, which is the curation order the
+  pipeline composes anyway.
+  """
+  sentinels = (content
+               .select('doc_id',
+                       F.expr("transform(filter(array_sort(out_spans, "
+                              '(a, b) -> a.order - b.order), '
+                              "s -> s.kind = 'media'), "
+                              's -> s.media_ref)').alias('_refs'))
+               .select('doc_id',
+                       F.posexplode('_refs')
+                       .alias('sentinel_idx', 'media_ref')))
+  marked = media_dim.withColumn('_found', F.lit(1))
+  dim = F.broadcast(marked) if broadcast_dim else marked
+  dim_cols = [c for c in media_dim.columns if c != 'media_ref']
+  joined = sentinels.join(dim, 'media_ref', 'left')
+  return joined.select('doc_id', 'sentinel_idx', 'media_ref',
+                       F.coalesce('_found', F.lit(0)).alias('found'),
+                       *dim_cols)
