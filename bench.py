@@ -158,6 +158,25 @@ def main() -> None:
   mc_sec = timed('main_content_spans',
                  lambda: main_content_from_spans(mdf).count())
   mc_docs_per_sec = n_mc / mc_sec if mc_sec > 0 else 0.0
+
+  # Post-extraction interleaved-corpus passes over the SAME content
+  # frame (materialized once, untimed): composition stats + sentinel
+  # rendering + span->token offsets (all zero-shuffle scans) + the
+  # hot-media removal join.  One timed number for the whole suite —
+  # the OBELICS/MMC4-style curation stage after main-content strip.
+  from blueprint_oss_spark.ops.multimodal import (
+      dedup_media_spans, interleaved_doc_stats, render_interleaved,
+      span_token_offsets)
+  content = main_content_from_spans(mdf).localCheckpoint()
+
+  def _interleaved_passes():
+    interleaved_doc_stats(content).count()
+    render_interleaved(content).count()
+    span_token_offsets(content).count()
+    dedup_media_spans(content, max_media_df=20).count()
+
+  _interleaved_passes()  # warmup
+  timed('interleaved_corpus_passes', _interleaved_passes)
   mdf.unpersist()
 
   # Release extraction-phase memory before the relational suite so GC
