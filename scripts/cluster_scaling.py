@@ -277,6 +277,58 @@ elif model == 'pack_interleaved':
                              'chunk_first', 'chunk_last', 'n_chunks')
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
+elif model == 'mediadedup':
+    # corpus-level boilerplate-media removal over the interleaved
+    # main-content output: per-(doc,ref) DISTINCT + word-count groupBy
+    # builds the hot set, affected docs aggregate their hot refs, LEFT
+    # join-back, higher-order span rewrite.  The input plants a GLOBAL
+    # hub asset (media/logo on every doc — df = n_docs, the site-wide
+    # logo at web scale) plus ten banner refs (df = n/10) so the run
+    # proves the hub key is absorbed map-side by the count aggregate
+    # instead of serializing one reducer.  Replicas salt the STRING
+    # doc_id but keep the planted refs SHARED across replicas (a real
+    # logo is one URL however many pages embed it), so the hub's df
+    # grows with the corpus — the adversarial case.  Input content
+    # synthesized+stripped once and cached; the timed pass is the
+    # dedup operator alone.  Checksum = exact order-insensitive
+    # hash-sum of (doc_id, surviving spans, n_media_removed).
+    from blueprint_oss_spark.ops.html_extract import (
+        interleaved_html_table, main_content_from_spans)
+    from blueprint_oss_spark.ops.multimodal import dedup_media_spans
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = interleaved_html_table(spark, sf_dir)
+    if n_docs:
+        src = src.limit(n_docs)
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '8'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select(F.concat(F.col('doc_id'), F.lit('#'),
+                                F.col('rep').cast('string'))
+                       .alias('doc_id'), 'spans'))
+    content = main_content_from_spans(src)
+    did = F.abs(F.xxhash64('doc_id'))
+    media_span = lambda ref, order: F.struct(
+        F.lit('media').alias('kind'),
+        F.lit(None).cast('string').alias('text'),
+        ref.alias('media_ref'),
+        F.lit(order).cast('int').alias('order'))
+    df = content.withColumn(
+        'out_spans',
+        F.concat('out_spans', F.array(
+            media_span(F.lit('media/logo'), 100),
+            media_span(F.concat(F.lit('media/banner/'),
+                                F.pmod(did, F.lit(10))), 101)))) \
+        .repartition(n_parts).cache()
+    n_in = df.count()
+    def run_pass():
+        out = dedup_media_spans(df, max_media_df=1000)
+        agg = out.agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', F.to_json('out_spans'),
+                             'n_media_removed')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 elif model == 'bloom':
     # interpreted-HOF scan counterpart: Bloom decontamination's cost is
     # per-row 8-gram construction (transform/slice/array_join lambdas,
