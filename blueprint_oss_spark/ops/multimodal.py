@@ -1007,13 +1007,20 @@ def dedup_media_spans(content: DataFrame, *,
   Scale shape: the hot-ref set is bounded by construction —
   df > max_media_df means at most total_media_occurrences /
   max_media_df distinct hot refs (the heavy_hitters argument), a
-  dimension, not a corpus.  Plan: one distinct+groupBy on media_ref
-  (word-count shape, map-side combinable) builds the hot set; hot
-  membership is re-keyed per doc with ONE doc_id-grained aggregation
-  of only the AFFECTED docs, LEFT-joined back (docs with no hot media
-  pay a join probe, never a spans rewrite shuffle); the span filter
-  itself is a higher-order function on the already-co-located array.
-  The document payload (the spans) never shuffles.
+  DIMENSION, not a corpus — exactly the broadcast-blocklist argument
+  url_curation makes.  Plan: one per-(doc,ref) distinct + word-count
+  groupBy (map-side combinable — a global logo hub is absorbed by
+  partial counts) builds the hot set, which collapses to a single
+  broadcast row carrying the sorted hot-ref array; the span rewrite
+  is then a map-side higher-order filter against that broadcast —
+  the document payload NEVER shuffles and there is no doc_id join at
+  all.  (A first cut LEFT-joined a per-doc hot aggregation back on
+  doc_id; the cluster-scaling harness measured that shuffling the
+  whole span payload across executor JVMs — 0.06 efficiency at 1->4
+  executors — which is why this is a broadcast, not a join.)  If a
+  pathological cap ever made the hot set too big to broadcast, the
+  fallback is a bloom-filter probe (bloom_decontaminate's shape);
+  with realistic caps the hot set is boilerplate-sized.
   """
   if max_media_df < 1:
     raise ValueError('max_media_df must be >= 1')
@@ -1022,16 +1029,12 @@ def dedup_media_spans(content: DataFrame, *,
               "transform(filter(out_spans, s -> s.kind = 'media'), "
               's -> s.media_ref)')).alias('media_ref'))
           .distinct())
-  hot = (refs.groupBy('media_ref')
-         .agg(F.count(F.lit(1)).alias('df'))
-         .where(F.col('df') > max_media_df)
-         .select('media_ref'))
-  per_doc_hot = (refs.join(hot, 'media_ref')
-                 .groupBy('doc_id')
-                 .agg(F.collect_set('media_ref').alias('_hot')))
-  joined = (content.join(per_doc_hot, 'doc_id', 'left')
-            .withColumn('_hot', F.coalesce(
-                '_hot', F.array().cast('array<string>'))))
+  hot_row = (refs.groupBy('media_ref')
+             .agg(F.count(F.lit(1)).alias('df'))
+             .where(F.col('df') > max_media_df)
+             .agg(F.sort_array(F.collect_set('media_ref'))
+                  .alias('_hot')))
+  joined = content.crossJoin(F.broadcast(hot_row))
   out = joined.select(
       'doc_id',
       F.expr("filter(out_spans, s -> NOT (s.kind = 'media' "

@@ -278,20 +278,27 @@ elif model == 'pack_interleaved':
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 elif model == 'mediadedup':
-    # corpus-level boilerplate-media removal over the interleaved
-    # main-content output: per-(doc,ref) DISTINCT + word-count groupBy
-    # builds the hot set, affected docs aggregate their hot refs, LEFT
-    # join-back, higher-order span rewrite.  The input plants a GLOBAL
-    # hub asset (media/logo on every doc — df = n_docs, the site-wide
-    # logo at web scale) plus ten banner refs (df = n/10) so the run
-    # proves the hub key is absorbed map-side by the count aggregate
-    # instead of serializing one reducer.  Replicas salt the STRING
-    # doc_id but keep the planted refs SHARED across replicas (a real
-    # logo is one URL however many pages embed it), so the hub's df
-    # grows with the corpus — the adversarial case.  Input content
-    # synthesized+stripped once and cached; the timed pass is the
-    # dedup operator alone.  Checksum = exact order-insensitive
-    # hash-sum of (doc_id, surviving spans, n_media_removed).
+    # corpus-level boilerplate-media removal COMPOSED onto the strip:
+    # the timed pass is main-content strip (Arrow map) -> planted-asset
+    # projection -> dedup_media_spans (per-(doc,ref) DISTINCT +
+    # word-count groupBy collapsing to ONE broadcast hot-ref row +
+    # map-side span rewrite) — the composite a production curation run
+    # executes; at 100 TB the stripped intermediate is never
+    # materialized, so timing dedup over a cached intermediate would
+    # measure cached-block network bandwidth, not the operator (a
+    # first cut did exactly that and read 0.07 'efficiency' — the low
+    # level was reading its cache process-locally while the high level
+    # fetched remote blocks; same lesson as pack_interleaved).  The
+    # input plants a GLOBAL hub asset (media/logo on every doc — df =
+    # n_docs, the site-wide logo at web scale) plus ten banner refs
+    # (df = n/10) so the run proves the hub key is absorbed map-side
+    # by the count aggregate instead of serializing one reducer.
+    # Replicas salt the STRING doc_id but keep the planted refs SHARED
+    # across replicas (a real logo is one URL however many pages embed
+    # it), so the hub's df grows with the corpus — the adversarial
+    # case.  Only the raw span synthesis is cached (test scaffolding,
+    # not the operator).  Checksum = exact order-insensitive hash-sum
+    # of (doc_id, surviving spans, n_media_removed).
     from blueprint_oss_spark.ops.html_extract import (
         interleaved_html_table, main_content_from_spans)
     from blueprint_oss_spark.ops.multimodal import dedup_media_spans
@@ -306,28 +313,37 @@ elif model == 'mediadedup':
                .select(F.concat(F.col('doc_id'), F.lit('#'),
                                 F.col('rep').cast('string'))
                        .alias('doc_id'), 'spans'))
-    content = main_content_from_spans(src)
+    df = src.repartition(n_parts).cache()
+    n_in = df.count()
     did = F.abs(F.xxhash64('doc_id'))
     media_span = lambda ref, order: F.struct(
         F.lit('media').alias('kind'),
         F.lit(None).cast('string').alias('text'),
         ref.alias('media_ref'),
         F.lit(order).cast('int').alias('order'))
-    df = content.withColumn(
-        'out_spans',
-        F.concat('out_spans', F.array(
-            media_span(F.lit('media/logo'), 100),
-            media_span(F.concat(F.lit('media/banner/'),
-                                F.pmod(did, F.lit(10))), 101)))) \
-        .repartition(n_parts).cache()
-    n_in = df.count()
     def run_pass():
-        out = dedup_media_spans(df, max_media_df=1000)
-        agg = out.agg(
-            F.count('*').alias('n'),
-            F.sum(F.xxhash64('doc_id', F.to_json('out_spans'),
-                             'n_media_removed')
-                  .cast('decimal(38,0)')).alias('s')).collect()[0]
+        # dedup is two-pass by nature (the hot set must exist before
+        # the rewrite), so a production run persists the stripped
+        # frame once rather than paying the Arrow strip twice;
+        # localCheckpoint INSIDE the timed pass charges that
+        # materialization to the measurement and its blocks are
+        # process-local to the executors that computed them
+        planted = main_content_from_spans(df).withColumn(
+            'out_spans',
+            F.concat('out_spans', F.array(
+                media_span(F.lit('media/logo'), 100),
+                media_span(F.concat(F.lit('media/banner/'),
+                                    F.pmod(did, F.lit(10))), 101)))) \
+            .localCheckpoint()
+        try:
+            out = dedup_media_spans(planted, max_media_df=1000)
+            agg = out.agg(
+                F.count('*').alias('n'),
+                F.sum(F.xxhash64('doc_id', F.to_json('out_spans'),
+                                 'n_media_removed')
+                      .cast('decimal(38,0)')).alias('s')).collect()[0]
+        finally:
+            planted.unpersist()
         return {'n': n_in, 's': f"{agg['s']}/{agg['n']}"}
 elif model == 'bloom':
     # interpreted-HOF scan counterpart: Bloom decontamination's cost is
@@ -459,7 +475,13 @@ def run_level(n_exec: int, n_docs: int, model: str, zpath: str,
        # scheduler then serializes the tail on the block-heavy executor.
        # Remote cached-block reads are cheap here (tasks are seconds,
        # blocks are ~MB), so always prefer an idle core.
-       '--conf', 'spark.locality.wait=0s',
+       # cached-scan models want 0s (prefer any idle core; remote
+       # cached-block reads are cheap there).  Models that REBUILD a
+       # materialized intermediate per pass (mediadedup's checkpoint)
+       # want block-local scheduling instead — a remote-fetch storm of
+       # big span blocks at the high level is worse than a short wait.
+       '--conf', 'spark.locality.wait='
+       + os.environ.get('BOS_SCALE_LOCALITY', '0s'),
        '--conf', 'spark.sql.execution.arrow.pyspark.enabled=true',
        job_path, str(n_docs), str(n_exec * cores_per_exec), model],
       capture_output=True, text=True, cwd=tempfile.gettempdir())
