@@ -220,7 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # --- north-rule pipeline + curation capstones (DuckDB-oracled
       # from the raw tables) ---
       'main_content_spans': _main_content_spans,
-      'web_curation_pipeline': C.web_curation_pipeline,
+      'web_curation_pipeline': _web_curation_combined,
       'html_main_content': _html_main_content,
       # --- relational shell (DuckDB-oracled) ---
       'q1_pricing_summary': R.q1_pricing_summary,
@@ -902,6 +902,69 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
           .orderBy('method', 'doc_id', 'link_pos', 'href'))
 
 
+def _plant_site_assets(content: DataFrame) -> DataFrame:
+  """Append three deterministically planted site-wide media assets to
+  every doc's span tail (logo: df = n_docs; banner/did%10: df = n/10;
+  tile/did%100: df = n/100) so hot-media verdicts are exercised
+  corpus-wide AND recomputable in SQL from the raw documents table."""
+  did = F.col('doc_id').cast('long')
+
+  def _media_span(ref, order):
+    return F.struct(F.lit('media').alias('kind'),
+                    F.lit(None).cast('string').alias('text'),
+                    ref.alias('media_ref'),
+                    F.lit(order).cast('int').alias('order'))
+
+  return content.withColumn(
+      'out_spans',
+      F.concat('out_spans', F.array(
+          _media_span(F.lit('media/logo'), 100),
+          _media_span(F.concat(F.lit('media/banner/'),
+                               F.pmod(did, F.lit(10))), 101),
+          _media_span(F.concat(F.lit('media/tile/'),
+                               F.pmod(did, F.lit(100))), 102))))
+
+
+def _web_curation_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """method='web' is the text curation capstone
+  (curation.web_curation_pipeline: main-content → quality → dedup
+  groups → keep-one); method='interleaved' is its multimodal sibling
+  (multimodal.interleaved_curation_pipeline: main-content → hot-media
+  removal → OBELICS composition gate → sentinel rendering) over the
+  SAME planted-asset frame the main_content_spans row uses, so the
+  oracle recomputes hot verdicts, the composition gate and the full
+  rendered string of every KEPT doc from the raw documents table."""
+  from blueprint_oss_spark.ops import curation as C
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  from blueprint_oss_spark.ops.multimodal import (
+      interleaved_curation_pipeline,
+  )
+  ns = F.lit(None).cast('string')
+  ni = F.lit(None).cast('int')
+  web = (C.web_curation_pipeline(spark, sf_dir)
+         .select(F.lit('web').alias('method'), 'doc_id', 'lang',
+                 'group_id', 'group_size', ns.alias('rendered_text'),
+                 ns.alias('manifest'), ni.alias('n_sentinels'),
+                 ni.alias('n_render_tokens'),
+                 ni.alias('n_media_removed'), ni.alias('n_media'),
+                 ni.alias('n_tokens')))
+  planted = _plant_site_assets(main_content_from_spans(
+      interleaved_html_table(spark, sf_dir)))
+  inter = (interleaved_curation_pipeline(spark, sf_dir,
+                                         content=planted)
+           .select(F.lit('interleaved').alias('method'), 'doc_id',
+                   ns.alias('lang'), ns.alias('group_id'),
+                   F.lit(None).cast('bigint').alias('group_size'),
+                   'rendered_text',
+                   F.array_join('media_manifest', ',')
+                   .alias('manifest'),
+                   'n_sentinels', 'n_render_tokens',
+                   'n_media_removed', 'n_media', 'n_tokens'))
+  return web.unionByName(inter).orderBy('method', 'doc_id')
+
+
 def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   """The north-rule pipeline end-to-end over the EXACT input-hint
   shape (doc_id, spans:array<struct<kind,text,media_ref,offset>>):
@@ -976,22 +1039,7 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col('caption_before').alias('cap_before'),
                       F.col('caption_after').alias('cap_after')))
 
-  did = F.col('doc_id').cast('long')
-
-  def _media_span(ref, order):
-    return F.struct(F.lit('media').alias('kind'),
-                    F.lit(None).cast('string').alias('text'),
-                    ref.alias('media_ref'),
-                    F.lit(order).cast('int').alias('order'))
-
-  planted = out.withColumn(
-      'out_spans',
-      F.concat('out_spans', F.array(
-          _media_span(F.lit('media/logo'), 100),
-          _media_span(F.concat(F.lit('media/banner/'),
-                               F.pmod(did, F.lit(10))), 101),
-          _media_span(F.concat(F.lit('media/tile/'),
-                               F.pmod(did, F.lit(100))), 102))))
+  planted = _plant_site_assets(out)
   doc_cols = [F.lit(None).cast('int').alias('span_order'),
               ns.alias('kind'), ns.alias('text'),
               ns.alias('media_ref'), ns.alias('cap_before'),
@@ -3722,12 +3770,95 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, group_id,
                  COUNT(*) OVER (PARTITION BY group_id) AS group_size
           FROM comp
+        ),
+        -- interleaved sibling (method='interleaved'): hot-media
+        -- removal + OBELICS composition gate + sentinel rendering
+        -- over the planted-asset frame; T = surviving planted tail
+        itot AS (SELECT COUNT(*) AS n FROM documents),
+        ic10 AS (SELECT doc_id % 10 AS k, COUNT(*) AS c
+                 FROM documents GROUP BY 1),
+        ic100 AS (SELECT doc_id % 100 AS k, COUNT(*) AS c
+                  FROM documents GROUP BY 1),
+        ifeat AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+                 trim(regexp_replace(
+                   'Document ' || CAST(doc_id AS VARCHAR)
+                     || ' part 0. ' || text, '\s+', ' ', 'g'))
+                   AS text0,
+                 CAST(len(string_split(trim(regexp_replace(
+                     'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' part 0. ' || text, '\s+', ' ', 'g')), ' '))
+                   AS INTEGER) AS len0,
+                 (SELECT n FROM itot) > 20 AS logo_hot,
+                 (SELECT c FROM ic10 WHERE k = doc_id % 10) > 20
+                   AS banner_hot,
+                 (SELECT c FROM ic100 WHERE k = doc_id % 100) > 20
+                   AS tile_hot
+          FROM documents
+        ), istat AS (
+          SELECT *,
+                 CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END AS e3,
+                 CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END AS e2,
+                 (CASE WHEN logo_hot THEN 0 ELSE 1 END
+                  + CASE WHEN banner_hot THEN 0 ELSE 1 END
+                  + CASE WHEN tile_hot THEN 0 ELSE 1 END) AS tail_t,
+                 CAST(len0 + 6
+                   + CASE WHEN did % 2 = 0 THEN 5 ELSE 0 END
+                   AS INTEGER) AS n_toks
+          FROM ifeat
+        ), iverdict AS (
+          SELECT *,
+                 CAST(1 + e3 + tail_t AS INTEGER) AS n_media,
+                 -- media runs on the CLEANED spans: m0 is isolated;
+                 -- m1 (order 3) is adjacent to the planted tail only
+                 -- when there is no PDF text between them
+                 greatest(1, tail_t
+                   + CASE WHEN e3 = 1 AND e2 = 0 THEN 1 ELSE 0 END)
+                   AS media_run
+          FROM istat
         )
-        SELECT s.doc_id, k.lang, s.group_id,
-               CAST(s.group_size AS BIGINT) AS group_size
+        SELECT 'web' AS method, s.doc_id, k.lang, s.group_id,
+               CAST(s.group_size AS BIGINT) AS group_size,
+               CAST(NULL AS VARCHAR) AS rendered_text,
+               CAST(NULL AS VARCHAR) AS manifest,
+               CAST(NULL AS INTEGER) AS n_sentinels,
+               CAST(NULL AS INTEGER) AS n_render_tokens,
+               CAST(NULL AS INTEGER) AS n_media_removed,
+               CAST(NULL AS INTEGER) AS n_media,
+               CAST(NULL AS INTEGER) AS n_tokens
         FROM sized s JOIN kept k ON s.doc_id = k.doc_id
         WHERE s.doc_id = s.group_id
-        ORDER BY s.doc_id
+        UNION ALL
+        SELECT 'interleaved', doc_id, NULL, NULL,
+               CAST(NULL AS BIGINT),
+               text0 || ' <|image|> Document ' || doc_id
+                 || ' closing section part 1.'
+                 || CASE WHEN e3 = 1 THEN ' <|image|>' ELSE '' END
+                 || CASE WHEN e2 = 1
+                    THEN ' PDF appendix for document ' || doc_id
+                    ELSE '' END
+                 || repeat(' <|image|>', tail_t),
+               'media/' || doc_id || '/0'
+                 || CASE WHEN e3 = 1
+                    THEN ',media/' || doc_id || '/1' ELSE '' END
+                 || CASE WHEN NOT logo_hot THEN ',media/logo'
+                    ELSE '' END
+                 || CASE WHEN NOT banner_hot
+                    THEN ',media/banner/' || CAST(did % 10 AS VARCHAR)
+                    ELSE '' END
+                 || CASE WHEN NOT tile_hot
+                    THEN ',media/tile/' || CAST(did % 100 AS VARCHAR)
+                    ELSE '' END,
+               CAST(1 + e3 + tail_t AS INTEGER),
+               CAST(n_toks + 1 + e3 + tail_t AS INTEGER),
+               CAST(CASE WHEN logo_hot THEN 1 ELSE 0 END
+                 + CASE WHEN banner_hot THEN 1 ELSE 0 END
+                 + CASE WHEN tile_hot THEN 1 ELSE 0 END AS INTEGER),
+               n_media, n_toks
+        FROM iverdict
+        WHERE n_media BETWEEN 1 AND 2 AND n_toks >= 8
+          AND media_run <= 1
+        ORDER BY method, doc_id
       """,
       'curation_pipeline': f"""
         WITH RECURSIVE q AS (

@@ -863,7 +863,8 @@ def interleaved_doc_stats(content: DataFrame, *,
                           min_images: int = 1,
                           max_images: int = 32,
                           min_text_tokens: int = 8,
-                          max_media_run: int = 4) -> DataFrame:
+                          max_media_run: int = 4,
+                          passthrough: tuple = ()) -> DataFrame:
   """Per-document multimodal composition stats + keep verdict over the
   north-rule main-content output — the document-level filtering pass
   interleaved image-text corpora apply after pair/sequence extraction
@@ -892,21 +893,26 @@ def interleaved_doc_stats(content: DataFrame, *,
   HOF lambdas get no common-subexpression elimination — the
   _bloom_flat_positions lesson), so each runs once per row.  Per-row
   work is O(spans); at 10^12 docs the only lever is executor count.
+
+  `passthrough` names input columns to carry through unchanged (e.g.
+  out_spans itself, or dedup_media_spans' n_media_removed) so a
+  curation pipeline can filter on `keep` and continue WITHOUT a
+  doc_id self-join back to the payload.
   """
   if min_images < 0 or max_images < min_images:
     raise ValueError('need 0 <= min_images <= max_images')
   staged = (content
-            .select('doc_id',
+            .select('doc_id', *passthrough,
                     F.expr('array_sort(out_spans, '
                            '(a, b) -> a.order - b.order)')
                     .alias('_spans'))
-            .select('doc_id', '_spans',
+            .select('doc_id', *passthrough, '_spans',
                     F.expr("filter(_spans, t -> t.kind = 'text' "
                            'AND t.text IS NOT NULL '
                            "AND length(trim(t.text)) > 0)")
                     .alias('_texts')))
   stats = staged.select(
-      'doc_id',
+      'doc_id', *passthrough,
       F.size('_spans').alias('n_spans'),
       F.expr("size(filter(_spans, s -> s.kind = 'text'))")
       .alias('n_text'),
@@ -938,7 +944,8 @@ def interleaved_doc_stats(content: DataFrame, *,
 
 
 def render_interleaved(content: DataFrame, *,
-                       media_token: str = '<|image|>') -> DataFrame:
+                       media_token: str = '<|image|>',
+                       passthrough: tuple = ()) -> DataFrame:
   """Render north-rule main-content output into the flat training-text
   form multimodal LMs consume: text spans joined in span order with
   every media span replaced by a sentinel token, plus the ordered
@@ -962,11 +969,11 @@ def render_interleaved(content: DataFrame, *,
     raise ValueError('media_token must be non-empty and '
                      'whitespace-free')
   staged = (content
-            .select('doc_id',
+            .select('doc_id', *passthrough,
                     F.expr('array_sort(out_spans, '
                            '(a, b) -> a.order - b.order)')
                     .alias('_spans'))
-            .select('doc_id',
+            .select('doc_id', *passthrough,
                     F.expr("filter(_spans, s -> s.kind = 'media' OR "
                            "(s.kind = 'text' AND s.text IS NOT NULL "
                            'AND length(trim(s.text)) > 0))')
@@ -976,7 +983,7 @@ def render_interleaved(content: DataFrame, *,
                     .alias('media_manifest')))
   tok = F.lit(media_token)
   return staged.select(
-      'doc_id',
+      'doc_id', *passthrough,
       F.array_join(
           F.transform('_keep',
                       lambda s: F.when(s['kind'] == 'media', tok)
@@ -1143,3 +1150,52 @@ def resolve_media_refs(content: DataFrame, media_dim: DataFrame, *,
   return joined.select('doc_id', 'sentinel_idx', 'media_ref',
                        F.coalesce('_found', F.lit(0)).alias('found'),
                        *dim_cols)
+
+
+def interleaved_curation_pipeline(spark: SparkSession, sf_dir: str, *,
+                                  max_media_df: int = 20,
+                                  min_images: int = 1,
+                                  max_images: int = 2,
+                                  min_text_tokens: int = 8,
+                                  max_media_run: int = 1,
+                                  media_token: str = '<|image|>',
+                                  content: DataFrame = None
+                                  ) -> DataFrame:
+  """The INTERLEAVED training-data path end to end as one declarative
+  plan — the multimodal sibling of curation.web_curation_pipeline:
+  interleaved HTML+PDF+media spans → main-content extraction
+  (boilerplate strip / layout parse) → corpus-level boilerplate-media
+  removal (dedup_media_spans) → OBELICS/MMC4 document composition
+  gate (interleaved_doc_stats keep verdict, computed on the CLEANED
+  spans so removed logos no longer count as images) → sentinel-token
+  rendering (render_interleaved) of the survivors.  This is the
+  composition an interleaved-corpus pretraining run executes before
+  tokenization/packing.
+
+  Returns one row per KEPT document: (doc_id, rendered_text,
+  media_manifest, n_sentinels, n_render_tokens, n_media_removed,
+  n_media, n_tokens).
+
+  Scale shape: ONE Catalyst plan — the Arrow strip is the zero-shuffle
+  mapInPandas stage, media removal's only shuffle is the bounded
+  hot-ref count collapsing to one broadcast row, and the stats gate
+  and rendering ride the SAME frame via column passthrough (no doc_id
+  self-join anywhere: stats/render re-derive nothing, they append
+  columns).  `content=` is the seam for a pre-extracted corpus (the
+  gate uses it to plant site-wide assets the oracle can recompute).
+  """
+  if content is None:
+    from .html_extract import (
+        interleaved_html_table, main_content_from_spans,
+    )
+    content = main_content_from_spans(
+        interleaved_html_table(spark, sf_dir))
+  cleaned = dedup_media_spans(content, max_media_df=max_media_df)
+  gated = interleaved_doc_stats(
+      cleaned, min_images=min_images, max_images=max_images,
+      min_text_tokens=min_text_tokens, max_media_run=max_media_run,
+      passthrough=('out_spans', 'n_media_removed'))
+  kept = gated.where(F.col('keep') == 1)
+  return render_interleaved(
+      kept, media_token=media_token,
+      passthrough=('n_media_removed', 'n_media', 'n_tokens'))

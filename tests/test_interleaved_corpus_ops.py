@@ -368,3 +368,89 @@ def test_dedup_full_python_recomputation(planted):
   assert 'media/logo' in hot
   assert any(ref.startswith('media/banner/') for ref in hot)
   assert not any(ref.startswith('media/tile/') for ref in hot)
+
+
+# ------------------------------------------------- curation capstone
+
+
+def test_passthrough_preserves_columns(spark):
+  df = spark.createDataFrame(
+      [('d', [t('a b c', 0), m('m/0', 1)])], SCHEMA) \
+      .withColumn('extra', F.lit(7))
+  s = interleaved_doc_stats(df, passthrough=('out_spans', 'extra'))
+  r = s.collect()[0]
+  assert r['extra'] == 7 and len(r['out_spans']) == 2
+  rend = render_interleaved(df, passthrough=('extra',)).collect()[0]
+  assert rend['extra'] == 7
+
+
+def test_curation_pipeline_full_python_recomputation(spark, planted):
+  """End-to-end verdict + rendering equality against a sequential
+  python recomputation of the whole chain (hot set -> removal ->
+  composition gate -> rendering) over the planted gate frame."""
+  from collections import Counter
+  from blueprint_oss_spark.ops.multimodal import (
+      interleaved_curation_pipeline)
+  docs = _py_docs(planted)
+  cap, min_i, max_i, min_t, max_r = 20, 1, 2, 8, 1
+  df_count = Counter()
+  for spans in docs.values():
+    for ref in {s['media_ref'] for s in spans if s['kind'] == 'media'}:
+      df_count[ref] += 1
+  hot = {ref for ref, c in df_count.items() if c > cap}
+  expected = {}
+  for doc_id, spans in docs.items():
+    cleaned = [s for s in spans
+               if not (s['kind'] == 'media' and s['media_ref'] in hot)]
+    removed = len(spans) - len(cleaned)
+    n_media = sum(1 for s in cleaned if s['kind'] == 'media')
+    n_tokens = sum(len(s['text'].split()) for s in cleaned
+                   if s['kind'] == 'text' and s['text']
+                   and s['text'].strip())
+    run = best = 0
+    for s in cleaned:
+      run = run + 1 if s['kind'] == 'media' else 0
+      best = max(best, run)
+    if not (min_i <= n_media <= max_i and n_tokens >= min_t
+            and best <= max_r):
+      continue
+    parts, manifest = [], []
+    for s in cleaned:
+      if s['kind'] == 'media':
+        parts.append('<|image|>')
+        manifest.append(s['media_ref'])
+      elif s['text'] and s['text'].strip():
+        parts.append(s['text'].strip())
+    expected[doc_id] = {
+        'rendered_text': ' '.join(parts), 'media_manifest': manifest,
+        'n_sentinels': len(manifest),
+        'n_render_tokens': n_tokens + len(manifest),
+        'n_media_removed': removed, 'n_media': n_media,
+        'n_tokens': n_tokens}
+  got = {r['doc_id']: r.asDict()
+         for r in interleaved_curation_pipeline(
+             spark, SF_DIR, max_media_df=cap, min_images=min_i,
+             max_images=max_i, min_text_tokens=min_t,
+             max_media_run=max_r, content=planted).collect()}
+  assert set(got) == set(expected)
+  for doc_id, exp in expected.items():
+    r = got[doc_id]
+    for k, v in exp.items():
+      assert r[k] == v, (doc_id, k, r[k], v)
+  # the thresholds actually split the corpus (gate exercise, not a
+  # vacuous keep-all): some docs dropped, some kept
+  assert 0 < len(expected) < len(docs)
+
+
+def test_curation_pipeline_single_substantive_shuffle(spark, planted):
+  """The whole chain's only Exchange is the bounded hot-ref count
+  (word-count shape); the document payload never shuffles and there
+  is no doc_id join anywhere."""
+  from blueprint_oss_spark.ops.multimodal import (
+      interleaved_curation_pipeline)
+  plan = (interleaved_curation_pipeline(spark, SF_DIR, content=planted)
+          ._jdf.queryExecution().executedPlan().toString())
+  assert 'SortMergeJoin' not in plan
+  # the only joins are the broadcast of the single hot-ref row
+  n_exchanges = plan.count('Exchange hashpartitioning')
+  assert n_exchanges <= 2   # distinct + groupBy partials of refs
