@@ -950,8 +950,11 @@ def _web_curation_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ni.alias('n_render_tokens'),
                  ni.alias('n_media_removed'), ni.alias('n_media'),
                  ni.alias('n_tokens')))
+  # checkpoint: dedup_media_spans references the content frame in two
+  # subtrees (hot-set build + rewrite) — un-checkpointed, the Arrow
+  # synthesis+strip stage would run twice
   planted = _plant_site_assets(main_content_from_spans(
-      interleaved_html_table(spark, sf_dir)))
+      interleaved_html_table(spark, sf_dir))).localCheckpoint()
   inter = (interleaved_curation_pipeline(spark, sf_dir,
                                          content=planted)
            .select(F.lit('interleaved').alias('method'), 'doc_id',

@@ -160,14 +160,21 @@ def main() -> None:
   mc_docs_per_sec = n_mc / mc_sec if mc_sec > 0 else 0.0
 
   # Post-extraction interleaved-corpus passes over the SAME content
-  # frame (materialized once, untimed): composition stats + sentinel
-  # rendering + span->token offsets (all zero-shuffle scans) + the
-  # hot-media removal join.  One timed number for the whole suite —
-  # the OBELICS/MMC4-style curation stage after main-content strip.
+  # frame (materialized once, untimed — persist+count, NOT
+  # localCheckpoint: checkpoint blocks survive unpersist/clearCache
+  # and would defeat the memory cleanup below): composition stats +
+  # sentinel rendering + span->token offsets (all zero-shuffle scans)
+  # + the broadcast hot-media removal.  The frame carries the gate's
+  # planted site-wide assets so the removal pass rewrites real hot
+  # spans instead of probing an empty broadcast array.  One timed
+  # number for the whole suite — the OBELICS/MMC4-style curation
+  # stage after main-content strip.
+  from __spark_entry__ import _plant_site_assets
   from blueprint_oss_spark.ops.multimodal import (
       dedup_media_spans, interleaved_doc_stats, render_interleaved,
       span_token_offsets)
-  content = main_content_from_spans(mdf).localCheckpoint()
+  content = _plant_site_assets(main_content_from_spans(mdf)).persist()
+  content.count()
 
   def _interleaved_passes():
     interleaved_doc_stats(content).count()
@@ -177,6 +184,7 @@ def main() -> None:
 
   _interleaved_passes()  # warmup
   timed('interleaved_corpus_passes', _interleaved_passes)
+  content.unpersist()
   mdf.unpersist()
 
   # Release extraction-phase memory before the relational suite so GC

@@ -1042,15 +1042,21 @@ def dedup_media_spans(content: DataFrame, *,
              .agg(F.sort_array(F.collect_set('media_ref'))
                   .alias('_hot')))
   joined = content.crossJoin(F.broadcast(hot_row))
-  out = joined.select(
-      'doc_id',
+  # one staged pass over the span array (interpreted HOF lambdas get
+  # no CSE); the containment probe is NULL-safe — array_contains
+  # against a non-empty array returns NULL for a NULL media_ref, and
+  # an unguarded NOT(... AND NULL) would silently drop the span
+  # whenever the corpus has ANY hot asset (and not count it)
+  staged = joined.withColumn(
+      '_survive',
       F.expr("filter(out_spans, s -> NOT (s.kind = 'media' "
-             'AND array_contains(_hot, s.media_ref)))')
-      .alias('out_spans'),
-      F.expr("size(filter(out_spans, s -> s.kind = 'media' "
-             'AND array_contains(_hot, s.media_ref)))')
+             'AND coalesce(array_contains(_hot, s.media_ref), '
+             'false)))'))
+  return staged.select(
+      'doc_id',
+      F.col('_survive').alias('out_spans'),
+      (F.size('out_spans') - F.size('_survive'))
       .alias('n_media_removed'))
-  return out
 
 
 def span_token_offsets(content: DataFrame) -> DataFrame:
@@ -1143,6 +1149,11 @@ def resolve_media_refs(content: DataFrame, media_dim: DataFrame, *,
                .select('doc_id',
                        F.posexplode('_refs')
                        .alias('sentinel_idx', 'media_ref')))
+  clash = {'doc_id', 'sentinel_idx', 'found', '_found'} \
+      .intersection(media_dim.columns)
+  if clash:
+    raise ValueError(f'media_dim columns collide with output '
+                     f'columns: {sorted(clash)}')
   marked = media_dim.withColumn('_found', F.lit(1))
   dim = F.broadcast(marked) if broadcast_dim else marked
   dim_cols = [c for c in media_dim.columns if c != 'media_ref']

@@ -325,16 +325,19 @@ elif model == 'mediadedup':
         # dedup is two-pass by nature (the hot set must exist before
         # the rewrite), so a production run persists the stripped
         # frame once rather than paying the Arrow strip twice;
-        # localCheckpoint INSIDE the timed pass charges that
-        # materialization to the measurement and its blocks are
-        # process-local to the executors that computed them
+        # persist+count INSIDE the timed pass charges that
+        # materialization to the measurement, its blocks are
+        # process-local to the executors that computed them, and —
+        # unlike localCheckpoint, whose blocks survive unpersist() —
+        # the finally below genuinely frees them between repeats
         planted = main_content_from_spans(df).withColumn(
             'out_spans',
             F.concat('out_spans', F.array(
                 media_span(F.lit('media/logo'), 100),
                 media_span(F.concat(F.lit('media/banner/'),
                                     F.pmod(did, F.lit(10))), 101)))) \
-            .localCheckpoint()
+            .persist()
+        planted.count()
         try:
             out = dedup_media_spans(planted, max_media_df=1000)
             agg = out.agg(

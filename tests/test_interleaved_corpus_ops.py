@@ -239,6 +239,23 @@ def test_dedup_preserves_text_and_order(dedup_out):
   assert spans[0]['text'] == 'keep me'
 
 
+def test_dedup_null_media_ref_survives_hot_set(spark):
+  """array_contains against a non-empty hot array returns NULL for a
+  NULL media_ref; an unguarded predicate silently dropped such spans
+  (uncounted) whenever the corpus had ANY hot asset."""
+  rows = [(f'd{i}', [m(None, 0), t('text', 1), m('hot', 2)])
+          for i in range(4)]
+  out = {r['doc_id']: r.asDict()
+         for r in dedup_media_spans(
+             spark.createDataFrame(rows, SCHEMA),
+             max_media_df=2).collect()}
+  for doc_id, r in out.items():
+    kinds = [(s['kind'], s['media_ref']) for s in r['out_spans']]
+    assert ('media', None) in kinds        # NULL-ref span kept
+    assert ('media', 'hot') not in kinds   # hot span removed
+    assert r['n_media_removed'] == 1
+
+
 def test_dedup_validates_cap():
   with pytest.raises(ValueError):
     dedup_media_spans(None, max_media_df=0)
@@ -261,29 +278,15 @@ def test_dedup_deterministic_under_repartition(spark):
 
 @pytest.fixture(scope='module')
 def planted(spark):
-  """The exact planted-asset frame the gate row uses: main-content
-  output + a site-wide logo, a did%10 banner and a did%100 tile
-  appended to every doc's span tail."""
+  """The exact planted-asset frame the gate row uses — built by the
+  gate's own _plant_site_assets so the python recomputations here can
+  never drift from what the oracle verifies."""
+  from __spark_entry__ import _plant_site_assets
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans)
   out = main_content_from_spans(
       interleaved_html_table(spark, SF_DIR)).localCheckpoint()
-  did = F.col('doc_id').cast('long')
-
-  def media_span(ref, order):
-    return F.struct(F.lit('media').alias('kind'),
-                    F.lit(None).cast('string').alias('text'),
-                    ref.alias('media_ref'),
-                    F.lit(order).cast('int').alias('order'))
-
-  return out.withColumn(
-      'out_spans',
-      F.concat('out_spans', F.array(
-          media_span(F.lit('media/logo'), 100),
-          media_span(F.concat(F.lit('media/banner/'),
-                              F.pmod(did, F.lit(10))), 101),
-          media_span(F.concat(F.lit('media/tile/'),
-                              F.pmod(did, F.lit(100))), 102))))
+  return _plant_site_assets(out)
 
 
 def _py_docs(planted):
