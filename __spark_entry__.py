@@ -402,13 +402,30 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
   carrying corpus_words / corpus_tokens — the corpus re-tokenized with
   the learned merges via bpe_encode's fold+join path.  The totals are
   a 1-row broadcast so every merge row stays independently checked
-  while the encode path gets a hard driver signal too."""
+  while the encode path gets a hard driver signal too.
+
+  Plus the INTERLEAVED tokenizer totals (it_words / it_tokens /
+  it_sentinels): tokenize_interleaved renders the north-rule
+  main-content corpus to sentinel text, trains its own vocabulary on
+  it with `<|image|>` as a reserved atomic token, and encodes every
+  doc — the snapshot oracle re-derives the rendered corpus from the
+  raw documents table by the synthesis formulas (the
+  recoverable-ground-truth device the main_content_spans oracle uses)
+  and reruns the sequential BPE with the sentinel excluded, so both
+  tokenizer paths and the special-token contract all get a hard
+  driver signal from one gate row."""
   from blueprint_oss_spark.ops import textops as T
+  from blueprint_oss_spark.ops.multimodal import tokenize_interleaved
   merges = T.bpe_train(spark, sf_dir)
   totals = T.bpe_encode(spark, sf_dir, merges=merges).agg(
       F.sum('n_words').alias('corpus_words'),
       F.sum('n_tokens').alias('corpus_tokens'))
-  return merges.crossJoin(F.broadcast(totals)).orderBy('rank')
+  it = tokenize_interleaved(spark, sf_dir).agg(
+      F.sum('n_words').alias('it_words'),
+      F.sum('n_tokens').alias('it_tokens'),
+      F.sum('n_sentinels').cast('long').alias('it_sentinels'))
+  return (merges.crossJoin(F.broadcast(totals))
+          .crossJoin(F.broadcast(it)).orderBy('rank'))
 
 
 def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1210,3 +1210,57 @@ def interleaved_curation_pipeline(spark: SparkSession, sf_dir: str, *,
   return render_interleaved(
       kept, media_token=media_token,
       passthrough=('n_media_removed', 'n_media', 'n_tokens'))
+
+
+def tokenize_interleaved(spark: SparkSession, sf_dir: str, *,
+                         n_merges: int = 24,
+                         media_token: str = '<|image|>',
+                         content: DataFrame = None,
+                         merges: DataFrame = None) -> DataFrame:
+  """BPE-tokenize the INTERLEAVED corpus: render the north-rule
+  main-content output to sentinel text (render_interleaved), train a
+  BPE vocabulary on that rendered corpus with the media sentinel as a
+  reserved ATOMIC token (it never contributes pair counts and always
+  encodes to exactly one token — how production multimodal tokenizers
+  treat `<|image|>`-style placeholders), and encode every document.
+
+  Returns one row per document: (doc_id, n_words, n_tokens,
+  n_sentinels, n_render_tokens).  Invariants by construction:
+  n_words == n_render_tokens (every whitespace token of the rendered
+  text is one BPE word, sentinels included) and each sentinel
+  contributes exactly 1 to n_tokens.  Docs whose rendering is empty
+  (zero surviving spans) keep their row with zero counts — the packing
+  stage downstream needs the complete accounting.
+
+  Scale shape: the rendered corpus is materialized ONCE
+  (localCheckpoint — the lm_score precedent; a production run writes
+  the rendered corpus to storage before tokenization anyway) and then
+  scanned once by bpe_train's word-count reduction and once by
+  bpe_encode's distinct-word encode+join; all merge learning happens
+  on the vocabulary-sized word table, never the corpus (see
+  textops.bpe_train).  `content=`/`merges=` are the pre-extracted
+  corpus and pre-trained vocabulary seams."""
+  from .html_extract import (
+      interleaved_html_table, main_content_from_spans,
+  )
+  from .textops import bpe_encode, bpe_train
+  if content is None:
+    content = main_content_from_spans(
+        interleaved_html_table(spark, sf_dir))
+  rend = render_interleaved(content, media_token=media_token) \
+      .select('doc_id', 'rendered_text', 'n_sentinels',
+              'n_render_tokens').localCheckpoint()
+  docs = rend.select('doc_id', F.col('rendered_text').alias('text'))
+  if merges is None:
+    merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs,
+                       special_tokens=(media_token,))
+  enc = bpe_encode(spark, sf_dir, merges=merges, docs=docs,
+                   special_tokens=(media_token,))
+  return (rend
+          .join(enc, 'doc_id', 'left')
+          .select('doc_id',
+                  F.coalesce('n_words', F.lit(0)).cast('long')
+                  .alias('n_words'),
+                  F.coalesce('n_tokens', F.lit(0)).cast('long')
+                  .alias('n_tokens'),
+                  'n_sentinels', 'n_render_tokens'))

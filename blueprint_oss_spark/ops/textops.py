@@ -1272,7 +1272,8 @@ def strip_covered_tokens(base: DataFrame, occ: DataFrame,
 
 
 def bpe_train(spark: SparkSession, sf_dir: str, *,
-              n_merges: int = 24, docs: DataFrame = None) -> DataFrame:
+              n_merges: int = 24, docs: DataFrame = None,
+              special_tokens: tuple = ()) -> DataFrame:
   """Distributed BPE vocabulary training (Sennrich et al. 2016,
   arXiv:1508.07909): learn the top `n_merges` byte-pair merges from
   corpus word frequencies.  Returns one row per learned merge:
@@ -1297,7 +1298,13 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
-  words = (d.select(F.explode(toks).alias('word'))
+  word_rows = d.select(F.explode(toks).alias('word'))
+  if special_tokens:
+    # special tokens (e.g. render_interleaved's media sentinel) are
+    # atomic vocabulary entries: they never contribute pair counts,
+    # exactly like production tokenizers exclude reserved tokens
+    word_rows = word_rows.where(~F.col('word').isin(*special_tokens))
+  words = (word_rows
            .groupBy('word').agg(F.count(F.lit(1)).alias('cnt'))
            .select(F.split('word', '').alias('syms'), 'cnt')
            .localCheckpoint(eager=True))
@@ -1362,7 +1369,8 @@ def _bpe_fold(syms_col, left: str, right: str, merged: str):
 def bpe_encode(spark: SparkSession, sf_dir: str, *,
                n_merges: int = 24, merges: DataFrame = None,
                docs: DataFrame = None,
-               return_tokens: bool = False) -> DataFrame:
+               return_tokens: bool = False,
+               special_tokens: tuple = ()) -> DataFrame:
   """Distributed BPE tokenization: apply a learned merge table (from
   `bpe_train`, or trained inline) to every document.
 
@@ -1386,7 +1394,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
   if merges is None:
-    merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs)
+    merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs,
+                       special_tokens=special_tokens)
   merge_list = [(r['left'], r['right'], r['merged'])
                 for r in merges.orderBy('rank').collect()]
 
@@ -1397,6 +1406,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
   enc_expr = F.split('word', '')
   for left, right, merged in merge_list:
     enc_expr = _bpe_fold(enc_expr, left, right, merged)
+  if special_tokens:
+    # reserved tokens encode to themselves, atomically — the fold
+    # never sees them (vocabulary-sized branch, no per-row cost)
+    enc_expr = F.when(F.col('word').isin(*special_tokens),
+                      F.array(F.col('word'))).otherwise(enc_expr)
   vocab = (doc_words.select('word').distinct()
            .select('word', enc_expr.alias('syms')))
 

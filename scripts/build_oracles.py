@@ -743,12 +743,75 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
       f'corpus_words mismatch: {set(pdf.corpus_words)} != {exp_words}'
   assert (pdf['corpus_tokens'] == exp_tokens).all(), \
       f'corpus_tokens mismatch: {set(pdf.corpus_tokens)} != {exp_tokens}'
+
+  # interleaved tokenizer totals: re-derive the rendered corpus from
+  # the raw documents table by the synthesis formulas (recoverable
+  # ground truth — interleaved_html_table builds spans by pure
+  # formulas over (doc_id, text), main content strips back to them),
+  # then rerun the SAME sequential trainer/encoder with the media
+  # sentinel excluded from training and atomic in encoding.
+  import re as _re
+  sent = '<|image|>'
+  full = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['doc_id', 'text']).to_pandas()
+  it_words = it_tokens = it_sents = 0
+  iwc: Counter = Counter()
+  rendered = []
+  for did, t in zip(full.doc_id, full.text):
+    did = int(did)
+    t0 = _re.sub(r'\s+', ' ', f'Document {did} part 0. {t}').strip()
+    parts = [t0, sent, f'Document {did} closing section part 1.']
+    if did % 3 == 0:
+      parts.append(sent)
+    if did % 2 == 0:
+      parts.append(f'PDF appendix for document {did}')
+    rendered.append(' '.join(parts))
+  for r in rendered:
+    for w in r.split(' '):
+      if w:
+        if w == sent:
+          it_sents += 1
+        else:
+          iwc[w] += 1
+  iwords = {w: (list(w), c) for w, c in iwc.items()}
+  # tokenize_interleaved's default n_merges=24 — the interleaved
+  # vocabulary is trained independently of the documents-corpus one
+  for _ in range(24):
+    pc2: Counter = Counter()
+    for syms, c in iwords.values():
+      for a, b in zip(syms, syms[1:]):
+        pc2[(a, b)] += c
+    if not pc2:
+      break
+    (left, right), _cnt = min(pc2.items(),
+                              key=lambda kv: (-kv[1], kv[0]))
+    merged = left + right
+    for w in iwords:
+      syms, c = iwords[w]
+      out2: list = []
+      for s in syms:
+        if out2 and out2[-1] == left and s == right:
+          out2[-1] = merged
+        else:
+          out2.append(s)
+      iwords[w] = (out2, c)
+  it_words = sum(c for _, c in iwords.values()) + it_sents
+  it_tokens = sum(len(syms) * c for syms, c in iwords.values()) \
+      + it_sents
+  for col, exp in (('it_words', it_words), ('it_tokens', it_tokens),
+                   ('it_sentinels', it_sents)):
+    assert (pdf[col] == exp).all(), \
+        f'{col} mismatch: {set(pdf[col])} != {exp}'
   return {'method': 'FULL sequential pure-python BPE train + encode '
                     'recomputation (greedy left-to-right merges, '
                     'count/lex tie-break; encode totals from the '
-                    'final vocabulary symbol lengths)', 'ok': True,
+                    'final vocabulary symbol lengths) + interleaved '
+                    'tokenizer totals from the formula-rendered '
+                    'corpus with the sentinel atomic', 'ok': True,
           'corpus_words': int(exp_words),
-          'corpus_tokens': int(exp_tokens)}
+          'corpus_tokens': int(exp_tokens),
+          'it_words': int(it_words), 'it_tokens': int(it_tokens),
+          'it_sentinels': int(it_sents)}
 
 
 def verify_dedup_groups_minhash(sf_dir: str, pdf) -> dict:
