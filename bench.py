@@ -184,6 +184,22 @@ def main() -> None:
 
   _interleaved_passes()  # warmup
   timed('interleaved_corpus_passes', _interleaved_passes)
+
+  # Interleaved BPE tokenization over the SAME content frame: render
+  # -> sentinel-aware vocabulary training -> whole-corpus encode.
+  # n_merges=8 (not the operator's 24 default) so the timing is
+  # dominated by the two corpus scans (word-count reduction + encode
+  # join) — the phases that scale with data — rather than the
+  # vocabulary-bounded per-round driver latency (~0.2 s/round here,
+  # independent of corpus size).
+  from blueprint_oss_spark.ops.multimodal import tokenize_interleaved
+
+  def _tokenize():
+    tokenize_interleaved(spark, sf_dir, n_merges=8,
+                         content=content).count()
+
+  _tokenize()  # warmup
+  timed('tokenize_interleaved', _tokenize)
   content.unpersist()
   mdf.unpersist()
 
