@@ -1016,16 +1016,20 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   every span also carries its (token_start, span_n_tokens) slice in
   the rendered token sequence, and the oracle recomputes the prefix
   sums from the synthesis formulas.  method='resolve' is
-  resolve_media_refs over the planted frame against a deterministic
+  media_quality_verdicts (resolve_media_refs + metadata-only media
+  quality rules) over the planted frame against a deterministic
   media dimension built from the documents table (media/{id}/0 rows
-  for even ids + the logo), so hit/miss accounting and manifest-order
-  sentinel indexing are verified corpus-wide."""
+  for even ids + the logo, bytes/width/height formula-derived), so
+  hit/miss accounting, manifest-order sentinel indexing AND the
+  OBELICS/DataComp-style keep/first-reject-reason verdicts
+  (missing/mime/bytes/width/aspect under the gate rules) are all
+  verified corpus-wide."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
   from blueprint_oss_spark.ops.multimodal import (
       caption_pairs, dedup_media_spans, interleaved_doc_stats,
-      render_interleaved, resolve_media_refs, span_token_offsets,
+      media_quality_verdicts, render_interleaved, span_token_offsets,
   )
   df = interleaved_html_table(spark, sf_dir)
   out = main_content_from_spans(df).localCheckpoint()
@@ -1036,11 +1040,12 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ('n_spans', 'n_text', 'n_media', 'n_tokens', 'media_run',
             'lead_media', 'trail_media', 'keep', 'n_sentinels',
             'n_render_tokens', 'n_media_removed', 'token_start',
-            'span_n_tokens', 'sentinel_idx', 'found', 'n_bytes')
+            'span_n_tokens', 'sentinel_idx', 'found', 'n_bytes',
+            'width', 'height', 'keep_media')
     for c in cols:
       if c not in d.columns:
         d = d.withColumn(c, ni)
-    for c in ('manifest', 'mime'):
+    for c in ('manifest', 'mime', 'reject_reason'):
       if c not in d.columns:
         d = d.withColumn(c, ns)
     return d
@@ -1092,14 +1097,22 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit('/0')).alias('media_ref'),
                        (F.pmod('did', F.lit(997)) + 1).cast('int')
                        .alias('n_bytes'),
-                       F.lit('image/png').alias('mime'))
+                       F.lit('image/png').alias('mime'),
+                       ((F.pmod('did', F.lit(7)) + 1) * 10).cast('int')
+                       .alias('width'),
+                       ((F.pmod('did', F.lit(5)) + 1) * 10).cast('int')
+                       .alias('height'))
                .unionByName(spark.createDataFrame(
-                   [('media/logo', 7, 'image/gif')],
-                   'media_ref string, n_bytes int, mime string')))
-  res = _pad(resolve_media_refs(planted, media_dim)
-             .select(F.lit('resolve').alias('method'), 'doc_id',
-                     *doc_cols[:3], 'media_ref', *doc_cols[4:],
-                     'sentinel_idx', 'found', 'n_bytes', 'mime'))
+                   [('media/logo', 7, 'image/gif', 600, 60)],
+                   'media_ref string, n_bytes int, mime string, '
+                   'width int, height int')))
+  res = _pad(media_quality_verdicts(
+      planted, media_dim, allowed_mime=('image/png',), min_bytes=100,
+      min_width=20, max_aspect=3.0)
+      .select(F.lit('resolve').alias('method'), 'doc_id',
+              *doc_cols[:3], 'media_ref', *doc_cols[4:],
+              'sentinel_idx', 'found', 'n_bytes', 'mime',
+              'width', 'height', 'keep_media', 'reject_reason'))
   return (spans.unionByName(caps).unionByName(stats)
           .unionByName(rend).unionByName(mdd).unionByName(res)
           .orderBy('method', 'doc_id', 'span_order', 'sentinel_idx'))
@@ -2090,7 +2103,9 @@ def oracle_sql() -> dict[str, str]:
                        len0
                 FROM ln) b),
         -- the resolve section's media dimension: media/{id}/0 rows
-        -- for even ids (n_bytes = did%997+1, image/png) + the logo
+        -- for even ids (n_bytes = did%997+1, image/png, width =
+        -- (did%7+1)*10, height = (did%5+1)*10) + the logo (gif,
+        -- 600x60)
         resolved AS (
           SELECT doc_id, CAST(0 AS INTEGER) AS sentinel_idx,
                  'media/' || doc_id || '/0' AS media_ref,
@@ -2100,27 +2115,51 @@ def oracle_sql() -> dict[str, str]:
                       THEN CAST(did % 997 + 1 AS INTEGER)
                       ELSE NULL END AS n_bytes,
                  CASE WHEN did % 2 = 0 THEN 'image/png'
-                      ELSE NULL END AS mime
+                      ELSE NULL END AS mime,
+                 CASE WHEN did % 2 = 0
+                      THEN CAST((did % 7 + 1) * 10 AS INTEGER)
+                      ELSE NULL END AS width,
+                 CASE WHEN did % 2 = 0
+                      THEN CAST((did % 5 + 1) * 10 AS INTEGER)
+                      ELSE NULL END AS height
           FROM feat
           UNION ALL
           SELECT doc_id, CAST(1 AS INTEGER),
                  'media/' || doc_id || '/1',
-                 CAST(0 AS INTEGER), NULL, NULL
+                 CAST(0 AS INTEGER), NULL, NULL, NULL, NULL
           FROM feat WHERE e3 = 1
           UNION ALL
           SELECT doc_id, CAST(1 + e3 AS INTEGER), 'media/logo',
-                 CAST(1 AS INTEGER), CAST(7 AS INTEGER), 'image/gif'
+                 CAST(1 AS INTEGER), CAST(7 AS INTEGER), 'image/gif',
+                 CAST(600 AS INTEGER), CAST(60 AS INTEGER)
           FROM feat
           UNION ALL
           SELECT doc_id, CAST(2 + e3 AS INTEGER),
                  'media/banner/' || CAST(did % 10 AS VARCHAR),
-                 CAST(0 AS INTEGER), NULL, NULL
+                 CAST(0 AS INTEGER), NULL, NULL, NULL, NULL
           FROM feat
           UNION ALL
           SELECT doc_id, CAST(3 + e3 AS INTEGER),
                  'media/tile/' || CAST(did % 100 AS VARCHAR),
-                 CAST(0 AS INTEGER), NULL, NULL
-          FROM feat)
+                 CAST(0 AS INTEGER), NULL, NULL, NULL, NULL
+          FROM feat),
+        -- media_quality_verdicts' gate rules (first failure wins):
+        -- missing, mime in ('image/png'), bytes >= 100, width >= 20,
+        -- aspect = width/height <= 3.0 (height <= 0 guard)
+        resolved_q AS (
+          SELECT *,
+                 CASE WHEN found = 0 THEN 'missing'
+                      WHEN mime IS NULL OR mime <> 'image/png'
+                        THEN 'mime'
+                      WHEN n_bytes IS NULL OR n_bytes < 100
+                        THEN 'bytes'
+                      WHEN width IS NULL OR width < 20 THEN 'width'
+                      WHEN height IS NULL OR height <= 0
+                        OR CAST(width AS DOUBLE)
+                           / CAST(height AS DOUBLE) > 3.0
+                        THEN 'aspect'
+                      ELSE NULL END AS reject_reason
+          FROM resolved)
         SELECT 'span' AS method, doc_id, span_order, kind, text,
                media_ref, CAST(NULL AS VARCHAR) AS cap_before,
                CAST(NULL AS VARCHAR) AS cap_after,
@@ -2141,7 +2180,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INTEGER) AS found,
                CAST(NULL AS INTEGER) AS n_bytes,
                CAST(NULL AS VARCHAR) AS manifest,
-               CAST(NULL AS VARCHAR) AS mime
+               CAST(NULL AS VARCHAR) AS mime,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS keep_media,
+               CAST(NULL AS VARCHAR) AS reject_reason
         FROM spans
         UNION ALL
         SELECT 'caption', doc_id, CAST(1 AS INTEGER), 'media',
@@ -2151,7 +2194,8 @@ def oracle_sql() -> dict[str, str]:
                'Document ' || doc_id || ' closing section part 1.',
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM t0
         UNION ALL
         SELECT 'caption', doc_id, CAST(3 AS INTEGER), 'media',
@@ -2162,7 +2206,8 @@ def oracle_sql() -> dict[str, str]:
                     ELSE NULL END,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM d WHERE did % 3 = 0
         UNION ALL
         SELECT 'stats', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -2172,7 +2217,8 @@ def oracle_sql() -> dict[str, str]:
                          AND media_run <= 3
                     THEN 1 ELSE 0 END AS INTEGER),
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM feat
         UNION ALL
         SELECT 'render', doc_id, NULL, NULL,
@@ -2195,7 +2241,8 @@ def oracle_sql() -> dict[str, str]:
                  || ',media/logo,media/banner/'
                  || CAST(did % 10 AS VARCHAR)
                  || ',media/tile/' || CAST(did % 100 AS VARCHAR),
-               CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM feat
         UNION ALL
         SELECT 'mediadedup', doc_id, NULL, NULL, NULL, NULL, NULL,
@@ -2216,15 +2263,20 @@ def oracle_sql() -> dict[str, str]:
                  || CASE WHEN NOT tile_hot
                     THEN ',media/tile/' || CAST(did % 100 AS VARCHAR)
                     ELSE '' END,
-               CAST(NULL AS VARCHAR)
+               CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
         FROM feat
         UNION ALL
         SELECT 'resolve', doc_id, NULL, NULL, NULL, media_ref, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL,
                sentinel_idx, found, n_bytes,
-               CAST(NULL AS VARCHAR), mime
-        FROM resolved
+               CAST(NULL AS VARCHAR), mime,
+               width, height,
+               CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END
+                 AS INTEGER),
+               reject_reason
+        FROM resolved_q
         ORDER BY method, doc_id, span_order, sentinel_idx
       """,
       'events_cube': """

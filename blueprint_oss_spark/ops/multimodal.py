@@ -1264,3 +1264,101 @@ def tokenize_interleaved(spark: SparkSession, sf_dir: str, *,
                   F.coalesce('n_tokens', F.lit(0)).cast('long')
                   .alias('n_tokens'),
                   'n_sentinels', 'n_render_tokens'))
+
+
+def media_quality_verdicts(content: DataFrame, media_dim: DataFrame, *,
+                           require_found: bool = True,
+                           allowed_mime: tuple = None,
+                           min_bytes: int = None,
+                           min_width: int = None,
+                           min_height: int = None,
+                           min_aspect: float = None,
+                           max_aspect: float = None,
+                           broadcast_dim: bool = True) -> DataFrame:
+  """Media quality filtering at the resolution step (the OBELICS /
+  DataComp image-filtering shape: drop tiny thumbnails, banner-shaped
+  aspect ratios, disallowed formats, dead links — judged from the
+  media METADATA dimension, no pixel decode): every sentinel of the
+  north-rule main-content output gets a keep/reject verdict with the
+  first failing rule named, so downstream composition gates can count
+  SURVIVING media and takedown audits can group by reason.
+
+  Returns resolve_media_refs' rows plus (keep_media, reject_reason):
+  one row per sentinel in manifest order — (doc_id, sentinel_idx,
+  media_ref, found, <dim columns>, keep_media, reject_reason).
+  Rules apply in a fixed order and reject_reason names the FIRST
+  failure: 'missing' (found = 0, when require_found), then 'mime',
+  'bytes', 'width', 'height', 'aspect'.  Metadata rules are
+  NULL-safe: a resolved row with a NULL value for a checked column
+  fails that rule (metadata the rule needs is absent), while
+  unresolved rows only ever fail 'missing' — with
+  require_found=False they pass vacuously and the explicit `found`
+  column stays the caller's signal.  Aspect = width/height, guarded
+  against non-positive height (fails 'aspect', never divides).
+
+  Each rule is only active when its parameter is given, and demands
+  its dimension column exist (ValueError otherwise — a silently
+  unchecked rule is worse than a loud one).
+
+  Scale shape: resolve_media_refs' plan plus ONE projection — the
+  corpus side still never shuffles with broadcast_dim=True (the
+  verdict is a map-side when-chain over the joined row), and the
+  broadcast_dim=False corpus-scale-dimension fallback inherits
+  resolve's composition contract (run dedup_media_spans first).
+  """
+  needed = {'mime': allowed_mime is not None,
+            'n_bytes': min_bytes is not None,
+            'width': min_width is not None or min_aspect is not None
+            or max_aspect is not None,
+            'height': min_height is not None or min_aspect is not None
+            or max_aspect is not None}
+  missing_cols = [c for c, need in needed.items()
+                  if need and c not in media_dim.columns]
+  if missing_cols:
+    raise ValueError(f'rules need media_dim columns not present: '
+                     f'{missing_cols}')
+  clash = {'keep_media', 'reject_reason'}.intersection(media_dim.columns)
+  if clash:
+    raise ValueError(f'media_dim columns collide with verdict '
+                     f'columns: {sorted(clash)}')
+  resolved = resolve_media_refs(content, media_dim,
+                                broadcast_dim=broadcast_dim)
+  ok = F.col('found') == 1
+
+  def _null_or(col, bad):
+    # metadata rules are NULL-safe-reject on RESOLVED rows only
+    return ok & (F.col(col).isNull() | bad)
+
+  checks = []
+  if require_found:
+    checks.append(('missing', F.col('found') == 0))
+  if allowed_mime is not None:
+    checks.append(('mime', _null_or(
+        'mime', ~F.col('mime').isin(*allowed_mime))))
+  if min_bytes is not None:
+    checks.append(('bytes', _null_or(
+        'n_bytes', F.col('n_bytes') < F.lit(min_bytes))))
+  if min_width is not None:
+    checks.append(('width', _null_or(
+        'width', F.col('width') < F.lit(min_width))))
+  if min_height is not None:
+    checks.append(('height', _null_or(
+        'height', F.col('height') < F.lit(min_height))))
+  if min_aspect is not None or max_aspect is not None:
+    aspect = F.col('width').cast('double') \
+        / F.col('height').cast('double')
+    bad = F.col('height') <= 0
+    if min_aspect is not None:
+      bad = bad | (aspect < F.lit(float(min_aspect)))
+    if max_aspect is not None:
+      bad = bad | (aspect > F.lit(float(max_aspect)))
+    checks.append(('aspect', ok & (
+        F.col('width').isNull() | F.col('height').isNull() | bad)))
+
+  reason = F.lit(None).cast('string')
+  for name, cond in reversed(checks):
+    reason = F.when(cond, F.lit(name)).otherwise(reason)
+  return resolved.select(
+      '*', reason.alias('reject_reason')).select(
+      '*', F.when(F.col('reject_reason').isNull(), F.lit(1))
+      .otherwise(F.lit(0)).alias('keep_media'))
