@@ -293,24 +293,31 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
   carries hard_negative_mining's per-anchor different-label top-k
   (anchor_id/anchor_label/rnk columns, NULL on the other sections;
   neg_id rides vec_id, neg_label rides label) — its oracle is also
-  from-scratch SQL."""
+  from-scratch SQL.  A sixth section method='bitext' carries
+  bitext_mine's LASER/CCMatrix ratio-margin mining over the
+  vec_id % 5 == 1 two-sided split (src_id rides vec_id, the best
+  target rides anchor_id, plus its own margin_r/mined/mutual columns)
+  — every cell recomputed from scratch by the oracle, including the
+  exact-integer margin inequality."""
   from blueprint_oss_spark.ops import vectors as V
   nul_i = F.lit(None).cast('int')
   nul_d = F.lit(None).cast('double')
   nul_l = F.lit(None).cast('long')
   no_anchor = [nul_l.alias('anchor_id'), nul_l.alias('anchor_label'),
                nul_i.alias('rnk')]
+  no_bitext = [nul_d.alias('margin_r'), nul_i.alias('mined'),
+               nul_i.alias('mutual')]
   brute = (V.cosine_topk_bruteforce(spark, sf_dir)
            .join(V.embedding_norms(spark, sf_dir), 'vec_id')
            .select(F.lit('brute').alias('method'), 'vec_id', 'cosine_r',
-                   'label', 'norm_sq', *no_anchor))
+                   'label', 'norm_sq', *no_anchor, *no_bitext))
   lsh = V.ann_topk_lsh(spark, sf_dir).withColumn('method', F.lit('lsh'))
   ivf = V.ivf_topk(spark, sf_dir).withColumn('method', F.lit('ivf'))
   pqa = V.pq_topk(spark, sf_dir).withColumn('method', F.lit('pq'))
   ann = (lsh.unionByName(ivf).unionByName(pqa)
          .select('method', 'vec_id', 'cosine_r',
                  nul_i.alias('label'), nul_d.alias('norm_sq'),
-                 *no_anchor))
+                 *no_anchor, *no_bitext))
   # hard-negative mining section (from-scratch SQL oracle): neg_id
   # rides vec_id, neg_label rides label, plus its own anchor columns
   hn = (V.hard_negative_mining(spark, sf_dir)
@@ -322,8 +329,19 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col('anchor_id').cast('long').alias('anchor_id'),
                 F.col('anchor_label').cast('long')
                 .alias('anchor_label'),
-                F.col('rnk').cast('int').alias('rnk')))
-  return (brute.unionByName(ann).unionByName(hn)
+                F.col('rnk').cast('int').alias('rnk'),
+                *no_bitext))
+  bt = (V.bitext_mine(spark, sf_dir)
+        .select(F.lit('bitext').alias('method'),
+                F.col('src_id').alias('vec_id'),
+                F.col('cos_r').alias('cosine_r'),
+                nul_i.alias('label'), nul_d.alias('norm_sq'),
+                F.col('tgt_id').cast('long').alias('anchor_id'),
+                nul_l.alias('anchor_label'), nul_i.alias('rnk'),
+                'margin_r',
+                F.col('mined').cast('int').alias('mined'),
+                F.col('mutual').cast('int').alias('mutual')))
+  return (brute.unionByName(ann).unionByName(hn).unionByName(bt)
           .orderBy('method', 'anchor_id', 'rnk',
                    F.desc('cosine_r'), 'vec_id'))
 
@@ -3045,38 +3063,110 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
           FROM vl WHERE vec_id % 50 = 0
         ), hnscored AS (
-          SELECT a.anchor_id, a.anchor_label, vl.vec_id AS neg_id,
-                 vl.label AS neg_label,
-                 ROUND(list_dot_product(vl.e, a.ae)
-                       / (sqrt(list_dot_product(vl.e, vl.e))
-                          * sqrt(list_dot_product(a.ae, a.ae))), 6)
-                   AS cos6
-          FROM vl JOIN anch a ON vl.label <> a.anchor_label
+          -- cos6 orders, cos4 presents — BOTH from the raw cosine
+          -- (re-rounding the 6dp value to 4dp diverges engines on
+          -- 4dp half-edges)
+          SELECT anchor_id, anchor_label, neg_id, neg_label,
+                 ROUND(cos, 6) AS cos6, ROUND(cos, 4) AS cos4
+          FROM (
+            SELECT a.anchor_id, a.anchor_label, vl.vec_id AS neg_id,
+                   vl.label AS neg_label,
+                   list_dot_product(vl.e, a.ae)
+                   / (sqrt(list_dot_product(vl.e, vl.e))
+                      * sqrt(list_dot_product(a.ae, a.ae))) AS cos
+            FROM vl JOIN anch a ON vl.label <> a.anchor_label)
         ), hnranked AS (
           SELECT *, row_number() OVER (PARTITION BY anchor_id
                                        ORDER BY cos6 DESC, neg_id)
                       AS rnk
           FROM hnscored
+        ),
+        -- bitext mining section, recomputed from scratch: two-sided
+        -- split on vec_id % 5 == 1, per-pair cosine in exact integer
+        -- micro-units, k=4 neighborhoods, ratio margin >= 21/20 as a
+        -- cross-multiplied BIGINT inequality (the 1e6 cancels)
+        bsrc AS (SELECT vec_id AS src_id, e FROM vl
+                 WHERE vec_id % 5 = 1),
+        btgt AS (SELECT vec_id AS tgt_id, e FROM vl
+                 WHERE vec_id % 5 <> 1),
+        bsc AS (
+          SELECT src_id, tgt_id, ROUND(cos, 6) AS cos6,
+                 CAST(ROUND(ROUND(cos, 6) * 1e6, 0) AS BIGINT) AS cm,
+                 ROUND(cos, 4) AS cos4
+          FROM (
+            SELECT s.src_id, t.tgt_id,
+                   list_dot_product(s.e, t.e)
+                   / (sqrt(list_dot_product(s.e, s.e))
+                      * sqrt(list_dot_product(t.e, t.e))) AS cos
+            FROM bsrc s, btgt t)
+        ), bra AS (
+          SELECT *, row_number() OVER (PARTITION BY src_id
+                                       ORDER BY cos6 DESC, tgt_id)
+                      AS rnk
+          FROM bsc
+        ), bagga AS (
+          SELECT src_id,
+                 max(CASE WHEN rnk = 1 THEN tgt_id END) AS best_tgt,
+                 max(CASE WHEN rnk = 1 THEN cos4 END) AS best_cos4,
+                 max(CASE WHEN rnk = 1 THEN cm END) AS best_cm,
+                 sum(cm) AS sum_a, count(*) AS n_a
+          FROM bra WHERE rnk <= 4 GROUP BY src_id
+        ), brb AS (
+          SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                       ORDER BY cos6 DESC, src_id)
+                      AS rnk
+          FROM bsc
+        ), baggb AS (
+          SELECT tgt_id,
+                 max(CASE WHEN rnk = 1 THEN src_id END) AS best_src,
+                 sum(cm) AS sum_b, count(*) AS n_b
+          FROM brb WHERE rnk <= 4 GROUP BY tgt_id
+        ), bout AS (
+          SELECT a.src_id, a.best_tgt,
+                 a.best_cos4 AS cos_r,
+                 a.sum_a * b.n_b + b.sum_b * a.n_a AS den,
+                 2 * a.best_cm * a.n_a * b.n_b AS num,
+                 CASE WHEN b.best_src = a.src_id THEN 1 ELSE 0 END
+                   AS mutual
+          FROM bagga a JOIN baggb b ON a.best_tgt = b.tgt_id
         )
         SELECT 'brute' AS method, t.vec_id, t.cosine_r,
                n.label, n.norm_sq,
                CAST(NULL AS BIGINT) AS anchor_id,
                CAST(NULL AS BIGINT) AS anchor_label,
-               CAST(NULL AS INT) AS rnk
+               CAST(NULL AS INT) AS rnk,
+               CAST(NULL AS DOUBLE) AS margin_r,
+               CAST(NULL AS INT) AS mined,
+               CAST(NULL AS INT) AS mutual
         FROM topk t JOIN norms n ON t.vec_id = n.vec_id
         UNION ALL
         SELECT method, vec_id, cosine_r,
                CAST(NULL AS INT) AS label,
                CAST(NULL AS DOUBLE) AS norm_sq,
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
                CAST(NULL AS INT)
         FROM read_parquet('/root/repo/oracles/ann_topk_methods.parquet')
         UNION ALL
-        SELECT 'hardneg', neg_id, ROUND(cos6, 4),
+        SELECT 'hardneg', neg_id, cos4,
                CAST(neg_label AS INT), CAST(NULL AS DOUBLE),
                anchor_id, CAST(anchor_label AS BIGINT),
-               CAST(rnk AS INT)
+               CAST(rnk AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS INT)
         FROM hnranked WHERE rnk <= 3
+        UNION ALL
+        SELECT 'bitext', src_id, cos_r,
+               CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+               best_tgt, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+               CASE WHEN den > 0
+                    THEN ROUND(CAST(num AS DOUBLE)
+                               / CAST(den AS DOUBLE), 4) END,
+               CAST(CASE WHEN den > 0 AND num * 20 >= 21 * den
+                    THEN 1 ELSE 0 END AS INT),
+               CAST(mutual AS INT)
+        FROM bout
         ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': r"""
@@ -4106,16 +4196,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id + 1000000, list_transform(e, x -> x + 0.01)
           FROM v WHERE vec_id < 40
         ), tr AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+        -- cos6 thresholds/orders, cos4 presents — both from the raw
+        -- cosine (re-rounding the 6dp value to 4dp diverges engines
+        -- on 4dp half-edges)
         scored AS (
-          SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
-                 ROUND(list_dot_product(t.e, ev.e)
-                       / (sqrt(list_dot_product(t.e, t.e))
-                          * sqrt(list_dot_product(ev.e, ev.e))), 6)
-                   AS cos6
-          FROM tr t, ev
+          SELECT train_id, eval_id, ROUND(cos, 6) AS cos6,
+                 ROUND(cos, 4) AS cos4
+          FROM (
+            SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+                   list_dot_product(t.e, ev.e)
+                   / (sqrt(list_dot_product(t.e, t.e))
+                      * sqrt(list_dot_product(ev.e, ev.e))) AS cos
+            FROM tr t, ev)
         ), hits AS (SELECT * FROM scored WHERE cos6 >= 0.9),
         ranked AS (
-          SELECT train_id, eval_id, cos6,
+          SELECT train_id, eval_id, cos6, cos4,
                  row_number() OVER (PARTITION BY train_id
                                     ORDER BY cos6 DESC, eval_id) AS rnk
           FROM hits)
@@ -4125,7 +4220,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'decon', t.vec_id,
                CAST(r.eval_id AS BIGINT),
-               ROUND(r.cos6, 4),
+               r.cos4,
                CAST(r.train_id IS NOT NULL AS INT)
         FROM tr t LEFT JOIN (SELECT * FROM ranked WHERE rnk = 1) r
           ON t.vec_id = r.train_id

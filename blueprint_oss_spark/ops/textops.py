@@ -1273,7 +1273,8 @@ def strip_covered_tokens(base: DataFrame, occ: DataFrame,
 
 def bpe_train(spark: SparkSession, sf_dir: str, *,
               n_merges: int = 24, docs: DataFrame = None,
-              special_tokens: tuple = ()) -> DataFrame:
+              special_tokens: tuple = (),
+              checkpoint_interval: int = 4) -> DataFrame:
   """Distributed BPE vocabulary training (Sennrich et al. 2016,
   arXiv:1508.07909): learn the top `n_merges` byte-pair merges from
   corpus word frequencies.  Returns one row per learned merge:
@@ -1292,9 +1293,14 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
   iterations.  Each round does one tiny groupBy over symbol pairs, a
   bounded 1-row collect of the argmax (same bounded-collect precedent
   as the IVF/PQ codebook training), and a map-side fold applying the
-  merge; `localCheckpoint` after every round truncates lineage so the
-  plan stays O(1) in rounds (same pattern as ops/graph.py connected
-  components)."""
+  merge.  The argmax collect is the round's ONLY driver job: merge
+  application stays lazy and `localCheckpoint(eager=False)` every
+  `checkpoint_interval` rounds truncates lineage while the NEXT
+  round's argmax materializes it for free — an eager checkpoint per
+  round costs a second full job barrier per round, the serial
+  fraction the bpe cluster-scaling model measured directly (same
+  lesson, same fix as ops/graph.pagerank's lazy periodic
+  checkpoints)."""
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
@@ -1310,6 +1316,14 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
            .localCheckpoint(eager=True))
 
   merges = []
+  # checkpointed frames still needed: a LAZY checkpoint depends on its
+  # predecessor's cached blocks until the next action materializes it
+  # (localCheckpoint severs lineage — unpersisting early would lose
+  # data irrecoverably), so the predecessor is only dropped once a
+  # NEWER checkpoint exists, by which point rounds in between have
+  # materialized the one before it.
+  live = [words]
+  cur = words
   try:
     for rank in range(n_merges):
       sz = F.size('syms')
@@ -1318,7 +1332,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
           lambda a, b: F.struct(a.alias('left'), b.alias('right')))) \
           .otherwise(F.array().cast(
               'array<struct<left:string,right:string>>'))
-      top = (words.select(F.explode(pairs).alias('p'), 'cnt')
+      top = (cur.select(F.explode(pairs).alias('p'), 'cnt')
              .groupBy('p.left', 'p.right')
              .agg(F.sum('cnt').alias('pair_count'))
              .orderBy(F.desc('pair_count'), F.asc('left'),
@@ -1329,22 +1343,19 @@ def bpe_train(spark: SparkSession, sf_dir: str, *,
       left, right, pair_count = top[0]
       merged = left + right
       merges.append((rank, left, right, merged, pair_count))
-      # greedy left-to-right merge application, fold-style JVM-side
-      apply_merge = F.aggregate(
-          'syms', F.array().cast('array<string>'),
-          lambda acc, s: F.when(
-              (F.size(acc) > 0)
-              & (F.element_at(acc, -1) == F.lit(left))
-              & (s == F.lit(right)),
-              F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                       F.array(F.lit(merged))))
-          .otherwise(F.concat(acc, F.array(s))))
-      new_words = (words.select(apply_merge.alias('syms'), 'cnt')
-                   .localCheckpoint(eager=True))
-      words.unpersist()
-      words = new_words
+      # greedy left-to-right merge application, fold-style JVM-side —
+      # LAZY: folds chain until the next periodic checkpoint
+      cur = cur.select(
+          _bpe_fold(F.col('syms'), left, right, merged).alias('syms'),
+          'cnt')
+      if (rank + 1) % max(checkpoint_interval, 1) == 0:
+        cur = cur.localCheckpoint(eager=False)
+        live.append(cur)
+        while len(live) > 2:
+          live.pop(0).unpersist()
   finally:
-    words.unpersist()
+    for f in live:
+      f.unpersist()
   return spark.createDataFrame(
       merges,
       'rank int, left string, right string, merged string, '
@@ -1370,7 +1381,8 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
                n_merges: int = 24, merges: DataFrame = None,
                docs: DataFrame = None,
                return_tokens: bool = False,
-               special_tokens: tuple = ()) -> DataFrame:
+               special_tokens: tuple = (),
+               prereduce_words: bool = False) -> DataFrame:
   """Distributed BPE tokenization: apply a learned merge table (from
   `bpe_train`, or trained inline) to every document.
 
@@ -1390,7 +1402,18 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
   corpus on the word key (AQE picks broadcast vs shuffle by actual
   vocab size).  The merge table itself is a bounded collect —
   n_merges rows, the same bounded-collect precedent as the IVF/PQ
-  codebooks.  No Python in any per-row path."""
+  codebooks.  No Python in any per-row path.
+
+  The accounting path (return_tokens=False) aggregates the vocab-
+  joined word stream straight to per-doc totals: ONE corpus shuffle
+  whose map-side partial aggregation collapses each partition to its
+  resident doc count — measured ~40% faster than first reducing to
+  (doc_id, word) counts, whose shuffle carries every distinct
+  doc x word pair across the wire for nothing when the vocabulary is
+  broadcastable.  `prereduce_words=True` restores the pre-reduction
+  for the regime where the vocabulary is too large to broadcast (the
+  word-keyed join then shuffles the corpus side, and pre-reducing
+  cuts that shuffle by the in-doc repetition factor)."""
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
   if merges is None:
@@ -1423,13 +1446,19 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
     return per_doc.select('doc_id', 'tokens',
                           F.size('tokens').alias('n_tokens'))
 
-  wc = (doc_words.groupBy('doc_id', 'word')
-        .agg(F.count(F.lit(1)).alias('cnt')))
-  return (wc.join(vocab.select('word', F.size('syms').alias('word_tokens')),
-                  'word')
+  vt = vocab.select('word', F.size('syms').alias('word_tokens'))
+  if prereduce_words:
+    wc = (doc_words.groupBy('doc_id', 'word')
+          .agg(F.count(F.lit(1)).alias('cnt')))
+    return (wc.join(vt, 'word')
+            .groupBy('doc_id')
+            .agg(F.sum('cnt').alias('n_words'),
+                 F.sum(F.col('cnt') * F.col('word_tokens'))
+                 .alias('n_tokens')))
+  return (doc_words.join(vt, 'word')
           .groupBy('doc_id')
-          .agg(F.sum('cnt').alias('n_words'),
-               F.sum(F.col('cnt') * F.col('word_tokens')).alias('n_tokens')))
+          .agg(F.count(F.lit(1)).alias('n_words'),
+               F.sum('word_tokens').alias('n_tokens')))
 
 
 def incremental_dedup(spark: SparkSession, sf_dir: str, *,

@@ -612,16 +612,24 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str, *,
                  F.col('e').alias('e_t'))
   ee = ev.select(F.col('vec_id').alias('eval_id'),
                  F.col('e').alias('e_e'))
+  # raw cosine staged (no-CSE rule); cos6 thresholds/orders, cos4 is
+  # the presentation rounding from the RAW value — re-rounding cos6
+  # to 4dp diverges engines on 4dp half-edges (the
+  # hard_negative_mining lesson).  cos4 sits AFTER ni in the struct
+  # so tie-breaking semantics are unchanged.
   scored = (cand.join(et, 'train_id').join(ee, 'eval_id')
             .select('train_id',
                     'eval_id',
-                    F.round(_dot(F.col('e_t'), F.col('e_e'))
-                            / (_norm(F.col('e_t'))
-                               * _norm(F.col('e_e'))), 6)
-                    .alias('cos6')))
+                    (_dot(F.col('e_t'), F.col('e_e'))
+                     / (_norm(F.col('e_t')) * _norm(F.col('e_e'))))
+                    .alias('cos'))
+            .select('train_id', 'eval_id',
+                    F.round('cos', 6).alias('cos6'),
+                    F.round('cos', 4).alias('cos4')))
   best = (scored.groupBy('train_id')
           .agg(F.max(F.struct(F.col('cos6'),
-                              (-F.col('eval_id')).alias('ni')))
+                              (-F.col('eval_id')).alias('ni'),
+                              F.col('cos4')))
                .alias('b')))
   contaminated = F.coalesce(
       (F.col('b.cos6') >= threshold).cast('int'), F.lit(0))
@@ -631,7 +639,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str, *,
                   contaminated.alias('contaminated'),
                   F.when(contaminated == 1, -F.col('b.ni'))
                   .cast('long').alias('best_eval_id'),
-                  F.when(contaminated == 1, F.round('b.cos6', 4))
+                  F.when(contaminated == 1, F.col('b.cos4'))
                   .alias('best_cos_r'))
           .orderBy('vec_id'))
 
@@ -752,17 +760,153 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str, *,
   probe = _spread_small_scan(
       e, e.select(F.col('vec_id').alias('neg_id'),
                   F.col('label').alias('neg_label'), vec.alias('v')))
+  # raw cosine staged as its own column (interpreted HOFs get no CSE),
+  # then BOTH roundings derive from it: cos6 orders, cos_r presents.
+  # Rounding the round-6 value again to 4dp is the cross-engine trap —
+  # a 6dp value landing on a 4dp half-edge (P ~ 1e-3/row) rounds up
+  # through Spark's shortest-decimal BigDecimal but down through
+  # DuckDB's binary-value rounding; from the raw double the same
+  # divergence needs a ~1-ulp coincidence.
   scored = (probe
             .join(F.broadcast(anchors),
                   F.col('neg_label') != F.col('anchor_label'))
             .select('anchor_id', 'anchor_label', 'neg_id', 'neg_label',
-                    F.round(_dot(F.col('v'), F.col('a'))
-                            / (_norm(F.col('v')) * _norm(F.col('a'))),
-                            6).alias('cos6')))
+                    (_dot(F.col('v'), F.col('a'))
+                     / (_norm(F.col('v')) * _norm(F.col('a'))))
+                    .alias('cos'))
+            .select('anchor_id', 'anchor_label', 'neg_id', 'neg_label',
+                    F.round('cos', 6).alias('cos6'),
+                    F.round('cos', 4).alias('cos4')))
   w = Window.partitionBy('anchor_id').orderBy(F.desc('cos6'), 'neg_id')
   return (scored
           .withColumn('rnk', F.row_number().over(w))
           .where(F.col('rnk') <= k)
           .select('anchor_id', 'anchor_label', 'rnk', 'neg_id',
-                  'neg_label', F.round('cos6', 4).alias('cos_r'))
+                  'neg_label', F.col('cos4').alias('cos_r'))
           .orderBy('anchor_id', 'rnk'))
+
+
+def bitext_mine(spark: SparkSession, sf_dir: str, *,
+                k: int = 4, src_mod: int = 5,
+                threshold_num: int = 21,
+                threshold_den: int = 20,
+                emb: DataFrame = None) -> DataFrame:
+  """Margin-based bitext mining (Artetxe & Schwenk 2019,
+  arXiv:1811.01136 'ratio' margin; the criterion CCMatrix — Schwenk
+  et al., arXiv:1911.04944 — mines parallel web sentences with): for
+  every SOURCE-side vector x, find its best TARGET-side match y by
+  cosine and score the pair by the margin
+
+      margin(x, y) = cos(x, y) / ((avgA + avgB) / 2)
+
+  where avgA is the mean cosine of x to its k nearest TARGET vectors
+  and avgB the mean of y to its k nearest SOURCE vectors — the
+  normalization that suppresses hubness (a y that is close to
+  EVERYTHING scores high raw cosine against every x; dividing by its
+  neighborhood average cancels that).  The two sides are the
+  deterministic `vec_id % src_mod == 1` split of the embeddings table
+  (source = matches, target = the rest; a real deployment passes the
+  two languages' embedding tables — the seam is the WHERE clause).
+
+  Returns one row per source vector:
+    src_id, tgt_id (best target by (round(cos,6) DESC, tgt_id)),
+    cos_r (round 4), margin_r (round 4; NULL when the neighborhood
+    denominator is non-positive — an anti-correlated neighborhood has
+    no meaningful ratio margin), mined (1 iff margin >= threshold_num
+    / threshold_den with a POSITIVE denominator — evaluated in exact
+    cross-multiplied integers, see below), mutual (1 iff x is also
+    its best target's best source — CCMatrix's forward+backward
+    agreement; callers AND it with `mined` for the high-precision
+    pair set).
+
+  Cross-engine determinism: per-pair cosine is rounded to 6dp and
+  converted to exact integer micro-units (cm = round(cos6 * 1e6) as
+  BIGINT); neighborhood sums are then order-free BIGINT sums, and the
+  mined verdict is the exact integer inequality
+      2 * cm * nA * nB * threshold_den >= threshold_num
+        * (sumA * nB + sumB * nA)
+  (the 1e6 cancels in the ratio), so no float accumulation order can
+  diverge engines — the same exact-surrogate discipline as lm_score /
+  dsir.  nA/nB are the ACTUAL neighbor counts (min(k, side size)), so
+  degenerate sides still average correctly.
+
+  Scale shape (mirrors hard_negative_mining): the source side is the
+  bounded dimension — in the CCMatrix setting the low-resource
+  language's sentence table, orders of magnitude smaller than the
+  English side — BROADCAST against the target scan, so scoring is
+  map-side and the target corpus NEVER shuffles for candidate
+  generation.  Both per-element top-k passes are rank windows whose
+  `rnk <= k` filter Spark pushes down as WindowGroupLimit (map-side
+  partial top-k), so each shuffle carries at most k rows per element,
+  not the scored cross product; the scored frame is recomputed for
+  the second pass rather than persisted (two cheap map-side scans
+  beat caching an |src| x |tgt| intermediate at scale).  The final
+  assembly broadcasts the |src|-sized aggregate into the target-side
+  aggregate.  At symmetric corpus x corpus scale, swap the broadcast
+  for banded sign-LSH candidate generation (semantic_decontaminate's
+  machinery) and keep the same margin arithmetic.
+
+  `emb=` overrides the default embeddings table (vec_id, embedding) —
+  the seam synthetic-hubness tests use."""
+  raw = emb if emb is not None else _emb(spark, sf_dir)
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  is_src = F.pmod(F.col('vec_id'), F.lit(src_mod)) == 1
+  src = (raw.where(is_src)
+         .select(F.col('vec_id').alias('src_id'), vec.alias('s')))
+  tgt = _spread_small_scan(
+      raw, raw.where(~is_src)
+      .select(F.col('vec_id').alias('tgt_id'), vec.alias('t')))
+  # raw cosine staged as its own column (interpreted HOFs get no
+  # CSE); cos6 orders, cm carries the exact micro-units, cos4 is the
+  # presentation rounding taken from the RAW value — re-rounding the
+  # 6dp value to 4dp diverges engines on 4dp half-edges (the
+  # hard_negative_mining lesson)
+  scored = (tgt.join(F.broadcast(src))
+            .select('src_id', 'tgt_id',
+                    (_dot(F.col('s'), F.col('t'))
+                     / (_norm(F.col('s')) * _norm(F.col('t'))))
+                    .alias('cos'))
+            .select('src_id', 'tgt_id',
+                    F.round('cos', 6).alias('cos6'),
+                    F.round(F.round('cos', 6) * 1e6, 0).cast('long')
+                    .alias('cm'),
+                    F.round('cos', 4).alias('cos4')))
+
+  w_s = Window.partitionBy('src_id').orderBy(F.desc('cos6'), 'tgt_id')
+  agg_a = (scored.withColumn('rnk', F.row_number().over(w_s))
+           .where(F.col('rnk') <= k)
+           .groupBy('src_id')
+           .agg(F.max(F.when(F.col('rnk') == 1,
+                             F.struct('cos6', 'cm', 'tgt_id',
+                                      'cos4')))
+                .alias('b'),
+                F.sum('cm').alias('sum_a'),
+                F.count(F.lit(1)).alias('n_a')))
+  w_t = Window.partitionBy('tgt_id').orderBy(F.desc('cos6'), 'src_id')
+  agg_b = (scored.withColumn('rnk', F.row_number().over(w_t))
+           .where(F.col('rnk') <= k)
+           .groupBy('tgt_id')
+           .agg(F.max(F.when(F.col('rnk') == 1, F.col('src_id')))
+                .alias('best_src'),
+                F.sum('cm').alias('sum_b'),
+                F.count(F.lit(1)).alias('n_b')))
+
+  j = (agg_b.join(F.broadcast(agg_a),
+                  agg_b['tgt_id'] == agg_a['b.tgt_id']))
+  den = (F.col('sum_a') * F.col('n_b')
+         + F.col('sum_b') * F.col('n_a'))
+  num = 2 * F.col('b.cm') * F.col('n_a') * F.col('n_b')
+  mined = ((den > 0)
+           & (num * F.lit(threshold_den)
+              >= F.lit(threshold_num) * den)).cast('int')
+  return (j.select('src_id',
+                   F.col('b.tgt_id').alias('tgt_id'),
+                   F.col('b.cos4').alias('cos_r'),
+                   F.when(den > 0,
+                          F.round(num.cast('double')
+                                  / den.cast('double'), 4))
+                   .alias('margin_r'),
+                   mined.alias('mined'),
+                   (F.col('best_src') == F.col('src_id')).cast('int')
+                   .alias('mutual'))
+          .orderBy('src_id'))
