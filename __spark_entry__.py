@@ -1041,13 +1041,21 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   hit/miss accounting, manifest-order sentinel indexing AND the
   OBELICS/DataComp-style keep/first-reject-reason verdicts
   (missing/mime/bytes/width/aspect under the gate rules) are all
-  verified corpus-wide."""
+  verified corpus-wide.  method='clip' is caption_image_alignment
+  over the SAME caption pairs — the DataComp CLIP-score selection
+  step with the deterministic signed-md5-feature-hashing text
+  projection against the embeddings view (media/{id}/0 mapping:
+  every first media span resolves at sf0.01, most miss at sf0.1 —
+  both paths exercised); n_cap_tokens rides n_tokens, the verdict
+  rides keep, and the oracle recomputes every bucket/sign/cosine
+  from the synthesis formulas."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
   from blueprint_oss_spark.ops.multimodal import (
-      caption_pairs, dedup_media_spans, interleaved_doc_stats,
-      media_quality_verdicts, render_interleaved, span_token_offsets,
+      caption_image_alignment, caption_pairs, dedup_media_spans,
+      interleaved_doc_stats, media_quality_verdicts,
+      render_interleaved, span_token_offsets,
   )
   df = interleaved_html_table(spark, sf_dir)
   out = main_content_from_spans(df).localCheckpoint()
@@ -1066,6 +1074,8 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ('manifest', 'mime', 'reject_reason'):
       if c not in d.columns:
         d = d.withColumn(c, ns)
+    if 'clip_r' not in d.columns:
+      d = d.withColumn('clip_r', F.lit(None).cast('double'))
     return d
 
   spans = _pad(span_token_offsets(out)
@@ -1131,8 +1141,23 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
               *doc_cols[:3], 'media_ref', *doc_cols[4:],
               'sentinel_idx', 'found', 'n_bytes', 'mime',
               'width', 'height', 'keep_media', 'reject_reason'))
+  # CLIP-score-style caption<->image alignment (method='clip'): the
+  # DataComp selection step over the SAME caption pairs — hashed-BOW
+  # text projection against the embeddings table mapped media/{id}/0,
+  # every cosine/verdict recomputable in SQL from the synthesis
+  # formulas + the embeddings view (n_cap_tokens rides n_tokens,
+  # the verdict rides keep)
+  clip = _pad(caption_image_alignment(spark, sf_dir, content=out)
+              .select(F.lit('clip').alias('method'), 'doc_id',
+                      F.col('media_order').alias('span_order'),
+                      F.lit('media').alias('kind'), ns.alias('text'),
+                      'media_ref', ns.alias('cap_before'),
+                      ns.alias('cap_after'),
+                      F.col('n_cap_tokens').alias('n_tokens'),
+                      'found', 'keep', 'clip_r'))
   return (spans.unionByName(caps).unionByName(stats)
           .unionByName(rend).unionByName(mdd).unionByName(res)
+          .unionByName(clip)
           .orderBy('method', 'doc_id', 'span_order', 'sentinel_idx'))
 
 
@@ -2177,7 +2202,68 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(height AS DOUBLE) > 3.0
                         THEN 'aspect'
                       ELSE NULL END AS reject_reason
-          FROM resolved)
+          FROM resolved),
+        -- CLIP-alignment section (method='clip'): the same caption
+        -- pairs scored against the embeddings view via the signed
+        -- md5 feature-hashing projection (bucket = first-8-hex of
+        -- md5('cia:'||w) % 64, sign from md5('cias:'||w) % 2),
+        -- cosine as an in-index-order dot — every verdict
+        -- recomputed from the synthesis formulas
+        cliprows AS (
+          SELECT doc_id, did, CAST(1 AS INTEGER) AS span_order,
+                 'media/' || doc_id || '/0' AS media_ref,
+                 list_concat(
+                   toks[greatest(1, len(toks) - 7):len(toks)],
+                   ['Document', doc_id, 'closing', 'section',
+                    'part', '1.']) AS ctoks,
+                 1 AS has_emb
+          FROM t0
+          UNION ALL
+          SELECT doc_id, did, CAST(3 AS INTEGER),
+                 'media/' || doc_id || '/1',
+                 list_concat(
+                   ['Document', doc_id, 'closing', 'section',
+                    'part', '1.'],
+                   CASE WHEN did % 2 = 0
+                        THEN ['PDF', 'appendix', 'for', 'document',
+                              doc_id]
+                        ELSE CAST([] AS VARCHAR[]) END),
+                 0
+          FROM t0 WHERE did % 3 = 0),
+        clipv AS (
+          SELECT c.doc_id, c.span_order, c.media_ref,
+                 len(c.ctoks) AS n_cap,
+                 list_transform(range(0, 64), j ->
+                   CAST(len(list_filter(c.ctoks, w ->
+                     CAST(('0x' || substring(md5('cia:' || w), 1, 8))
+                       AS BIGINT) % 64 = j
+                     AND CAST(('0x' || substring(md5('cias:' || w),
+                       1, 8)) AS BIGINT) % 2 = 0))
+                   - len(list_filter(c.ctoks, w ->
+                     CAST(('0x' || substring(md5('cia:' || w), 1, 8))
+                       AS BIGINT) % 64 = j
+                     AND CAST(('0x' || substring(md5('cias:' || w),
+                       1, 8)) AS BIGINT) % 2 = 1))
+                   AS DOUBLE)) AS v,
+                 CASE WHEN c.has_emb = 1 THEN em.e END AS e,
+                 CASE WHEN c.has_emb = 1 AND em.e IS NOT NULL
+                      THEN 1 ELSE 0 END AS found
+          FROM cliprows c LEFT JOIN (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings) em
+            ON c.has_emb = 1 AND em.vec_id = c.did),
+        clipscore AS (
+          SELECT doc_id, span_order, media_ref, n_cap, found,
+                 CASE WHEN found = 1 AND n_cap > 0
+                      AND list_dot_product(v, v) > 0
+                      AND list_dot_product(e, e) > 0
+                      THEN list_dot_product(v, e)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(e, e))) END
+                   AS cos
+          FROM clipv)
         SELECT 'span' AS method, doc_id, span_order, kind, text,
                media_ref, CAST(NULL AS VARCHAR) AS cap_before,
                CAST(NULL AS VARCHAR) AS cap_after,
@@ -2202,7 +2288,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INTEGER) AS width,
                CAST(NULL AS INTEGER) AS height,
                CAST(NULL AS INTEGER) AS keep_media,
-               CAST(NULL AS VARCHAR) AS reject_reason
+               CAST(NULL AS VARCHAR) AS reject_reason,
+               CAST(NULL AS DOUBLE) AS clip_r
         FROM spans
         UNION ALL
         SELECT 'caption', doc_id, CAST(1 AS INTEGER), 'media',
@@ -2213,7 +2300,7 @@ def oracle_sql() -> dict[str, str]:
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR), NULL
         FROM t0
         UNION ALL
         SELECT 'caption', doc_id, CAST(3 AS INTEGER), 'media',
@@ -2225,7 +2312,7 @@ def oracle_sql() -> dict[str, str]:
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR), NULL
         FROM d WHERE did % 3 = 0
         UNION ALL
         SELECT 'stats', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
@@ -2236,7 +2323,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS INTEGER),
                NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR), NULL
         FROM feat
         UNION ALL
         SELECT 'render', doc_id, NULL, NULL,
@@ -2260,7 +2347,7 @@ def oracle_sql() -> dict[str, str]:
                  || CAST(did % 10 AS VARCHAR)
                  || ',media/tile/' || CAST(did % 100 AS VARCHAR),
                CAST(NULL AS VARCHAR),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR), NULL
         FROM feat
         UNION ALL
         SELECT 'mediadedup', doc_id, NULL, NULL, NULL, NULL, NULL,
@@ -2282,7 +2369,7 @@ def oracle_sql() -> dict[str, str]:
                     THEN ',media/tile/' || CAST(did % 100 AS VARCHAR)
                     ELSE '' END,
                CAST(NULL AS VARCHAR),
-               NULL, NULL, NULL, CAST(NULL AS VARCHAR)
+               NULL, NULL, NULL, CAST(NULL AS VARCHAR), NULL
         FROM feat
         UNION ALL
         SELECT 'resolve', doc_id, NULL, NULL, NULL, media_ref, NULL,
@@ -2293,8 +2380,23 @@ def oracle_sql() -> dict[str, str]:
                width, height,
                CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END
                  AS INTEGER),
-               reject_reason
+               reject_reason,
+               CAST(NULL AS DOUBLE)
         FROM resolved_q
+        UNION ALL
+        SELECT 'clip', doc_id, span_order, 'media', NULL, media_ref,
+               NULL, NULL, NULL, NULL, NULL,
+               n_cap,
+               NULL, NULL, NULL,
+               CAST(CASE WHEN cos IS NOT NULL
+                         AND ROUND(cos, 6) >= 0.2
+                    THEN 1 ELSE 0 END AS INTEGER),
+               NULL, NULL, NULL, NULL, NULL, NULL,
+               found,
+               NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR),
+               ROUND(cos, 4)
+        FROM clipscore
         ORDER BY method, doc_id, span_order, sentinel_idx
       """,
       'events_cube': """

@@ -269,6 +269,9 @@ def main() -> None:
       # exact two-pass heavy hitters: Arrow-batch candidates + exact
       # verify of the broadcast candidate set (no vocab-sized shuffle)
       ('heavy_hitters', lambda: T.heavy_hitters(spark, sf_dir).count()),
+      # margin-based bitext mining: broadcast source dimension +
+      # double WindowGroupLimit top-k + exact-integer margin verdicts
+      ('bitext_mine', lambda: V.bitext_mine(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()

@@ -1362,3 +1362,133 @@ def media_quality_verdicts(content: DataFrame, media_dim: DataFrame, *,
       '*', reason.alias('reject_reason')).select(
       '*', F.when(F.col('reject_reason').isNull(), F.lit(1))
       .otherwise(F.lit(0)).alias('keep_media'))
+
+
+def caption_image_alignment(spark: SparkSession, sf_dir: str, *,
+                            dim: int = 64,
+                            max_caption_tokens: int = 8,
+                            threshold: float = 0.2,
+                            content: DataFrame = None,
+                            media_emb: DataFrame = None,
+                            broadcast_emb: bool = False) -> DataFrame:
+  """CLIP-score-style caption↔image alignment filtering over the
+  north-rule caption pairs — the DataComp (Gadre et al. 2023,
+  arXiv:2304.14108) / LAION (Schuhmann et al. 2021) selection step:
+  every mined (media, caption) pair gets an alignment cosine between
+  the caption's text embedding and the image's embedding, and a keep
+  verdict at a threshold.  In production the text side is a real text
+  encoder; this container ships none, so the text embedding is a
+  deterministic signed feature-hashing projection (md5-bucketed ±1
+  per token into `dim` dims — the quality_classifier hashing device),
+  a stand-in that keeps every Spark-side piece real and testable:
+  the per-pair scoring plan, the media-embedding join shape, the
+  exact-integer text vector, the verdict arithmetic.  Swapping in a
+  real encoder changes ONE projected column (a Pandas-UDF batch
+  encode), nothing else.
+
+  Input pairs are caption_pairs(content, max_caption_tokens) — one
+  row per media span; the caption is the before/after neighbors
+  joined (concat_ws skips a NULL side).  `media_emb` maps media_ref →
+  embedding (array<float>); default derives it from the embeddings
+  table as media/{vec_id}/0, so at small scales every first media
+  span resolves and at larger document counts the table runs out —
+  exercising both hit and miss paths corpus-wide.
+
+  Returns one row per media span, in (doc_id, media_order) order:
+    doc_id, media_order, media_ref, n_cap_tokens, found (media
+    embedding resolved), clip_r (alignment cosine rounded to 4 from
+    the RAW value — never re-rounded from the 6dp value, the
+    hard_negative_mining lesson), keep (1 iff found, a non-degenerate
+    caption vector, and round(cos, 6) >= threshold).
+
+  Determinism: the text vector is exact integers (signed bucket
+  counts — order-free sums), cast to double exactly; the cosine is
+  an in-index-order fold both engines reproduce (the
+  list_dot_product discipline).  Degenerate rows (no caption tokens,
+  all-zero text vector from sign cancellation, unresolved media) get
+  NULL clip_r and keep 0 — never a division.
+
+  Scale shape: caption mining and the hashing fold are the
+  zero-shuffle caption_pairs scan plus map-side projections (the
+  per-token (bucket, sign) pairs staged as their OWN transform pass —
+  interpreted HOFs get no CSE, an inline bucket(w) inside the
+  accumulator fold would re-digest per dim); the ONLY substantive
+  plan step is the media_ref equi-join, which AQE shapes by the
+  actual embedding-table size (image embeddings scale with media
+  count at 10^12 docs — corpus-scale, so no broadcast by default;
+  `broadcast_emb=True` pins the map-side join for dimension-sized
+  tables).  Hub refs (site-wide logos) hot-spot the join exactly like
+  resolve_media_refs — run dedup_media_spans first, the curation
+  order the pipeline composes anyway."""
+  if content is None:
+    from .html_extract import (
+        interleaved_html_table, main_content_from_spans,
+    )
+    content = main_content_from_spans(
+        interleaved_html_table(spark, sf_dir))
+  if media_emb is None:
+    media_emb = (spark.read.parquet(f'{sf_dir}/embeddings.parquet')
+                 .select(F.concat(F.lit('media/'), F.col('vec_id'),
+                                  F.lit('/0')).alias('media_ref'),
+                         'embedding'))
+  pairs = caption_pairs(content, max_caption_tokens=max_caption_tokens)
+
+  def _h(salt, w):
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), w)), 1, 8), 16, 10).cast('long')
+
+  caption = F.concat_ws(' ', 'caption_before', 'caption_after')
+  toks = F.filter(F.split(caption, ' '), lambda x: F.length(x) > 0)
+  # per-token (bucket, sign) staged as ONE transform pass (no-CSE rule)
+  tok_h = F.transform(toks, lambda w: F.struct(
+      F.pmod(_h('cia:', w), F.lit(dim)).cast('int').alias('j'),
+      (1 - 2 * F.pmod(_h('cias:', w), F.lit(2))).cast('long')
+      .alias('s')))
+  staged = (pairs
+            .select('doc_id', 'media_order', 'media_ref',
+                    tok_h.alias('_th'))
+            .select('doc_id', 'media_order', 'media_ref',
+                    F.size('_th').alias('n_cap_tokens'),
+                    F.aggregate(
+                        '_th',
+                        F.array_repeat(F.lit(0).cast('long'), dim),
+                        lambda acc, t: F.transform(
+                            acc, lambda x, i: x + F.when(
+                                i == t['j'], t['s'])
+                            .otherwise(F.lit(0).cast('long'))))
+                    .alias('_v')))
+  marked = media_emb.withColumn('_found', F.lit(1))
+  emb = F.broadcast(marked) if broadcast_emb else marked
+  joined = (staged.join(emb, 'media_ref', 'left')
+            .select('doc_id', 'media_order', 'media_ref',
+                    'n_cap_tokens',
+                    F.coalesce('_found', F.lit(0)).alias('found'),
+                    F.transform('_v', lambda x: x.cast('double'))
+                    .alias('_vd'),
+                    F.transform('embedding',
+                                lambda x: x.cast('double'))
+                    .alias('_ed')))
+  from .vectors import _dot, _norm
+  # dot and both norms staged as their own projected columns: each is
+  # an interpreted fold, and nv/ne are consumed twice (guard +
+  # division) — inlining would re-run the folds per consumer
+  normed = joined.select(
+      'doc_id', 'media_order', 'media_ref', 'n_cap_tokens', 'found',
+      _dot(F.col('_vd'), F.col('_ed')).alias('_dp'),
+      _norm(F.col('_vd')).alias('_nv'),
+      _norm(F.col('_ed')).alias('_ne'))
+  raw = (normed
+         .select('doc_id', 'media_order', 'media_ref', 'n_cap_tokens',
+                 'found',
+                 F.when((F.col('found') == 1)
+                        & (F.col('n_cap_tokens') > 0)
+                        & (F.col('_nv') > 0) & (F.col('_ne') > 0),
+                        F.col('_dp') / (F.col('_nv') * F.col('_ne')))
+                 .alias('cos')))
+  return (raw.select('doc_id', 'media_order', 'media_ref',
+                     'n_cap_tokens', 'found',
+                     F.round('cos', 4).alias('clip_r'),
+                     F.coalesce(
+                         (F.round('cos', 6) >= F.lit(threshold))
+                         .cast('int'), F.lit(0)).alias('keep'))
+          .orderBy('doc_id', 'media_order'))
