@@ -273,7 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # and re-filters everything from the raw table
       'c4_line_clean': lambda s, d: C.c4_line_clean(s, d),
       'pack_sequences': _pack_and_chunk,
-      'curation_pipeline': T.curation_pipeline,
+      'curation_pipeline': _curation_pipeline_ablation,
       'tfidf_top_terms': _tfidf_with_cms,
       # --- curation: sampling + profiling (DuckDB-oracled) ---
       'stratified_sample': P.stratified_sample,
@@ -716,6 +716,70 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    'chunk_no', 'start_tok', 'chunk_text'))
   return (pack.unionByName(chunk).unionByName(il)
           .orderBy('method', 'doc_id', 'chunk_no'))
+
+
+def _curation_pipeline_ablation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+  """The curation capstone plus its ablation accounting in one driver
+  row-set: method='pipeline' rows are curation_pipeline's keep-one
+  representatives (quality → dedup groups → keep-best → sample),
+  method='verdict' rows are curation_ablation's per-doc marginal
+  filter verdicts (dup swarms planted for verification — the gate
+  corpus has no organic exact dups), and method='funnel' /
+  method='overlap' rows are curation_ablation_report's attribution
+  funnel and pairwise-redundancy matrix over those verdicts.  Every
+  column of all three operators stays value-checked; the oracle
+  recomputes verdicts, attribution, funnel arithmetic and overlap
+  products from the raw documents table."""
+  from blueprint_oss_spark.ops import curation as C
+  from blueprint_oss_spark.ops import textops as T
+  nl = F.lit(None).cast('long')
+  ni = F.lit(None).cast('int')
+  ns = F.lit(None).cast('string')
+
+  pipe = (T.curation_pipeline(spark, sf_dir)
+          .select(F.lit('pipeline').alias('method'),
+                  F.col('doc_id').cast('long').alias('doc_id'),
+                  'lang',
+                  F.col('group_id').cast('long').alias('group_id'),
+                  F.col('group_size').cast('long').alias('group_size'),
+                  F.col('best_id').cast('long').alias('best_id'),
+                  F.col('best_n_tokens').cast('long')
+                  .alias('best_n_tokens'),
+                  ni.alias('f_eval'), ni.alias('f_quality'),
+                  ni.alias('f_dup'), ni.alias('f_pii'),
+                  ni.alias('f_decon'), nl.alias('n_pii'),
+                  nl.alias('n_shared'), ns.alias('first_fail'),
+                  ni.alias('stage'), ns.alias('filter_a'),
+                  ns.alias('filter_b'), nl.alias('n_marginal'),
+                  nl.alias('n_attributed'), nl.alias('n_remaining'),
+                  nl.alias('n_both')))
+  verd_frame = C.curation_ablation(spark, sf_dir,
+                                   plant_for_verification=True)
+  verd = verd_frame.select(
+      F.lit('verdict').alias('method'),
+      F.col('doc_id').cast('long').alias('doc_id'),
+      ns.alias('lang'), nl.alias('group_id'), nl.alias('group_size'),
+      nl.alias('best_id'), nl.alias('best_n_tokens'),
+      'f_eval', 'f_quality', 'f_dup', 'f_pii', 'f_decon',
+      'n_pii', 'n_shared', 'first_fail',
+      ni.alias('stage'), ns.alias('filter_a'), ns.alias('filter_b'),
+      nl.alias('n_marginal'), nl.alias('n_attributed'),
+      nl.alias('n_remaining'), nl.alias('n_both'))
+  rep = (C.curation_ablation_report(spark, sf_dir, verdicts=verd_frame)
+         .select(F.col('section').alias('method'),
+                 nl.alias('doc_id'), ns.alias('lang'),
+                 nl.alias('group_id'), nl.alias('group_size'),
+                 nl.alias('best_id'), nl.alias('best_n_tokens'),
+                 ni.alias('f_eval'), ni.alias('f_quality'),
+                 ni.alias('f_dup'), ni.alias('f_pii'),
+                 ni.alias('f_decon'), nl.alias('n_pii'),
+                 nl.alias('n_shared'), ns.alias('first_fail'),
+                 'stage', 'filter_a', 'filter_b', 'n_marginal',
+                 'n_attributed', 'n_remaining', 'n_both'))
+  return (pipe.unionByName(verd).unionByName(rep)
+          .orderBy('method', 'doc_id', 'stage', 'filter_a',
+                   'filter_b'))
 
 
 def _semantic_dedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4124,7 +4188,7 @@ def oracle_sql() -> dict[str, str]:
           AND media_run <= 1
         ORDER BY method, doc_id
       """,
-      'curation_pipeline': f"""
+      'curation_pipeline': rf"""
         WITH RECURSIVE q AS (
           SELECT doc_id FROM (
             SELECT doc_id,
@@ -4197,9 +4261,156 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY group_id
                   ORDER BY n_toks DESC, doc_id) AS rn FROM bn)
           WHERE rn = 1
+        ),
+        -- ablation verdicts over the dup-swarm-planted corpus
+        -- (plant_for_verification=True on the Spark side; the plant,
+        -- the PII injection and every filter are recomputed here)
+        pl AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 41 = 3
+                        THEN 'planted duplicate alpha the block'
+                      WHEN doc_id % 43 = 5
+                        THEN 'planted duplicate beta the block'
+                      ELSE text END AS text
+          FROM documents
+        ), vqs AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text,' '),
+                     x -> len(x) > 0)) AS n,
+                 list_aggregate(list_transform(
+                   list_filter(string_split(text,' '),
+                               x -> len(x) > 0),
+                   x -> len(x)), 'sum') AS sum_len,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text,'[^a-zA-Z]','','g'))
+                   AS n_alpha,
+                 len(list_filter(string_split(text,' '),
+                     x -> x IN ({_STOP_EN}))) AS n_stop
+          FROM pl
+        ), vq AS (
+          SELECT doc_id,
+                 CASE WHEN n >= 5 AND n <= 100000
+                       AND sum_len >= 2 * n AND sum_len <= 12 * n
+                       AND n_stop >= 1 AND 2 * n_alpha >= n_chars
+                      THEN 0 ELSE 1 END AS f_quality
+          FROM vqs
+        ), vpt AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      ' contact u' || doc_id || '@example.com'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      ' call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || '-0199'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN
+                      ' from 10.' || (doc_id % 256) || '.0.'
+                      || (doc_id % 100)
+                    ELSE '' END AS t
+          FROM pl
+        ), vpii AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                 + len(regexp_extract_all(t,
+                   '\b\d{{3}}-\d{{4}}-\d{{4}}\b'))
+                 + len(regexp_extract_all(t,
+                   '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                   AS n_pii
+          FROM vpt
+        ), vdup AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id <> MIN(doc_id) OVER (
+                        PARTITION BY md5(text))
+                      THEN 1 ELSE 0 END AS f_dup
+          FROM pl
+        ), vtk AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM pl
+        ), vg8 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i.i:i.i+7], ' ') AS gram
+          FROM vtk, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(toks) - 7
+        ), vev AS (
+          SELECT DISTINCT gram FROM vg8 WHERE doc_id % 4 = 0
+        ), vdec AS (
+          SELECT tr.doc_id, count(*) AS n_shared
+          FROM (SELECT doc_id, gram FROM vg8
+                WHERE doc_id % 4 <> 0) tr
+          JOIN vev USING (gram) GROUP BY tr.doc_id
+        ), verd AS (
+          SELECT pl.doc_id,
+                 CASE WHEN pl.doc_id % 4 = 0 THEN 1 ELSE 0 END
+                   AS f_eval,
+                 vq.f_quality, vdup.f_dup,
+                 CASE WHEN vpii.n_pii > 0 THEN 1 ELSE 0 END AS f_pii,
+                 CASE WHEN vdec.n_shared IS NOT NULL THEN 1 ELSE 0 END
+                   AS f_decon,
+                 CAST(vpii.n_pii AS BIGINT) AS n_pii,
+                 CAST(COALESCE(vdec.n_shared, 0) AS BIGINT)
+                   AS n_shared
+          FROM pl JOIN vq USING (doc_id) JOIN vpii USING (doc_id)
+          JOIN vdup USING (doc_id)
+          LEFT JOIN vdec ON vdec.doc_id = pl.doc_id
+        ), verdicts AS (
+          SELECT *,
+                 CASE WHEN f_eval = 1 THEN 'eval'
+                      WHEN f_quality = 1 THEN 'quality'
+                      WHEN f_dup = 1 THEN 'exact_dup'
+                      WHEN f_pii = 1 THEN 'pii'
+                      WHEN f_decon = 1 THEN 'decon' END AS first_fail
+          FROM verd
+        ), vagg AS (
+          SELECT count(*) AS total,
+                 sum(f_eval) AS m_eval,
+                 sum(CASE WHEN first_fail='eval' THEN 1 ELSE 0 END)
+                   AS a_eval,
+                 sum(f_quality) AS m_quality,
+                 sum(CASE WHEN first_fail='quality' THEN 1 ELSE 0 END)
+                   AS a_quality,
+                 sum(f_dup) AS m_dup,
+                 sum(CASE WHEN first_fail='exact_dup' THEN 1
+                     ELSE 0 END) AS a_dup,
+                 sum(f_pii) AS m_pii,
+                 sum(CASE WHEN first_fail='pii' THEN 1 ELSE 0 END)
+                   AS a_pii,
+                 sum(f_decon) AS m_decon,
+                 sum(CASE WHEN first_fail='decon' THEN 1 ELSE 0 END)
+                   AS a_decon,
+                 sum(f_eval*f_quality) AS o_eq,
+                 sum(f_eval*f_dup) AS o_ed,
+                 sum(f_eval*f_pii) AS o_ep,
+                 sum(f_eval*f_decon) AS o_ec,
+                 sum(f_quality*f_dup) AS o_qd,
+                 sum(f_quality*f_pii) AS o_qp,
+                 sum(f_quality*f_decon) AS o_qc,
+                 sum(f_dup*f_pii) AS o_dp,
+                 sum(f_dup*f_decon) AS o_dc,
+                 sum(f_pii*f_decon) AS o_pc
+          FROM verdicts
         )
-        SELECT s.doc_id, k.lang, s.group_id, s.group_size,
-               b.best_id, b.best_n_tokens
+        SELECT 'pipeline' AS method, s.doc_id, k.lang, s.group_id,
+               CAST(s.group_size AS BIGINT) AS group_size,
+               b.best_id, b.best_n_tokens,
+               CAST(NULL AS INTEGER) AS f_eval,
+               CAST(NULL AS INTEGER) AS f_quality,
+               CAST(NULL AS INTEGER) AS f_dup,
+               CAST(NULL AS INTEGER) AS f_pii,
+               CAST(NULL AS INTEGER) AS f_decon,
+               CAST(NULL AS BIGINT) AS n_pii,
+               CAST(NULL AS BIGINT) AS n_shared,
+               CAST(NULL AS VARCHAR) AS first_fail,
+               CAST(NULL AS INTEGER) AS stage,
+               CAST(NULL AS VARCHAR) AS filter_a,
+               CAST(NULL AS VARCHAR) AS filter_b,
+               CAST(NULL AS BIGINT) AS n_marginal,
+               CAST(NULL AS BIGINT) AS n_attributed,
+               CAST(NULL AS BIGINT) AS n_remaining,
+               CAST(NULL AS BIGINT) AS n_both
         FROM sized s JOIN kept k ON s.doc_id = k.doc_id
         JOIN best b ON s.group_id = b.group_id
         WHERE s.doc_id = s.group_id
@@ -4211,7 +4422,102 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'fr' THEN '20000000000000000000000000000000'
                 ELSE '10000000000000000000000000000000'
               END
-        ORDER BY s.doc_id
+        UNION ALL
+        SELECT 'verdict', doc_id, NULL, NULL, NULL, NULL, NULL,
+               f_eval, f_quality, f_dup, f_pii, f_decon,
+               n_pii, n_shared, first_fail,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        FROM verdicts
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               0, 'corpus', NULL, NULL, NULL,
+               CAST(total AS BIGINT), NULL FROM vagg
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               1, 'eval', NULL, CAST(m_eval AS BIGINT),
+               CAST(a_eval AS BIGINT),
+               CAST(total - a_eval AS BIGINT), NULL FROM vagg
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               2, 'quality', NULL, CAST(m_quality AS BIGINT),
+               CAST(a_quality AS BIGINT),
+               CAST(total - a_eval - a_quality AS BIGINT), NULL
+        FROM vagg
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               3, 'exact_dup', NULL, CAST(m_dup AS BIGINT),
+               CAST(a_dup AS BIGINT),
+               CAST(total - a_eval - a_quality - a_dup AS BIGINT),
+               NULL FROM vagg
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               4, 'pii', NULL, CAST(m_pii AS BIGINT),
+               CAST(a_pii AS BIGINT),
+               CAST(total - a_eval - a_quality - a_dup - a_pii
+                    AS BIGINT), NULL FROM vagg
+        UNION ALL
+        SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               5, 'decon', NULL, CAST(m_decon AS BIGINT),
+               CAST(a_decon AS BIGINT),
+               CAST(total - a_eval - a_quality - a_dup - a_pii
+                    - a_decon AS BIGINT), NULL FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'eval', 'quality', NULL, NULL, NULL,
+               CAST(o_eq AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'eval', 'exact_dup', NULL, NULL, NULL,
+               CAST(o_ed AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'eval', 'pii', NULL, NULL, NULL,
+               CAST(o_ep AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'eval', 'decon', NULL, NULL, NULL,
+               CAST(o_ec AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'quality', 'exact_dup', NULL, NULL, NULL,
+               CAST(o_qd AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'quality', 'pii', NULL, NULL, NULL,
+               CAST(o_qp AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'quality', 'decon', NULL, NULL, NULL,
+               CAST(o_qc AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'exact_dup', 'pii', NULL, NULL, NULL,
+               CAST(o_dp AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'exact_dup', 'decon', NULL, NULL, NULL,
+               CAST(o_dc AS BIGINT) FROM vagg
+        UNION ALL
+        SELECT 'overlap', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, 'pii', 'decon', NULL, NULL, NULL,
+               CAST(o_pc AS BIGINT) FROM vagg
+        ORDER BY method, doc_id, stage, filter_a, filter_b
       """,
       # Dedup groups, both edge paths method-tagged: the jaccard
       # section recomputes reachability from scratch with a recursive

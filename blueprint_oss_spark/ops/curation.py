@@ -108,7 +108,8 @@ from blueprint_oss_spark.ops.common import \
 
 def decontaminate(spark: SparkSession, sf_dir: str, *,
                   n: int = 8, eval_mod: int = 4,
-                  eval_texts: DataFrame | None = None) -> DataFrame:
+                  eval_texts: DataFrame | None = None,
+                  docs: DataFrame | None = None) -> DataFrame:
   """Benchmark decontamination: flag training documents that share any
   word n-gram with the held-out eval set, returning each contaminated
   doc_id with its count of distinct shared n-grams.
@@ -129,7 +130,8 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
   broadcast set; only matching (rare) rows reach the final groupBy, so
   the one shuffle moves contaminated grams only.
   """
-  d = _spread(_docs(spark, sf_dir).select('doc_id', 'text')) \
+  d = _spread((docs if docs is not None else _docs(spark, sf_dir))
+              .select('doc_id', 'text')) \
       .select('doc_id', _ngrams(F.col('text'), n).alias('grams'))
   if eval_texts is not None:
     eval_grams = (eval_texts
@@ -1353,3 +1355,171 @@ def crawl_schedule(spark: SparkSession, sf_dir: str, *,
           .withColumn('fetch_offset_s',
                       (F.col('slot') * F.col('crawl_delay')).cast('long'))
           .orderBy('doc_id'))
+
+
+#: Fixed funnel order for curation_ablation / curation_ablation_report.
+#: Matches the stage order a production curation run applies them in:
+#: hold out the eval split first, then quality, then exact dedup, then
+#: PII, then benchmark decontamination.
+ABLATION_FILTERS = ('eval', 'quality', 'exact_dup', 'pii', 'decon')
+
+_ABLATION_FLAG = {
+    'eval': 'f_eval', 'quality': 'f_quality', 'exact_dup': 'f_dup',
+    'pii': 'f_pii', 'decon': 'f_decon',
+}
+
+
+def curation_ablation(spark: SparkSession, sf_dir: str, *,
+                      eval_mod: int = 4,
+                      plant_for_verification: bool = False) -> DataFrame:
+  """Per-document curation-filter verdicts — the raw material of the
+  filter-ablation tables Dolma / RefinedWeb / Gopher publish (how many
+  documents does each rule remove, and which rule claims a document
+  that several would have removed).
+
+  Every filter is judged MARGINALLY (corpus-wide, independent of the
+  others), so the overlap matrix is meaningful; the `first_fail`
+  column then attributes each document to the FIRST failing filter in
+  the fixed production order `ABLATION_FILTERS` (eval holdout →
+  Gopher quality → exact dedup → PII flag → benchmark decon).  A NULL
+  `first_fail` is a survivor.  Filters reuse the already-oracled
+  primitives: `quality_keep_expr` (ops/textops), the `_with_injected_
+  pii` planted-PII device and patterns from `pii_scrub`, md5 content
+  identity from `dedup_exact`, and `decontaminate`'s 8-gram eval
+  overlap (eval split = doc_id % eval_mod == 0, as there).
+
+  Note production pipelines SCRUB PII rather than drop the document;
+  f_pii here means "the scrubber would fire", kept as a funnel stage
+  so the report shows its reach.  exact_dup is the marginal verdict
+  (doc is not its content-hash group's min id) — sequential
+  dedup-among-survivors semantics live in `curation_pipeline`.
+
+  Scale shape: one projected scan (quality + PII regexes + eval flag,
+  all whole-stage codegen) → ONE window shuffle partitioned by
+  md5(text) for the dup verdict (the same hash-partition exact dedup
+  always pays) → LEFT join to the decon verdicts (AQE sizes it; the
+  contaminated set is usually small but is not assumed
+  broadcastable).  No Python anywhere.
+  """
+  from pyspark.sql import Window
+
+  from .textops import quality_keep_expr
+
+  raw = _docs(spark, sf_dir).select('doc_id', 'text')
+  if plant_for_verification:
+    # The synthetic corpora have (almost) no exact duplicates, so the
+    # dup verdict would be vacuously zero at the gate scale (the
+    # VERDICT-r01 blind spot).  Plant two duplicate swarms by pure
+    # doc_id arithmetic — the DuckDB oracle replants byte-identically.
+    # The planted text passes the Gopher filter (5 tokens, a stopword,
+    # sane word lengths), so the dup verdict is isolated.
+    did = F.col('doc_id')
+    raw = raw.select(
+        'doc_id',
+        F.when(did % 41 == 3,
+               F.lit('planted duplicate alpha the block'))
+        .when(did % 43 == 5,
+              F.lit('planted duplicate beta the block'))
+        .otherwise(F.col('text')).alias('text'))
+  d = _with_injected_pii(raw)
+  npat = lambda pat: F.size(
+      F.regexp_extract_all(F.col('pii_text'), F.lit(pat), F.lit(0)))
+  w = Window.partitionBy(F.md5(F.col('text')))
+  base = (d.select(
+      'doc_id', 'text',
+      (F.col('doc_id') % eval_mod == 0).cast('int').alias('f_eval'),
+      (1 - quality_keep_expr(F.col('text'))).alias('f_quality'),
+      (npat(EMAIL_PATTERN) + npat(PHONE_PATTERN) + npat(IPV4_PATTERN))
+      .cast('long').alias('n_pii'))
+      .withColumn(
+          'f_dup',
+          (F.col('doc_id') != F.min('doc_id').over(w)).cast('int'))
+      .drop('text'))
+  dec = decontaminate(spark, sf_dir, eval_mod=eval_mod, docs=raw) \
+      .select('doc_id', 'n_shared')
+  v = (base.join(dec, 'doc_id', 'left')
+       .select('doc_id', 'f_eval', 'f_quality', 'f_dup',
+               (F.col('n_pii') > 0).cast('int').alias('f_pii'),
+               F.when(F.col('n_shared').isNotNull(), 1).otherwise(0)
+               .cast('int').alias('f_decon'),
+               'n_pii',
+               F.coalesce('n_shared', F.lit(0)).cast('long')
+               .alias('n_shared')))
+  first = F.lit(None).cast('string')
+  for name in reversed(ABLATION_FILTERS):
+    first = F.when(F.col(_ABLATION_FLAG[name]) == 1, name) \
+        .otherwise(first)
+  return v.withColumn('first_fail', first).orderBy('doc_id')
+
+
+def curation_ablation_report(spark: SparkSession, sf_dir: str, *,
+                             eval_mod: int = 4,
+                             plant_for_verification: bool = False,
+                             verdicts: DataFrame | None = None
+                             ) -> DataFrame:
+  """The published ablation TABLE over `curation_ablation`'s verdicts:
+
+  * section='funnel', one row per filter in `ABLATION_FILTERS` order:
+    `n_marginal` (docs the filter rejects judged alone),
+    `n_attributed` (docs whose FIRST failing filter this is — the
+    funnel attribution; attributions sum to total - survivors) and
+    `n_remaining` (corpus left after this stage), plus a stage-0
+    'corpus' row carrying the input size.
+  * section='overlap', one row per unordered filter pair:
+    `n_both` = docs both filters would reject — the redundancy matrix
+    that says whether a filter earns its keep.
+
+  Scale shape: the verdict frame collapses through ONE global
+  aggregate of map-side-combinable sums (5 marginal + 5 attributed +
+  10 pairwise products + a count → a single 21-column row), which is
+  then `inline`d into the 16 report rows — at 100 TB the report costs
+  one combinable reduce, nothing else.  Pass `verdicts=` to reuse an
+  already-materialized verdict frame (the gate does)."""
+  v = (verdicts if verdicts is not None
+       else curation_ablation(
+           spark, sf_dir, eval_mod=eval_mod,
+           plant_for_verification=plant_for_verification))
+  names = list(ABLATION_FILTERS)
+  aggs = [F.count(F.lit(1)).alias('total')]
+  for name in names:
+    flag = _ABLATION_FLAG[name]
+    aggs.append(F.sum(flag).alias(f'm_{name}'))
+    aggs.append(F.sum((F.col('first_fail') == name).cast('int'))
+                .alias(f'a_{name}'))
+  for i, a in enumerate(names):
+    for b in names[i + 1:]:
+      aggs.append(F.sum(F.col(_ABLATION_FLAG[a])
+                        * F.col(_ABLATION_FLAG[b]))
+                  .alias(f'o_{a}__{b}'))
+  row = v.agg(*aggs)
+
+  nul_l = F.lit(None).cast('long')
+  nul_s = F.lit(None).cast('string')
+  funnel = [F.struct(
+      F.lit('funnel').alias('section'), F.lit(0).alias('stage'),
+      F.lit('corpus').alias('filter_a'), nul_s.alias('filter_b'),
+      nul_l.alias('n_marginal'), nul_l.alias('n_attributed'),
+      F.col('total').cast('long').alias('n_remaining'),
+      nul_l.alias('n_both'))]
+  cum = F.lit(0).cast('long')
+  for i, name in enumerate(names):
+    cum = cum + F.col(f'a_{name}')
+    funnel.append(F.struct(
+        F.lit('funnel').alias('section'), F.lit(i + 1).alias('stage'),
+        F.lit(name).alias('filter_a'), nul_s.alias('filter_b'),
+        F.col(f'm_{name}').cast('long').alias('n_marginal'),
+        F.col(f'a_{name}').cast('long').alias('n_attributed'),
+        (F.col('total') - cum).cast('long').alias('n_remaining'),
+        nul_l.alias('n_both')))
+  overlap = []
+  for i, a in enumerate(names):
+    for b in names[i + 1:]:
+      overlap.append(F.struct(
+          F.lit('overlap').alias('section'),
+          F.lit(None).cast('int').alias('stage'),
+          F.lit(a).alias('filter_a'), F.lit(b).alias('filter_b'),
+          nul_l.alias('n_marginal'), nul_l.alias('n_attributed'),
+          nul_l.alias('n_remaining'),
+          F.col(f'o_{a}__{b}').cast('long').alias('n_both')))
+  return (row.select(F.inline(F.array(*(funnel + overlap))))
+          .orderBy('section', 'stage', 'filter_a', 'filter_b'))
