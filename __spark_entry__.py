@@ -679,9 +679,15 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
   pack_interleaved_sequences' span-granularity multimodal packing
   over the north-rule main-content output (media spans cost a fixed
   64-token budget; chunk_no carries the span order and chunk_text
-  carries kind:media_ref so the interleave stays value-checked) —
-  each section keeps every column of its operator value-checked;
-  columns not belonging to a section are typed NULLs."""
+  carries kind:media_ref so the interleave stays value-checked), and
+  method='segments' rows are sequence_segments' dataloader-side
+  per-chunk segment map (one row per segment via posexplode, so the
+  IN-CHUNK ORDER is value-checked through chunk_no=pos; chunk_first
+  carries the chunk id, start_tok the in-chunk start, n_tokens the
+  segment length, tokens_before the doc offset, n_chunks the chunk's
+  doc count and fill_tokens its token fill) — each section keeps
+  every column of its operator value-checked; columns not belonging
+  to a section are typed NULLs."""
   from blueprint_oss_spark.ops import textops as T
   nul_l = F.lit(None).cast('long')
   nul_i = F.lit(None).cast('int')
@@ -697,7 +703,26 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nul_i.alias('start_tok'),
                 F.concat(F.col('kind'), F.lit(':'),
                          F.coalesce('media_ref', F.lit('')))
-                 .alias('chunk_text')))
+                 .alias('chunk_text'),
+                nul_l.alias('fill_tokens')))
+  seg = (T.sequence_segments(spark, sf_dir)
+         .select('shard', 'chunk', 'n_docs', 'fill_tokens',
+                 F.posexplode('segments').alias('pos', 's'))
+         .select(F.lit('segments').alias('method'),
+                 F.col('s.doc_id').alias('doc_id'),
+                 F.col('shard').cast('long').alias('shard'),
+                 F.col('s.seg_len').cast('int').alias('n_tokens'),
+                 F.col('s.doc_offset').cast('long')
+                 .alias('tokens_before'),
+                 F.col('chunk').cast('long').alias('chunk_first'),
+                 nul_l.alias('chunk_last'),
+                 F.col('n_docs').cast('long').alias('n_chunks'),
+                 F.col('pos').cast('int').alias('chunk_no'),
+                 F.col('s.start_in_chunk').cast('int')
+                 .alias('start_tok'),
+                 nul_s.alias('chunk_text'),
+                 F.col('fill_tokens').cast('long')
+                 .alias('fill_tokens')))
   pack = (T.pack_sequences(spark, sf_dir)
           .select(F.lit('pack').alias('method'), 'doc_id',
                   F.col('shard').cast('long').alias('shard'),
@@ -705,7 +730,8 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   'tokens_before', 'chunk_first', 'chunk_last',
                   'n_chunks',
                   nul_i.alias('chunk_no'), nul_i.alias('start_tok'),
-                  nul_s.alias('chunk_text')))
+                  nul_s.alias('chunk_text'),
+                  nul_l.alias('fill_tokens')))
   chunk = (T.chunk_documents(spark, sf_dir)
            .select(F.lit('chunk').alias('method'), 'doc_id',
                    nul_l.alias('shard'),
@@ -713,9 +739,10 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nul_l.alias('tokens_before'),
                    nul_l.alias('chunk_first'),
                    nul_l.alias('chunk_last'), nul_l.alias('n_chunks'),
-                   'chunk_no', 'start_tok', 'chunk_text'))
-  return (pack.unionByName(chunk).unionByName(il)
-          .orderBy('method', 'doc_id', 'chunk_no'))
+                   'chunk_no', 'start_tok', 'chunk_text',
+                   nul_l.alias('fill_tokens')))
+  return (pack.unionByName(chunk).unionByName(il).unionByName(seg)
+          .orderBy('method', 'doc_id', 'chunk_no', 'chunk_first'))
 
 
 def _curation_pipeline_ablation(spark: SparkSession,
@@ -3977,6 +4004,31 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS cum
           FROM ilspans
+        ), segraw AS (
+          SELECT shard, doc_id,
+                 unnest(generate_series(
+                   CAST((cum - n_tokens) // 256 AS BIGINT),
+                   CAST((cum - 1) // 256 AS BIGINT))) AS chunk,
+                 cum, n_tokens
+          FROM c WHERE n_tokens > 0
+        ), segrows AS (
+          SELECT shard, doc_id, chunk,
+                 greatest(cum - n_tokens, chunk * 256) - chunk * 256
+                   AS start_in_chunk,
+                 least(cum, (chunk + 1) * 256)
+                 - greatest(cum - n_tokens, chunk * 256) AS seg_len,
+                 greatest(cum - n_tokens, chunk * 256)
+                 - (cum - n_tokens) AS doc_offset
+          FROM segraw
+        ), segagg AS (
+          SELECT shard, chunk, count(*) AS n_docs,
+                 sum(seg_len) AS fill
+          FROM segrows GROUP BY shard, chunk
+        ), segfin AS (
+          SELECT s.*, a.n_docs, a.fill,
+                 ROW_NUMBER() OVER (PARTITION BY s.shard, s.chunk
+                   ORDER BY s.start_in_chunk) - 1 AS pos
+          FROM segrows s JOIN segagg a USING (shard, chunk)
         )
         SELECT 'pack' AS method, doc_id,
                CAST(shard AS BIGINT) AS shard,
@@ -3992,13 +4044,15 @@ def oracle_sql() -> dict[str, str]:
                  AS n_chunks,
                CAST(NULL AS INT) AS chunk_no,
                CAST(NULL AS INT) AS start_tok,
-               CAST(NULL AS VARCHAR) AS chunk_text
+               CAST(NULL AS VARCHAR) AS chunk_text,
+               CAST(NULL AS BIGINT) AS fill_tokens
         FROM c
         UNION ALL
         SELECT 'chunk', doc_id, CAST(NULL AS BIGINT), n_tokens,
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               chunk_no, start_tok, chunk_text
+               chunk_no, start_tok, chunk_text,
+               CAST(NULL AS BIGINT)
         FROM ck
         UNION ALL
         SELECT 'interleaved', CAST(sdoc AS BIGINT),
@@ -4013,8 +4067,20 @@ def oracle_sql() -> dict[str, str]:
                     - ((cum - n_tokens) // 256) + 1 AS BIGINT),
                CAST(span_order AS INT),
                CAST(NULL AS INT),
-               kind || ':' || coalesce(media_ref, '')
+               kind || ':' || coalesce(media_ref, ''),
+               CAST(NULL AS BIGINT)
         FROM ilc
+        UNION ALL
+        -- dataloader segment map: same per-shard window sum, each
+        -- doc's chunk range unrolled, clipped to chunk boundaries,
+        -- in-chunk order re-derived with a rank over start positions
+        SELECT 'segments', doc_id, CAST(shard AS BIGINT),
+               CAST(seg_len AS INT), CAST(doc_offset AS BIGINT),
+               CAST(chunk AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(n_docs AS BIGINT), CAST(pos AS INT),
+               CAST(start_in_chunk AS INT), CAST(NULL AS VARCHAR),
+               CAST(fill AS BIGINT)
+        FROM segfin
         ORDER BY method, doc_id, chunk_no
       """,
       # The web-scale end-to-end chain recomputed from the RAW table:

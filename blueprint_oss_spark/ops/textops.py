@@ -713,6 +713,70 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
+def sequence_segments(spark: SparkSession, sf_dir: str, *,
+                      max_tokens: int = 256, shards: int = 8,
+                      packed: DataFrame = None,
+                      docs: DataFrame = None) -> DataFrame:
+  """The dataloader-side INVERSION of `pack_sequences`: one row per
+  (shard, chunk) training sequence, carrying the ordered segment map a
+  packed-pretraining loader needs to build attention masks and
+  position ids at document boundaries — for each segment its doc_id,
+  start offset inside the chunk, length, and offset inside the source
+  document.  `pack_sequences` answers "where did my document go";
+  this answers "what is inside my training sequence" (the
+  sample-boundary metadata every packed dataloader — GPT-NeoX,
+  Megatron, HF `group_texts` — materializes).
+
+  Contract: within a chunk, segments are sorted by `start_in_chunk`,
+  tile the chunk exactly (no gaps, no overlaps: consecutive starts
+  differ by the previous seg_len), and `fill_tokens` == max_tokens on
+  every chunk except possibly each shard's last.  Concatenating one
+  doc's segments across its chunks in chunk order reproduces token
+  positions [0, n_tokens) contiguously (`doc_offset` pins this).
+  Zero-token docs occupy no space and emit no segments.
+
+  Scale shape: pack_sequences' per-shard window (its one shuffle) →
+  map-side explode of each doc's chunk range (fanout ≈ corpus_tokens
+  / max_tokens, the OUTPUT size — nothing quadratic) → ONE
+  sort_array(collect_list) groupBy keyed (shard, chunk).  Chunk
+  groups are bounded: a chunk holds at most max_tokens segments, so
+  the collect_list row is ≤ max_tokens structs regardless of corpus
+  size — no skew exposure.  All JVM built-ins; DuckDB recomputes the
+  same arithmetic from the window sum."""
+  p = (packed if packed is not None
+       else pack_sequences(spark, sf_dir, max_tokens=max_tokens,
+                           shards=shards, docs=docs))
+  mt = F.lit(max_tokens).cast('long')
+  e = (p.where(F.col('n_tokens') > 0)
+       .select('doc_id', 'shard', 'n_tokens', 'tokens_before',
+               F.explode(F.sequence('chunk_first', 'chunk_last'))
+               .alias('chunk')))
+  seg_start = F.greatest(F.col('tokens_before'), F.col('chunk') * mt)
+  seg_end = F.least(F.col('tokens_before') + F.col('n_tokens'),
+                    (F.col('chunk') + 1) * mt)
+  segs = e.select(
+      'shard', 'chunk', 'doc_id',
+      (seg_start - F.col('chunk') * mt).cast('int')
+      .alias('start_in_chunk'),
+      (seg_end - seg_start).cast('int').alias('seg_len'),
+      (seg_start - F.col('tokens_before')).cast('long')
+      .alias('doc_offset'))
+  return (segs.groupBy('shard', 'chunk')
+          .agg(F.sort_array(F.collect_list(F.struct(
+              'start_in_chunk', 'doc_id', 'seg_len', 'doc_offset')))
+              .alias('s'),
+              F.count(F.lit(1)).cast('long').alias('n_docs'),
+              F.sum('seg_len').cast('long').alias('fill_tokens'))
+          .select('shard', 'chunk', 'n_docs', 'fill_tokens',
+                  F.transform(F.col('s'), lambda x: F.struct(
+                      x['doc_id'].alias('doc_id'),
+                      x['start_in_chunk'].alias('start_in_chunk'),
+                      x['seg_len'].alias('seg_len'),
+                      x['doc_offset'].alias('doc_offset')))
+                  .alias('segments'))
+          .orderBy('shard', 'chunk'))
+
+
 def pack_interleaved_sequences(spark: SparkSession, sf_dir: str, *,
                                max_tokens: int = 256,
                                media_token_cost: int = 64,
