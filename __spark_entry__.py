@@ -575,8 +575,32 @@ def _table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                   nul_l.alias('q25'), nul_l.alias('q50'),
                   nul_l.alias('q75'), nul_l.alias('q90'),
                   'n_tokens', 'n_chars', 'n_quality_keep',
-                  'n_dup_docs'))
-  return (prof.unionByName(card)
+                  'n_dup_docs',
+                  nul_l.alias('n_bytes'), nul_l.alias('checksum')))
+  prof = prof.withColumn('n_bytes', nul_l) \
+      .withColumn('checksum', nul_l)
+  # method='shard': per-output-shard writer manifests — the shard id
+  # rides `lang` as 'shard-N'; the order-independent modular content
+  # checksum and byte totals are value-checked against the oracle's
+  # from-scratch recomputation
+  shard = (P.shard_manifests(spark, sf_dir)
+           .select(F.lit('shard').alias('method'),
+                   F.concat(F.lit('shard-'), F.col('shard'))
+                   .alias('lang'),
+                   F.lit(None).cast('string').alias('source'),
+                   'n_docs', 'n_distinct_texts',
+                   nul_l.alias('n_empty'), nul_l.alias('min_len'),
+                   nul_l.alias('max_len'), nul_l.alias('total_len'),
+                   'first_doc_id', 'last_doc_id',
+                   nul_l.alias('n_zero_regs'), nul_d.alias('hll_est'),
+                   nul_l.alias('n_sampled'),
+                   nul_l.alias('q25'), nul_l.alias('q50'),
+                   nul_l.alias('q75'), nul_l.alias('q90'),
+                   'n_tokens', 'n_chars',
+                   nul_l.alias('n_quality_keep'),
+                   nul_l.alias('n_dup_docs'),
+                   'n_bytes', 'checksum'))
+  return (prof.unionByName(card).unionByName(shard)
           .orderBy('method', 'lang', 'source'))
 
 
@@ -3751,6 +3775,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS q90,
                n_tokens, n_chars, n_quality_keep, n_dup_docs
         FROM card
+        UNION ALL BY NAME
+        -- per-output-shard writer manifests: md5-salted shard id,
+        -- exact totals, order-independent modular content checksum
+        -- (sum of 60-bit md5 fingerprints mod 2^61-1, HUGEINT-safe)
+        SELECT 'shard' AS method,
+               'shard-' || CAST(shard AS VARCHAR) AS lang,
+               CAST(NULL AS VARCHAR) AS source,
+               n_docs, n_distinct_texts, first_doc_id, last_doc_id,
+               n_tokens, n_chars, n_bytes, checksum
+        FROM (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT text) AS BIGINT)
+                   AS n_distinct_texts,
+                 MIN(doc_id) AS first_doc_id,
+                 MAX(doc_id) AS last_doc_id,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                          x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                 CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS n_bytes,
+                 CAST(sum(CAST(CAST(('0x' || substring(
+                        md5(doc_id || ':' || text), 1, 15)) AS BIGINT)
+                        AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+                   AS checksum
+          FROM documents GROUP BY 1
+        )
         ORDER BY method, lang, source
       """,
       # The whole curation chain recomputed from scratch: quality

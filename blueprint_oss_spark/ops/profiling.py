@@ -231,3 +231,67 @@ def data_card(spark: SparkSession, sf_dir: str, *,
           .withColumn('n_dup_docs',
                       F.col('n_docs') - F.col('n_distinct_texts'))
           .orderBy('lang', 'source'))
+
+
+#: Modulus for order-independent content checksums: 2^61 - 1 (prime).
+#: Per-doc fingerprints are 60-bit md5 prefixes, so a modular SUM is
+#: commutative/associative — identical no matter how Spark partitions,
+#: combines or reorders the rows, which is the whole point: a resumed
+#: or differently-parallelized run must reproduce it bit-for-bit.
+CHECKSUM_MOD = 2305843009213693951
+
+
+def shard_manifests(spark: SparkSession, sf_dir: str, *,
+                    buckets: int = 8,
+                    docs: DataFrame = None) -> DataFrame:
+  """Per-output-shard content manifests — the integrity record a
+  resumable bulk writer keeps next to its data files (the Iceberg /
+  WebDataset manifest shape): for each shard, its row count, distinct
+  texts, exact token / char / byte totals, doc_id range, and an
+  ORDER-INDEPENDENT content checksum (modular sum of per-doc 60-bit
+  md5 fingerprints over doc_id:text).  Two runs that produce the same
+  shard contents produce the same manifest REGARDLESS of partitioning,
+  task order or cluster size — this is how the scaling runs' "outputs
+  bit-identical across cluster sizes" claim becomes a cheap per-shard
+  equality check instead of a full-table diff, and how a resumed run
+  (spark/pipeline.run_extraction_job) validates previously-written
+  groups without re-reading its own output twice.
+
+  Sharding is the repo's md5-salted hash bucket (first 8 hex chars of
+  md5(doc_id) mod buckets) so DuckDB recomputes the assignment
+  byte-identically; run_extraction_job's xxhash64 part_bucket is the
+  production sibling (not SQL-recomputable, so the oracle-gated
+  operator standardizes on md5).
+
+  Scale shape: ONE map-side-combinable groupBy over the scan — counts,
+  sums, min/max and the modular checksum all combine associatively, so
+  at 100 TB this is a single reduce keyed by `buckets` values.  The
+  checksum sum rides decimal(38,0) (10^12 docs x 2^60 ≈ 10^30, far
+  below overflow) and collapses to int64 with one pmod."""
+  d = (docs if docs is not None
+       else spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select('doc_id', 'text')
+  did = F.col('doc_id').cast('string')
+  fp = F.conv(F.substring(F.md5(F.concat_ws(':', did, F.col('text'))),
+                          1, 15), 16, 10).cast('decimal(38,0)')
+  shard = F.pmod(F.conv(F.substring(F.md5(did), 1, 8), 16, 10)
+                 .cast('long'), F.lit(buckets))
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  return (d.select(shard.alias('shard'), 'doc_id',
+                   fp.alias('fp'),
+                   F.size(toks).cast('long').alias('n_toks'),
+                   F.length('text').cast('long').alias('n_chars'),
+                   F.octet_length('text').cast('long').alias('n_bytes'),
+                   'text')
+          .groupBy('shard')
+          .agg(F.count(F.lit(1)).alias('n_docs'),
+               F.count_distinct(F.col('text')).alias('n_distinct_texts'),
+               F.sum('n_toks').alias('n_tokens'),
+               F.sum('n_chars').alias('n_chars'),
+               F.sum('n_bytes').alias('n_bytes'),
+               F.min('doc_id').alias('first_doc_id'),
+               F.max('doc_id').alias('last_doc_id'),
+               F.pmod(F.sum('fp'),
+                      F.lit(CHECKSUM_MOD).cast('decimal(38,0)'))
+               .cast('long').alias('checksum'))
+          .orderBy('shard'))

@@ -371,6 +371,19 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
       metrics_exprs.append(F.sum('score').alias('score_sum'))
     if 'elapsed_ms' in cols:
       metrics_exprs.append(F.sum('elapsed_ms').alias('elapsed_ms_sum'))
+    if 'doc_id' in cols:
+      # Order-independent doc-set checksum (modular sum of 60-bit md5
+      # fingerprints, mod 2^61-1 — see ops.profiling.CHECKSUM_MOD):
+      # a resumed or differently-parallelized re-run of this group
+      # must reproduce it bit-for-bit, turning "did the retry write
+      # the same documents" into a lineage-row equality check.
+      fp = F.conv(
+          F.substring(F.md5(F.col('doc_id').cast('string')), 1, 15),
+          16, 10).cast('decimal(38,0)')
+      metrics_exprs.append(
+          F.pmod(F.sum(fp),
+                 F.lit(2305843009213693951).cast('decimal(38,0)'))
+          .cast('long').alias('doc_set_checksum'))
     observed = out.observe(obs, *metrics_exprs)
     # Dynamic partition overwrite: a re-run of this group replaces
     # exactly its own part_bucket partitions, so resuming after a
@@ -383,7 +396,10 @@ def run_extraction_job(spark: SparkSession, input_df: DataFrame,
        .option('partitionOverwriteMode', 'dynamic')
        .partitionBy('part_bucket')
        .parquet(output_path))
-    metrics = {k: (float(v) if v is not None else None)
+    # ints stay ints: the doc_set_checksum is a 61-bit value a float
+    # round-trip would corrupt (2^61 > 2^53)
+    metrics = {k: (None if v is None
+                   else int(v) if isinstance(v, int) else float(v))
                for k, v in obs.get.items()}
     row = {'group': g, 'bucket_lo': lo, 'bucket_hi': hi,
            'ts': time.time(), 'metrics': metrics}
