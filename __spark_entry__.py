@@ -903,7 +903,10 @@ def _substring_paragraph_dedup(spark: SparkSession,
   are dedup_paragraphs' Dolma-style canonical-first paragraph removal,
   method='c4span' rows are c4_span_dedup's duplicated three-sentence
   -span removal (Raffel et al. §2.2 keep-one; n_units = synthesized
-  sentences) — every column of every operator stays value-checked."""
+  sentences), method='docline' rows are dedup_doc_lines' in-document
+  repeated-line removal (Gopher A.1.1 scope — the shuffle-free local
+  granularity; n_units = synthesized 6-word lines) — every column of
+  every operator stays value-checked."""
   from blueprint_oss_spark.ops import textops as T
   es = (T.remove_duplicated_spans(spark, sf_dir)
         .select(F.lit('exactsubstr').alias('method'), 'doc_id',
@@ -917,7 +920,11 @@ def _substring_paragraph_dedup(spark: SparkSession,
         .select(F.lit('c4span').alias('method'), 'doc_id',
                 'clean_text', F.col('n_sents').alias('n_units'),
                 'n_removed', 'n_kept'))
-  return (es.unionByName(pp).unionByName(c4)
+  dl = (T.dedup_doc_lines(spark, sf_dir)
+        .select(F.lit('docline').alias('method'), 'doc_id',
+                'clean_text', F.col('n_lines').alias('n_units'),
+                'n_removed', 'n_kept'))
+  return (es.unionByName(pp).unionByName(c4).unionByName(dl)
           .orderBy('method', 'doc_id'))
 
 
@@ -2001,7 +2008,40 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, string_agg(sent, ' ' ORDER BY spos)
                    AS clean_text,
                  CAST(count(*) AS BIGINT) AS n_kept
-          FROM cskept GROUP BY doc_id)
+          FROM cskept GROUP BY doc_id),
+        -- docline section (Gopher A.1.1 in-document scope): 6-word
+        -- synthesized lines, boilerplate doc_id % 3 replacing line j
+        -- when (doc_id*5 + j) % 3 = 0; a repeated line is removed
+        -- only when an EARLIER line of the SAME doc equals it
+        dlined AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(
+                        range(0, CAST(ceil(len(w) / 6.0) AS INT)),
+                        j -> CASE WHEN (doc_id * 5 + j) % 3 = 0
+                                  THEN (['subscribe to our newsletter for weekly updates and exclusive offers',
+                                         'all rights reserved copyright terms of service privacy policy apply',
+                                         'share this article on social media and join the discussion below'])
+                                       [CAST(doc_id % 3 AS INT) + 1]
+                                  ELSE array_to_string(
+                                         w[j * 6 + 1 : j * 6 + 6], ' ')
+                             END)
+                 END AS lines
+          FROM t),
+        dlocc AS (
+          SELECT doc_id, CAST(i.i - 1 AS INT) AS pos, lines[i.i] AS line
+          FROM dlined, (SELECT unnest(generate_series(1, 4096)) AS i) i
+          WHERE i.i <= len(lines)),
+        dlranked AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY doc_id, line
+                                    ORDER BY pos) AS rnk
+          FROM dlocc),
+        dlreb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM dlranked WHERE rnk = 1 GROUP BY doc_id)
         SELECT 'exactsubstr' AS method, d.doc_id,
                coalesce(reb.clean_text, '') AS clean_text,
                CAST(len(list_filter(string_split(d.text, ' '),
@@ -2026,6 +2066,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(s.sents) AS BIGINT) - coalesce(r.n_kept, 0),
                coalesce(r.n_kept, 0)
         FROM csented s LEFT JOIN csreb r USING (doc_id)
+        UNION ALL
+        SELECT 'docline', l.doc_id,
+               coalesce(r.clean_text, ''),
+               CAST(len(l.lines) AS BIGINT),
+               CAST(len(l.lines) AS BIGINT) - coalesce(r.n_kept, 0),
+               coalesce(r.n_kept, 0)
+        FROM dlined l LEFT JOIN dlreb r USING (doc_id)
         ORDER BY method, doc_id
       """,
       # method='dom': ground truth = whitespace-normalized original
