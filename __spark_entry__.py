@@ -1170,7 +1170,13 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
   every first media span resolves at sf0.01, most miss at sf0.1 —
   both paths exercised); n_cap_tokens rides n_tokens, the verdict
   rides keep, and the oracle recomputes every bucket/sign/cosine
-  from the synthesis formulas."""
+  from the synthesis formulas.  method='validate' is ingest
+  validation/quarantine (ops/ingest.validate_interleaved) over the
+  same synthesized table with deterministic doc_id % 7 corruption
+  planted — the front-door contract check; keep rides valid,
+  reject_reason rides reason, and the oracle recomputes every
+  first-failure verdict and post-corruption span count by pure
+  integer arithmetic."""
   from blueprint_oss_spark.ops.html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
@@ -1277,9 +1283,20 @@ def _main_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ns.alias('cap_after'),
                       F.col('n_cap_tokens').alias('n_tokens'),
                       'found', 'keep', 'clip_r'))
+  # ingest validation / quarantine (method='validate'): the front-door
+  # contract check over the SAME synthesized table with deterministic
+  # doc_id % 7 corruption planted, so every first-failure verdict and
+  # post-corruption span count is recomputable by pure integer
+  # arithmetic (keep rides valid, reject_reason rides reason)
+  from blueprint_oss_spark.ops.ingest import validate_interleaved
+  val = _pad(validate_interleaved(spark, sf_dir, plant_corruptions=True)
+             .select(F.lit('validate').alias('method'), 'doc_id',
+                     *doc_cols, 'n_spans',
+                     F.col('valid').alias('keep'),
+                     F.col('reason').alias('reject_reason')))
   return (spans.unionByName(caps).unionByName(stats)
           .unionByName(rend).unionByName(mdd).unionByName(res)
-          .unionByName(clip)
+          .unionByName(clip).unionByName(val)
           .orderBy('method', 'doc_id', 'span_order', 'sentinel_idx'))
 
 
@@ -2559,6 +2576,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR),
                ROUND(cos, 4)
         FROM clipscore
+        UNION ALL
+        -- ingest validation (method='validate'): first-failure
+        -- verdicts + post-corruption span counts from pure doc_id
+        -- arithmetic (corruption grid m = doc_id % 7; base span
+        -- count 3 + %3==0 media + %2==0 pdf)
+        SELECT 'validate', doc_id, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR),
+               NULL, NULL,
+               CAST(CASE WHEN did % 7 = 6 THEN 0
+                         WHEN did % 7 IN (1, 4, 5) THEN
+                           4 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                             + CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END
+                         ELSE
+                           3 + CASE WHEN did % 3 = 0 THEN 1 ELSE 0 END
+                             + CASE WHEN did % 2 = 0 THEN 1 ELSE 0 END
+                    END AS INTEGER),
+               NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(CASE WHEN did % 7 = 0 THEN 1 ELSE 0 END
+                 AS INTEGER),
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               NULL, NULL, NULL,
+               CASE did % 7 WHEN 6 THEN 'empty_spans'
+                            WHEN 1 THEN 'bad_kind'
+                            WHEN 2 THEN 'text_missing'
+                            WHEN 3 THEN 'media_ref_missing'
+                            WHEN 4 THEN 'offset_dup'
+                            WHEN 5 THEN 'offset_neg'
+                            ELSE NULL END,
+               CAST(NULL AS DOUBLE)
+        FROM d
         ORDER BY method, doc_id, span_order, sentinel_idx
       """,
       'events_cube': """
