@@ -600,7 +600,40 @@ def _table_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nul_l.alias('n_quality_keep'),
                    nul_l.alias('n_dup_docs'),
                    'n_bytes', 'checksum'))
+  # method='compact': the table-maintenance binpack plan over the SAME
+  # manifests (plan_compaction) — order-preserving cumulative-byte
+  # binning, exact integer division; bin_id/bin_pos/bin_n_shards/
+  # bin_bytes are value-checked per shard (NULL on other sections),
+  # n_docs and n_bytes ride their real columns
+  compact = (P.plan_compaction(spark, sf_dir)
+             .select(F.lit('compact').alias('method'),
+                     F.concat(F.lit('shard-'), F.col('shard'))
+                     .alias('lang'),
+                     F.lit(None).cast('string').alias('source'),
+                     'n_docs',
+                     nul_l.alias('n_distinct_texts'),
+                     nul_l.alias('n_empty'), nul_l.alias('min_len'),
+                     nul_l.alias('max_len'), nul_l.alias('total_len'),
+                     nul_l.alias('first_doc_id'),
+                     nul_l.alias('last_doc_id'),
+                     nul_l.alias('n_zero_regs'), nul_d.alias('hll_est'),
+                     nul_l.alias('n_sampled'),
+                     nul_l.alias('q25'), nul_l.alias('q50'),
+                     nul_l.alias('q75'), nul_l.alias('q90'),
+                     nul_l.alias('n_tokens'), nul_l.alias('n_chars'),
+                     nul_l.alias('n_quality_keep'),
+                     nul_l.alias('n_dup_docs'),
+                     'n_bytes', nul_l.alias('checksum'),
+                     'bin_id', F.col('bin_pos').cast('long')
+                     .alias('bin_pos'),
+                     'bin_n_shards', 'bin_bytes'))
+  bin_pads = ('bin_id', 'bin_pos', 'bin_n_shards', 'bin_bytes')
+  for c in bin_pads:
+    prof = prof.withColumn(c, nul_l)
+    card = card.withColumn(c, nul_l)
+    shard = shard.withColumn(c, nul_l)
   return (prof.unionByName(card).unionByName(shard)
+          .unionByName(compact)
           .orderBy('method', 'lang', 'source'))
 
 
@@ -3838,6 +3871,30 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS n_distinct_texts,
                  CAST(sum(n_docs) - count(*) AS BIGINT) AS n_dup_docs
           FROM card_text GROUP BY lang, source
+        ), man AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT text) AS BIGINT)
+                   AS n_distinct_texts,
+                 MIN(doc_id) AS first_doc_id,
+                 MAX(doc_id) AS last_doc_id,
+                 CAST(sum(len(list_filter(string_split(text, ' '),
+                          x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                 CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS n_bytes,
+                 CAST(sum(CAST(CAST(('0x' || substring(
+                        md5(doc_id || ':' || text), 1, 15)) AS BIGINT)
+                        AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+                   AS checksum
+          FROM documents GROUP BY 1
+        ), binned AS (
+          SELECT shard, n_docs, n_bytes,
+                 coalesce(sum(n_bytes) OVER (ORDER BY shard
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) // 131072 AS bin_id
+          FROM man
         )
         SELECT 'profile' AS method,
                prof.lang, CAST(NULL AS VARCHAR) AS source, prof.*
@@ -3879,25 +3936,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR) AS source,
                n_docs, n_distinct_texts, first_doc_id, last_doc_id,
                n_tokens, n_chars, n_bytes, checksum
-        FROM (
-          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                       1, 8)) AS BIGINT) % 8 AS shard,
-                 CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(count(DISTINCT text) AS BIGINT)
-                   AS n_distinct_texts,
-                 MIN(doc_id) AS first_doc_id,
-                 MAX(doc_id) AS last_doc_id,
-                 CAST(sum(len(list_filter(string_split(text, ' '),
-                          x -> len(x) > 0))) AS BIGINT) AS n_tokens,
-                 CAST(sum(length(text)) AS BIGINT) AS n_chars,
-                 CAST(sum(octet_length(encode(text))) AS BIGINT)
-                   AS n_bytes,
-                 CAST(sum(CAST(CAST(('0x' || substring(
-                        md5(doc_id || ':' || text), 1, 15)) AS BIGINT)
-                        AS HUGEINT)) % 2305843009213693951 AS BIGINT)
-                   AS checksum
-          FROM documents GROUP BY 1
-        )
+        FROM man
+        UNION ALL BY NAME
+        -- table-maintenance binpack plan over the same manifests:
+        -- order-preserving cumulative-byte binning (cum_before DIV
+        -- 128 KiB — exact integer division, pack_sequences' rule at
+        -- file granularity)
+        SELECT 'compact' AS method,
+               'shard-' || CAST(shard AS VARCHAR) AS lang,
+               CAST(NULL AS VARCHAR) AS source,
+               n_docs, n_bytes, bin_id,
+               CAST(row_number() OVER (PARTITION BY bin_id
+                    ORDER BY shard) - 1 AS BIGINT) AS bin_pos,
+               count(*) OVER (PARTITION BY bin_id) AS bin_n_shards,
+               sum(n_bytes) OVER (PARTITION BY bin_id) AS bin_bytes
+        FROM binned
         ORDER BY method, lang, source
       """,
       # The whole curation chain recomputed from scratch: quality

@@ -295,3 +295,61 @@ def shard_manifests(spark: SparkSession, sf_dir: str, *,
                       F.lit(CHECKSUM_MOD).cast('decimal(38,0)'))
                .cast('long').alias('checksum'))
           .orderBy('shard'))
+
+
+#: Default compaction target: 128 KiB at gate scale so sf0.01's
+#: ~80 KB shards pack ~2 per bin while sf0.1's ~800 KB shards each
+#: overshoot into single-shard bins — both planner regimes exercised
+#: by the same gate row.  Production sets this to the table's target
+#: file size (Iceberg's write.target-file-size-bytes, typically 512 MB).
+DEFAULT_COMPACT_TARGET = 128 * 1024
+
+
+def plan_compaction(spark: SparkSession, sf_dir: str, *,
+                    target_bytes: int = DEFAULT_COMPACT_TARGET,
+                    buckets: int = 8,
+                    manifests: DataFrame = None) -> DataFrame:
+  """Compaction planning over writer shard manifests — the
+  table-maintenance step that groups small output files into
+  target-size rewrite bins (the Iceberg BinPackStrategy /
+  rewrite_data_files shape).  Shards are walked IN SHARD ORDER
+  (preserving the store's sort/locality, like Iceberg's
+  sort-order-preserving binpack) and assigned
+  bin_id = cumulative_bytes_before_this_shard DIV target_bytes —
+  pack_sequences' chunking rule applied at file granularity, exact
+  integer division so every engine agrees bit-for-bit.  A shard larger
+  than target_bytes simply overshoots its bin (single-file bins; the
+  planner never splits a file — that is the writer's job).  Output per
+  input shard:
+    shard, n_docs, n_bytes, bin_id, bin_pos (rank within bin),
+    bin_n_shards, bin_bytes.
+
+  Scale shape: manifests are METADATA — one row per output file, many
+  orders of magnitude smaller than the data (10^5-10^6 rows for a
+  100 TB table), which is why Iceberg's own planner runs single-node
+  over manifest lists.  The one ordered window here spans that bounded
+  metadata frame, not the corpus; at real scale the window partitions
+  by the table partition key (each Iceberg partition compacts
+  independently) and stays just as bounded.  The data itself is never
+  read: the plan costs two metadata windows + one metadata join."""
+  if target_bytes <= 0:
+    raise ValueError('target_bytes must be positive')
+  from pyspark.sql import Window
+  m = (manifests if manifests is not None
+       else shard_manifests(spark, sf_dir, buckets=buckets)) \
+      .select('shard', 'n_docs', 'n_bytes')
+  binned = m.select(
+      'shard', 'n_docs', 'n_bytes',
+      F.expr(f'CAST(coalesce(sum(n_bytes) OVER (ORDER BY shard '
+             f'ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) '
+             f'DIV {int(target_bytes)} AS LONG)').alias('bin_id'))
+  wb = Window.partitionBy('bin_id').orderBy('shard')
+  pos = binned.withColumn(
+      'bin_pos', (F.row_number().over(wb) - 1).cast('int'))
+  totals = (binned.groupBy('bin_id')
+            .agg(F.count(F.lit(1)).cast('long').alias('bin_n_shards'),
+                 F.sum('n_bytes').cast('long').alias('bin_bytes')))
+  return (pos.join(totals, 'bin_id')
+          .select('shard', 'n_docs', 'n_bytes', 'bin_id', 'bin_pos',
+                  'bin_n_shards', 'bin_bytes')
+          .orderBy('shard'))
