@@ -1047,11 +1047,19 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
   section aggregates the anchor-text corpus (`anchor_stats`): per
   target href, total links, distinct linking docs and the
   deterministic top anchor — the oracle recomputes the same
-  aggregation from the template join.  Columns not belonging to a
-  section are typed NULLs."""
+  aggregation from the template join.  A fifth method='justext'
+  section carries the jusText-style paragraph classifier
+  (justext_main_content, Pomikálek 2011 — the second published
+  main-content algorithm next to the readability scorer): per doc the
+  kept main text plus the context-free block census
+  (n_blocks/n_good/n_neargood/n_short/n_bad/n_kept), every value
+  recomputed by the oracle from the template structure (variant =
+  doc_id % 3) and the text column's exact stop-word arithmetic.
+  Columns not belonging to a section are typed NULLs."""
   from blueprint_oss_spark.ops.html_extract import (anchor_stats,
                                                     extract_links,
-                                                    html_main_content)
+                                                    html_main_content,
+                                                    justext_main_content)
   from blueprint_oss_spark.ops.warc import parse_warc_records
   nul_s = F.lit(None).cast('string')
   nul_i = F.lit(None).cast('int')
@@ -1088,8 +1096,29 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                  nul_i.alias('length_ok'), nul_i.alias('link_pos'),
                  'href', nul_s.alias('anchor_text'),
                  'n_links', 'n_docs', 'top_anchor', 'top_anchor_n'))
+  jx = (justext_main_content(spark, sf_dir)
+        .select(F.lit('justext').alias('method'), 'doc_id',
+                'main_text', nul_s.alias('target_uri'),
+                nul_i.alias('status'), nul_s.alias('content_type'),
+                nul_l.alias('declared_len'), nul_l.alias('body_len'),
+                nul_i.alias('length_ok'), nul_i.alias('link_pos'),
+                nul_s.alias('href'), nul_s.alias('anchor_text'),
+                *anc_nulls,
+                'n_blocks', 'n_good', 'n_neargood', 'n_short',
+                'n_bad', 'n_kept'))
+  jx_pads = ('n_blocks', 'n_good', 'n_neargood', 'n_short', 'n_bad',
+             'n_kept')
+  dom, wrc, lnk, anc = (
+      _with_null_ints(df_, jx_pads) for df_ in (dom, wrc, lnk, anc))
   return (dom.unionByName(wrc).unionByName(lnk).unionByName(anc)
+          .unionByName(jx)
           .orderBy('method', 'doc_id', 'link_pos', 'href'))
+
+
+def _with_null_ints(df_: DataFrame, cols) -> DataFrame:
+  for c in cols:
+    df_ = df_.withColumn(c, F.lit(None).cast('int'))
+  return df_
 
 
 def _plant_site_assets(content: DataFrame) -> DataFrame:
@@ -1404,6 +1433,40 @@ _SNAPSHOT_ORACLES = {
 #: tables — valid only at sf0.01, like the snapshot oracles above.
 _SNAPSHOT_PINNED_SQL = frozenset({'simhash_sigs_pairs', 'dedup_groups',
                                   'ann_topk_methods'})
+
+
+def _justext_cls_cte() -> str:
+  """CTE classifying each doc's article paragraph under the jusText
+  gate configuration — interpolated from the package stop-list
+  constant (the _links_template_cte device) so oracle and operator
+  cannot drift; the fixed template blocks' classes are derived by
+  hand from the template structure in the section that consumes
+  this CTE."""
+  from blueprint_oss_spark.ops.html_extract import JUSTEXT_GATE_STOPLIST
+  sl = ', '.join(f"'{w}'" for w in sorted(JUSTEXT_GATE_STOPLIST))
+  return f"""jxcls AS (
+          SELECT doc_id, main, menu_len,
+                 CASE WHEN length(main) < 70 THEN 'short'
+                      WHEN stop * 100 > wc * 32 THEN
+                        CASE WHEN length(main) > 100 THEN 'good'
+                             ELSE 'neargood' END
+                      WHEN stop * 100 > wc * 30 THEN 'neargood'
+                      ELSE 'bad' END AS c
+          FROM (
+            SELECT doc_id,
+                   'Document ' || CAST(doc_id AS VARCHAR) || ' part 0.'
+                     || CASE WHEN len(words) = 0 THEN ''
+                             ELSE ' ' || array_to_string(words, ' ')
+                        END AS main,
+                   4 + len(words) AS wc,
+                   1 + len(list_filter(words,
+                       w -> list_contains([{sl}], lower(w)))) AS stop,
+                   CASE WHEN doc_id % 3 IN (0, 1) THEN 6
+                        ELSE 5 END AS menu_len
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> len(x) > 0) AS words
+                  FROM documents)))"""
 
 
 def _links_template_cte() -> str:
@@ -2192,7 +2255,7 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY href
                          ORDER BY n DESC, anchor DESC) AS rn
                 FROM la) tp ON tp.href = s.href AND tp.rn = 1
-        )
+        ), """ + _justext_cls_cte() + r"""
         SELECT 'dom' AS method, doc_id,
                trim(regexp_replace(text, '\s+', ' ', 'g')) AS main_text,
                CAST(NULL AS VARCHAR) AS target_uri,
@@ -2207,7 +2270,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS n_links,
                CAST(NULL AS BIGINT) AS n_docs,
                CAST(NULL AS VARCHAR) AS top_anchor,
-               CAST(NULL AS BIGINT) AS top_anchor_n
+               CAST(NULL AS BIGINT) AS top_anchor_n,
+               CAST(NULL AS INT) AS n_blocks,
+               CAST(NULL AS INT) AS n_good,
+               CAST(NULL AS INT) AS n_neargood,
+               CAST(NULL AS INT) AS n_short,
+               CAST(NULL AS INT) AS n_bad,
+               CAST(NULL AS INT) AS n_kept
         FROM documents
         UNION ALL
         SELECT 'warc', doc_id,
@@ -2234,7 +2303,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT), CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-               CAST(NULL AS BIGINT)
+               CAST(NULL AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL, NULL
         FROM parsed
         UNION ALL
         SELECT 'links', d.doc_id,
@@ -2244,7 +2314,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT),
                CAST(t.pos AS INT), t.href, t.anchor,
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL, NULL
         FROM documents d JOIN ltmpl t ON t.v = d.doc_id % 3
         UNION ALL
         SELECT 'anchors', CAST(NULL AS BIGINT),
@@ -2253,8 +2324,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS INT), CAST(NULL AS INT),
                a.href, CAST(NULL AS VARCHAR),
-               a.n_links, a.n_docs, a.top_anchor, a.top_anchor_n
+               a.n_links, a.n_docs, a.top_anchor, a.top_anchor_n,
+               NULL, NULL, NULL, NULL, NULL, NULL
         FROM lagg a
+        UNION ALL
+        -- jusText-style paragraph classification (variant = doc_id %
+        -- 3): the fixed template blocks classify bad (header link,
+        -- nav items x menu_len, 2 ads, 5 link-farm sidebar rows,
+        -- footer) / short (2 headings) / near-good (2 prose comment
+        -- blocks, demoted by the revision pass), so only the article
+        -- paragraph's own exact stop-word arithmetic decides the row
+        SELECT 'justext', jc.doc_id,
+               CASE WHEN jc.c = 'good' THEN jc.main ELSE '' END,
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT),
+               CAST(14 + jc.menu_len AS INT),
+               CAST(CASE WHEN jc.c = 'good' THEN 1 ELSE 0 END AS INT),
+               CAST(2 + CASE WHEN jc.c = 'neargood' THEN 1 ELSE 0 END
+                 AS INT),
+               CAST(2 + CASE WHEN jc.c = 'short' THEN 1 ELSE 0 END
+                 AS INT),
+               CAST(9 + jc.menu_len
+                    + CASE WHEN jc.c = 'bad' THEN 1 ELSE 0 END AS INT),
+               CAST(CASE WHEN jc.c = 'good' THEN 1 ELSE 0 END AS INT)
+        FROM jxcls jc
         ORDER BY method, doc_id, link_pos, href
       """,
       # North-rule span sequence recomputed from the raw documents

@@ -159,6 +159,16 @@ def main() -> None:
                  lambda: main_content_from_spans(mdf).count())
   mc_docs_per_sec = n_mc / mc_sec if mc_sec > 0 else 0.0
 
+  # jusText-style paragraph classification (the second main-content
+  # algorithm): wrap + segment + classify + revise per doc in one
+  # Arrow stage — synthesis is inseparable from the timed operator
+  # here (the page template IS the input), so this times the whole
+  # per-doc loop like the extraction benchmarks do.
+  from blueprint_oss_spark.ops.html_extract import justext_main_content
+  justext_main_content(spark, sf_dir).count()  # warmup
+  timed('justext_main_content',
+        lambda: justext_main_content(spark, sf_dir).count())
+
   # Post-extraction interleaved-corpus passes over the SAME content
   # frame (materialized once, untimed — persist+count, NOT
   # localCheckpoint: checkpoint blocks survive unpersist/clearCache
