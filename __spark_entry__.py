@@ -199,7 +199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # oracle verified by a FULL sequential pure-python BPE train +
       # encode recomputation (scripts/build_oracles.py::verify_bpe)
       'bpe_train': _bpe_train_encode,
-      'minhash_pairs': lambda s, d: T.minhash_shingles(s, d),
+      # LSH candidate pairs UPGRADED with estimator calibration
+      # (minhash_calibration): every pair row also carries est_match
+      # (agreeing signature components of 16), inter and uni (exact
+      # distinct-shingle intersection/union sizes) — the
+      # bands/rows-tuning report, all exact integers, every cell
+      # re-verified by the FULL pure-python xxhash64 recomputation in
+      # scripts/build_oracles.py before the snapshot is written
+      'minhash_pairs': lambda s, d: T.minhash_calibration(s, d),
       # one driver row covering the exact brute-force baseline AND all
       # three ANN index families (sign-LSH banding / IVF coarse
       # quantizer / PQ-ADC) — merged so semantic_dedup,
@@ -1396,9 +1403,11 @@ _STOP_EN = "'the','a','of','and','to','in','is','it','for','on','with'," \
 #:   * bp_extract_* — verified per-document against the reference engine
 #:     itself (exhaustive solve for the 5 fixture corpora; best-of-100
 #:     dominance + tie-set membership for the paystubs flagship);
-#:   * minhash/simhash — verified by duplicate-closure + cross-op
-#:     consistency properties (exact dups collide, reported pairs have
-#:     independently-recomputed high Jaccard);
+#:   * minhash/simhash — FULL pure-python xxhash64 recomputation
+#:     (pair set AND every per-pair est_match/inter/uni calibration
+#:     cell) + duplicate-closure + cross-op consistency properties
+#:     (exact dups collide, reported pairs have independently-
+#:     recomputed high Jaccard);
 #:   * ann_topk_methods — each method slice verified by its own FULL
 #:     pure-python recomputation (LSH bucket probe / IVF cell probe /
 #:     PQ encode+ADC+refine) ending in the same round-then-sort top-k;

@@ -160,6 +160,41 @@ def _cap_hub_buckets(grouped: DataFrame, ids_col: str,
   return grouped.where(~over)
 
 
+def _minhash_features(d: DataFrame, n_hashes: int,
+                      shingle: int) -> DataFrame:
+  """Map-side minhash features per doc: the shingle array `sh` plus
+  signature columns m1..mk — shared by minhash_shingles (which prunes
+  sh away) and minhash_calibration (which also needs the distinct
+  shingle set for exact Jaccard).  Signatures build the shingle array
+  per row and take the per-permutation min with
+  array_min(transform(...)) — no explode, no distinct, no groupBy;
+  min over a multiset equals min over the distinct set, so the
+  signature is identical to the exploded+distinct formulation while
+  deferring the FIRST shuffle to whatever the caller does next.
+  (Guard: docs shorter than the shingle width have no signature and
+  are dropped, same as explode-of-empty before.)"""
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  shingles = F.when(
+      F.size(toks) >= shingle,
+      F.transform(
+          F.sequence(F.lit(0), F.size(toks) - shingle),
+          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle)))
+  ).otherwise(F.array().cast('array<string>'))
+
+  def min_hash(s):
+    # NB: the inner lambda must stay unary — transform() passes the
+    # array index to binary lambdas, which would silently replace the
+    # seed.
+    return F.array_min(
+        F.transform(F.col('sh'), lambda x: F.xxhash64(x, F.lit(s))))
+
+  return (d.select('doc_id', shingles.alias('sh'))
+          .where(F.size('sh') > 0)
+          .select('doc_id', 'sh',
+                  *[min_hash(s).alias(f'm{s}')
+                    for s in range(1, n_hashes + 1)]))
+
+
 def minhash_shingles(spark: SparkSession, sf_dir: str, *,
                      n_hashes: int = 16, shingle: int = 3,
                      bands: int = 4,
@@ -198,33 +233,9 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
   # parallelism.  At 100 TB the scan has thousands of splits and no
   # repartition (= no shuffle) happens.
   d = spread_small_scan(d)
-  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
-  # Map-side signatures: build the shingle array per row and take the
-  # per-permutation min with array_min(transform(...)) — no explode, no
-  # distinct, no groupBy.  min over a multiset equals min over the
-  # distinct set, so the signature is identical to the exploded+distinct
-  # formulation while deferring the FIRST shuffle all the way to the
-  # band-bucket grouping.  (Guard: docs shorter than the shingle width
-  # have no signature and are dropped, same as explode-of-empty before.)
-  shingles = F.when(
-      F.size(toks) >= shingle,
-      F.transform(
-          F.sequence(F.lit(0), F.size(toks) - shingle),
-          lambda i: F.concat_ws(' ', F.slice(toks, i + 1, shingle)))
-  ).otherwise(F.array().cast('array<string>'))
   seeds = list(range(1, n_hashes + 1))
-
-  def min_hash(s):
-    # NB: the inner lambda must stay unary — transform() passes the
-    # array index to binary lambdas, which would silently replace the
-    # seed.
-    return F.array_min(
-        F.transform(F.col('sh'), lambda x: F.xxhash64(x, F.lit(s))))
-
-  sig = (d.select('doc_id', shingles.alias('sh'))
-         .where(F.size('sh') > 0)
-         .select('doc_id',
-                 *[min_hash(s).alias(f'm{s}') for s in seeds]))
+  sig = _minhash_features(d, n_hashes, shingle) \
+      .select('doc_id', *[f'm{s}' for s in seeds])
   rows_per_band = n_hashes // bands
   band_cols = []
   for b in range(bands):
@@ -256,6 +267,58 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
       'b -> struct(a AS doc_a, b AS doc_b))))')).alias('p'))
   return (pairs.select('p.doc_a', 'p.doc_b')
           .distinct()
+          .orderBy('doc_a', 'doc_b'))
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str, *,
+                        n_hashes: int = 16, shingle: int = 3,
+                        bands: int = 4,
+                        max_bucket_size: int = 0,
+                        docs: DataFrame = None,
+                        pairs: DataFrame = None) -> DataFrame:
+  """MinHash estimator calibration — the report production dedup teams
+  run to pick (n_hashes, bands, rows): for every LSH candidate pair,
+  the ESTIMATED Jaccard evidence (est_match = number of agreeing
+  signature components; est ≈ est_match / n_hashes, the unbiased
+  minhash estimator) next to the EXACT distinct-shingle Jaccard
+  (inter / uni) — all exact integers, no float densities, so the
+  verification recomputes every cell bit-for-bit.  Output:
+    doc_a, doc_b, est_match, inter, uni.
+
+  Scale shape: the candidate-pair frame is TINY relative to the
+  corpus (that is the point of LSH), so both feature joins broadcast
+  the PAIR side under AQE and the corpus-sized feature frame never
+  shuffles (pinned: no SortMergeJoin); features are the same map-side
+  signature/shingle projection minhash_shingles uses
+  (_minhash_features), and exact Jaccard is computed ONLY on
+  candidates — never all-pairs (the all-pairs version is the test
+  oracle, where it belongs)."""
+  d = (docs if docs is not None
+       else _docs(spark, sf_dir)).select('doc_id', 'text')
+  d = spread_small_scan(d)
+  seeds = list(range(1, n_hashes + 1))
+  feats = (_minhash_features(d, n_hashes, shingle)
+           .select('doc_id',
+                   F.array_distinct('sh').alias('shset'),
+                   F.array(*[f'm{s}' for s in seeds]).alias('sig')))
+  p = (pairs if pairs is not None
+       else minhash_shingles(spark, sf_dir, n_hashes=n_hashes,
+                             shingle=shingle, bands=bands,
+                             max_bucket_size=max_bucket_size,
+                             docs=docs))
+  fa = feats.select(F.col('doc_id').alias('doc_a'),
+                    F.col('shset').alias('sa'), F.col('sig').alias('ga'))
+  fb = feats.select(F.col('doc_id').alias('doc_b'),
+                    F.col('shset').alias('sb'), F.col('sig').alias('gb'))
+  est = F.expr('aggregate(zip_with(ga, gb, (x, y) -> '
+               'IF(x = y, 1, 0)), 0, (a, x) -> a + x)')
+  return (p.join(fa, 'doc_a').join(fb, 'doc_b')
+          .select('doc_a', 'doc_b',
+                  est.cast('int').alias('est_match'),
+                  F.size(F.array_intersect('sa', 'sb')).cast('int')
+                  .alias('inter'),
+                  F.size(F.array_union('sa', 'sb')).cast('int')
+                  .alias('uni'))
           .orderBy('doc_a', 'doc_b'))
 
 

@@ -136,12 +136,17 @@ def _jaccard3(ta, tb) -> float:
   return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
 
 
-def _minhash_pairs_python(text: dict, n_hashes=16, shingle=3, bands=4):
-  """FULL independent recomputation of minhash_pairs with the
-  pure-Python Spark-xxhash64 replica (scripts/spark_xxhash64.py)."""
+def _minhash_python_features(text: dict, n_hashes=16, shingle=3,
+                             bands=4):
+  """FULL independent recomputation of the minhash path with the
+  pure-Python Spark-xxhash64 replica (scripts/spark_xxhash64.py):
+  per-doc signatures + distinct shingle sets + banded candidate
+  pairs."""
   from spark_xxhash64 import spark_xxhash64
   rows_per_band = n_hashes // bands
   buckets: dict = {}
+  sigs: dict = {}
+  shsets: dict = {}
   for d, t in text.items():
     toks = [w for w in t.split(' ') if w]
     if len(toks) < shingle:
@@ -150,6 +155,7 @@ def _minhash_pairs_python(text: dict, n_hashes=16, shingle=3, bands=4):
                 for i in range(len(toks) - shingle + 1)]
     sig = [min(spark_xxhash64(sh, ('int', seed)) for sh in shingles)
            for seed in range(1, n_hashes + 1)]
+    sigs[d], shsets[d] = sig, set(shingles)
     for b in range(bands):
       parts = sig[b * rows_per_band:(b + 1) * rows_per_band]
       bucket = spark_xxhash64(*[('long', p) for p in parts],
@@ -161,7 +167,11 @@ def _minhash_pairs_python(text: dict, n_hashes=16, shingle=3, bands=4):
     for i, a in enumerate(ds):
       for b in ds[i + 1:]:
         pairs.add((a, b))
-  return pairs
+  return sigs, shsets, pairs
+
+
+def _minhash_pairs_python(text: dict, n_hashes=16, shingle=3, bands=4):
+  return _minhash_python_features(text, n_hashes, shingle, bands)[2]
 
 
 def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
@@ -170,11 +180,20 @@ def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
       .select(['doc_id', 'text']).to_pandas()
   text = dict(zip(docs.doc_id, docs.text))
   assert pdf.equals(pdf2), 'minhash_pairs not deterministic'
-  expect = _minhash_pairs_python(text)
+  sigs, shsets, expect = _minhash_python_features(text)
   got = {(a, b) for a, b in zip(pdf.doc_a, pdf.doc_b)}
   assert got == expect, (
       f'python recomputation mismatch: missing={expect - got} '
       f'extra={got - expect}')
+  # calibration columns: every cell recomputed from the python
+  # signatures and distinct shingle sets
+  for r in pdf.itertuples():
+    est = sum(x == y for x, y in zip(sigs[r.doc_a], sigs[r.doc_b]))
+    inter = len(shsets[r.doc_a] & shsets[r.doc_b])
+    uni = len(shsets[r.doc_a] | shsets[r.doc_b])
+    assert (est, inter, uni) == (r.est_match, r.inter, r.uni), \
+        (r.doc_a, r.doc_b, (est, inter, uni),
+         (r.est_match, r.inter, r.uni))
   # duplicate closure: identical text => identical signature => banded
   by_md5: dict = {}
   for d, t in text.items():
@@ -188,8 +207,9 @@ def verify_minhash(sf_dir: str, pdf, pdf2) -> dict:
   jac = [_jaccard3(_tokens(text[a]), _tokens(text[b]))
          for a, b in sorted(pairs)]
   assert not jac or min(jac) >= 0.05, f'implausibly low jaccard {min(jac)}'
-  return {'method': 'FULL pure-python xxhash64 recomputation + '
-                    'dup-closure + 3-gram jaccard + determinism',
+  return {'method': 'FULL pure-python xxhash64 recomputation (pairs + '
+                    'per-pair est_match/inter/uni calibration cells) '
+                    '+ dup-closure + 3-gram jaccard + determinism',
           'pairs': len(pairs), 'exact_dup_pairs': len(dup_pairs),
           'jaccard_min': round(min(jac), 4) if jac else None,
           'jaccard_median': round(float(np.median(jac)), 4) if jac
