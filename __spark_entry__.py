@@ -449,8 +449,19 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.sum('n_words').alias('it_words'),
       F.sum('n_tokens').alias('it_tokens'),
       F.sum('n_sentinels').cast('long').alias('it_sentinels'))
+  # per-language fertility audit (tokenizer_fertility) pivoted to one
+  # broadcast row: f_{lang}_{words,tokens,chars,bytes} — the XLM-R /
+  # BLOOM-style multilingual tokenizer-quality table, every cell an
+  # exact integer the sequential recomputation re-derives per language
+  fert = T.tokenizer_fertility(spark, sf_dir, merges=merges)
+  fcols = [F.sum(F.when(F.col('lang') == lang, F.col(f'n_{m}')))
+           .cast('long').alias(f'f_{lang}_{m}')
+           for lang in ('en', 'es', 'de', 'fr')
+           for m in ('words', 'tokens', 'chars', 'bytes')]
+  f1 = fert.agg(*fcols)
   return (merges.crossJoin(F.broadcast(totals))
-          .crossJoin(F.broadcast(it)).orderBy('rank'))
+          .crossJoin(F.broadcast(it))
+          .crossJoin(F.broadcast(f1)).orderBy('rank'))
 
 
 def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1588,6 +1588,46 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
                F.sum('word_tokens').alias('n_tokens')))
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str, *,
+                        n_merges: int = 24,
+                        merges: DataFrame = None,
+                        docs: DataFrame = None) -> DataFrame:
+  """Per-language tokenizer fertility audit — the multilingual
+  tokenizer-quality table (XLM-R / BLOOM-style reports: tokens per
+  word, chars and bytes per token, by language) that decides whether a
+  vocabulary under-serves a language before a single GPU-hour is
+  spent.  Exact integer sums only (no float ratios — the consumer
+  divides):
+    lang, n_docs, n_words, n_tokens, n_chars, n_bytes.
+  Documents with no tokens contribute 0 words/tokens but still count
+  in n_docs / n_chars / n_bytes (LEFT join semantics).
+
+  Scale shape: rides bpe_encode's corpus/vocabulary decoupling (one
+  corpus scan reduced to the distinct-word table, merges folded there,
+  join-back keyed on the word), then ONE doc_id equi-join against the
+  language dimension of the same table — co-located for free on the
+  bucketed doc store (spark/storage.py), shuffled once otherwise —
+  and a languages-sized groupBy that combines map-side."""
+  d = (docs if docs is not None
+       else spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select('doc_id', 'text', 'lang')
+  enc = bpe_encode(spark, sf_dir, n_merges=n_merges, merges=merges,
+                   docs=d.select('doc_id', 'text'))
+  dim = d.select('doc_id', 'lang',
+                 F.length('text').cast('long').alias('chars'),
+                 F.octet_length('text').cast('long').alias('bytes'))
+  return (dim.join(enc, 'doc_id', 'left')
+          .groupBy('lang')
+          .agg(F.count(F.lit(1)).cast('long').alias('n_docs'),
+               F.sum(F.coalesce('n_words', F.lit(0))).cast('long')
+               .alias('n_words'),
+               F.sum(F.coalesce('n_tokens', F.lit(0))).cast('long')
+               .alias('n_tokens'),
+               F.sum('chars').alias('n_chars'),
+               F.sum('bytes').alias('n_bytes'))
+          .orderBy('lang'))
+
+
 def incremental_dedup(spark: SparkSession, sf_dir: str, *,
                       shingle: int = 3, threshold: float = 0.5,
                       batch_mod: int = 10,

@@ -764,6 +764,27 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
   assert (pdf['corpus_tokens'] == exp_tokens).all(), \
       f'corpus_tokens mismatch: {set(pdf.corpus_tokens)} != {exp_tokens}'
 
+  # per-language fertility: the final per-distinct-word symbol lengths
+  # are global, so each language's token total is the lang-frequency-
+  # weighted sum of those lengths; chars/bytes straight from the text
+  ldocs = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .select(['text', 'lang']).to_pandas()
+  for lang in ('en', 'es', 'de', 'fr'):
+    lw = lt = lc = lb = 0
+    for t, lg in zip(ldocs.text, ldocs.lang):
+      if lg != lang:
+        continue
+      lc += len(t)
+      lb += len(t.encode('utf-8'))
+      for w in t.split(' '):
+        if w:
+          lw += 1
+          lt += len(words[w][0])
+    for col, exp in ((f'f_{lang}_words', lw), (f'f_{lang}_tokens', lt),
+                     (f'f_{lang}_chars', lc), (f'f_{lang}_bytes', lb)):
+      assert (pdf[col] == exp).all(), \
+          f'{col} mismatch: {set(pdf[col])} != {exp}'
+
   # interleaved tokenizer totals: re-derive the rendered corpus from
   # the raw documents table by the synthesis formulas (recoverable
   # ground truth — interleaved_html_table builds spans by pure

@@ -85,6 +85,38 @@ if model == 'main_content':
             F.count('*').alias('n'),
             F.sum(F.xxhash64('doc_id', F.to_json('out_spans'))
                   .cast('decimal(38,0)')).alias('s')).collect()[0]
+elif model == 'justext':
+    # the second main-content algorithm (jusText-style block
+    # classifier): wrap + segment + classify + revise per doc in one
+    # Arrow stage — a pure map job whose per-doc cost is ~3x the
+    # readability path's, measured at two cluster sizes with an
+    # order-insensitive checksum over EVERY output cell (main_text +
+    # the full block census), so cross-size equality proves verdicts
+    # are parallelism-independent.  Corpus replicated with doc_id
+    # offsets (variant = doc_id % 3 changes per replica — harmless,
+    # the checksum covers it) so the low level runs ~30 s of real work
+    # instead of task-dispatch noise.
+    from blueprint_oss_spark.ops.html_extract import justext_main_content
+    sf_dir = os.environ.get('BOS_SCALE_SF', '/root/testdata/sf0.1')
+    src = spark.read.parquet(f'{sf_dir}/documents.parquet') \
+        .select('doc_id', 'text')
+    if n_docs:
+        src = src.limit(n_docs)
+    rep = int(os.environ.get('BOS_SCALE_REPLICATE', '4'))
+    if rep > 1:
+        reps = spark.range(rep).select(F.col('id').alias('rep'))
+        src = (src.crossJoin(reps)
+               .select((F.col('doc_id') + F.col('rep') * 1000000)
+                       .alias('doc_id'), 'text'))
+    df = src.repartition(n_parts).cache()
+    df.count()
+    def run_pass():
+        return justext_main_content(spark, sf_dir, docs=df).agg(
+            F.count('*').alias('n'),
+            F.sum(F.xxhash64('doc_id', 'main_text', 'n_blocks',
+                             'n_good', 'n_neargood', 'n_short',
+                             'n_bad', 'n_kept')
+                  .cast('decimal(38,0)')).alias('s')).collect()[0]
 elif model == 'minhash':
     # shuffle-heavy counterpart to the map-heavy extraction jobs: the
     # minhash+LSH near-dup pair scan's cost is its band-bucket groupBy
