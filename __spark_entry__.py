@@ -696,7 +696,27 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'score_r', 'rnk', nul_l.alias('cms_est'),
                 nul_l.alias('cms_overcount'), nul_i.alias('hh_heavy'),
                 nul_l.alias('hh_count'), nul_l.alias('hh_n_total')))
-  return (tft.unionByName(bm)
+  # inverted-index postings build (method='postings', doc_bucket=100
+  # so the gate corpus spans 5 buckets): posexploded so the driver
+  # value-checks IN-BUCKET POSTING ORDER via rnk (the
+  # sequence_segments device) plus df_bucket / df / cf rollups
+  po = (T.build_postings(spark, sf_dir, doc_bucket=100)
+        .select('term', 'bucket', 'df_bucket',
+                F.posexplode('postings').alias('pos', 'p'), 'df', 'cf')
+        .select(F.lit('postings').alias('method'),
+                F.col('p.doc_id').alias('doc_id'), 'term',
+                F.col('p.tf').alias('tf'), 'df',
+                F.lit(None).cast('double').alias('score_r'),
+                F.col('pos').cast('int').alias('rnk'),
+                nul_l.alias('cms_est'), nul_l.alias('cms_overcount'),
+                nul_i.alias('hh_heavy'), nul_l.alias('hh_count'),
+                nul_l.alias('hh_n_total'),
+                'bucket', 'df_bucket', 'cf'))
+  pads = ('bucket', 'df_bucket', 'cf')
+  for c in pads:
+    tft = tft.withColumn(c, nul_l)
+    bm = bm.withColumn(c, nul_l)
+  return (tft.unionByName(bm).unionByName(po)
           .orderBy('method', 'doc_id', 'rnk', 'term'))
 
 
@@ -3849,7 +3869,10 @@ def oracle_sql() -> dict[str, str]:
                  AS cms_overcount,
                CAST(hhv.term IS NOT NULL AS INT) AS hh_heavy,
                CAST(hhv.hh_count AS BIGINT) AS hh_count,
-               CAST(hhv.n_total AS BIGINT) AS hh_n_total
+               CAST(hhv.n_total AS BIGINT) AS hh_n_total,
+               CAST(NULL AS BIGINT) AS bucket,
+               CAST(NULL AS BIGINT) AS df_bucket,
+               CAST(NULL AS BIGINT) AS cf
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, term) AS rnk
@@ -3866,9 +3889,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT) AS cms_overcount,
                CAST(NULL AS INT) AS hh_heavy,
                CAST(NULL AS BIGINT) AS hh_count,
-               CAST(NULL AS BIGINT) AS hh_n_total
+               CAST(NULL AS BIGINT) AS hh_n_total,
+               NULL, NULL, NULL
         FROM btop b JOIN qnames q ON b.query_id = q.query_id
         WHERE b.rnk <= 5
+        UNION ALL
+        -- inverted-index postings (method='postings', doc_bucket=100):
+        -- rnk carries the in-bucket position so the driver
+        -- value-checks posting ORDER, df/cf the per-term rollup
+        SELECT 'postings' AS method,
+               pb.doc_id, pb.term, pb.tf, ptot.df,
+               CAST(NULL AS DOUBLE) AS score_r,
+               CAST(pb.pos AS INT) AS rnk,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               pb.bucket, pdfb.df_bucket, ptot.cf
+        FROM (
+          SELECT term, doc_id // 100 AS bucket, doc_id, tf,
+                 CAST(row_number() OVER (
+                     PARTITION BY term, doc_id // 100
+                     ORDER BY doc_id) - 1 AS INT) AS pos
+          FROM tf) pb
+        JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS cf
+              FROM tf GROUP BY term) ptot USING (term)
+        JOIN (SELECT term, doc_id // 100 AS bucket,
+                     CAST(count(*) AS BIGINT) AS df_bucket
+              FROM tf GROUP BY 1, 2) pdfb
+          ON pb.term = pdfb.term AND pb.bucket = pdfb.bucket
         ORDER BY method, doc_id, rnk, term
       """,
       # Hash-threshold stratified sampling: md5 hex compared against a

@@ -1588,6 +1588,72 @@ def bpe_encode(spark: SparkSession, sf_dir: str, *,
                F.sum('word_tokens').alias('n_tokens')))
 
 
+def build_postings(spark: SparkSession, sf_dir: str, *,
+                   doc_bucket: int = 1024,
+                   terms: tuple = None,
+                   materialize: bool = True,
+                   docs: DataFrame = None) -> DataFrame:
+  """Inverted-index postings materialization — the bulk index-build
+  product behind the IR family (tf·idf terms, CMS estimates, exact
+  heavy hitters, BM25 ranking all SCORE; this operator builds the
+  index they would serve from): per (term, doc-range bucket), the
+  doc_id-sorted posting array with term frequencies, plus per-term
+  document frequency (df) and corpus frequency (cf).
+    term, bucket, df_bucket, postings array<struct<doc_id,tf>>, df, cf
+
+  The layout is the skew-proof part: postings are keyed
+  (term, doc_id DIV doc_bucket), so EVERY collected group holds at
+  most `doc_bucket` entries REGARDLESS of term hotness — a stopword
+  appearing in all 10^12 documents becomes 10^9 bounded chunks, never
+  one unbounded collect_list row (contrast the per-term row_number
+  window an index builder must NOT use: it funnels a hot term's whole
+  posting list through one task).  Consumers reconstruct the global
+  doc_id order by concatenating buckets ascending — pinned by test.
+
+  Shuffles: (1) the word-count-shaped tf groupBy keyed (term, doc_id),
+  (2) the bounded-group posting groupBy keyed (term, bucket), (3) a
+  term-keyed rollup over BUCKET-level rows (corpus-size-independent)
+  for df/cf — all map-side combinable.  `terms=` restricts to a
+  candidate set (the count_min_terms seam) with the filter pushed
+  below the first shuffle.
+
+  The bucket rows are MATERIALIZED (localCheckpoint) before the df/cf
+  rollup by default: collect_list is non-deterministic to Catalyst, so
+  the rollup branch cannot reuse the aggregation exchange and would
+  re-run the whole corpus scan (measured: 5 exchanges, two full
+  subtrees).  Materializing is the honest production shape anyway —
+  the index IS the output an index build writes; the rollup then reads
+  bucket-level rows only (pinned: zero FileScans below it).  Pass
+  materialize=False to keep the plan fully lazy for composition."""
+  if doc_bucket <= 0:
+    raise ValueError('doc_bucket must be positive')
+  d = (docs if docs is not None
+       else _docs(spark, sf_dir)).select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  words = d.select('doc_id', F.explode(toks).alias('term'))
+  if terms is not None:
+    words = words.where(F.col('term').isin(*terms))
+  tf = (words.groupBy('term', 'doc_id')
+        .agg(F.count(F.lit(1)).cast('long').alias('tf')))
+  plist = (tf.withColumn(
+      'bucket', F.expr(f'doc_id DIV {int(doc_bucket)}').cast('long'))
+      .groupBy('term', 'bucket')
+      .agg(F.sort_array(F.collect_list(F.struct('doc_id', 'tf')))
+           .alias('postings'),
+           F.count(F.lit(1)).cast('long').alias('df_bucket')))
+  if materialize:
+    plist = plist.localCheckpoint()
+  totals = (plist.groupBy('term')
+            .agg(F.sum('df_bucket').cast('long').alias('df'),
+                 F.sum(F.aggregate(
+                     'postings', F.lit(0).cast('long'),
+                     lambda acc, p: acc + p['tf'])).cast('long')
+                 .alias('cf')))
+  return (plist.join(totals, 'term')
+          .select('term', 'bucket', 'df_bucket', 'postings', 'df', 'cf')
+          .orderBy('term', 'bucket'))
+
+
 def tokenizer_fertility(spark: SparkSession, sf_dir: str, *,
                         n_merges: int = 24,
                         merges: DataFrame = None,
