@@ -348,7 +348,23 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'margin_r',
                 F.col('mined').cast('int').alias('mined'),
                 F.col('mutual').cast('int').alias('mutual')))
+  # method='pca': PCA projection of every embedding onto the
+  # exact-integer-covariance basis (vectors.pca_project, k=8) — the
+  # DataComp-style dimensionality-reduction front end for ANN /
+  # SemDeDup.  cosine_r carries the round-6 projection coordinate and
+  # rnk the component index; verified snapshot (build_oracles
+  # verify_pca: full python recomputation incl. HALF_UP rounding).
+  pca = (V.pca_project(spark, sf_dir, k=8)
+         .select('vec_id', 'label',
+                 F.posexplode('proj').alias('rnk', 'val'))
+         .select(F.lit('pca').alias('method'), 'vec_id',
+                 F.round('val', 6).alias('cosine_r'),
+                 F.col('label').cast('int').alias('label'),
+                 nul_d.alias('norm_sq'), nul_l.alias('anchor_id'),
+                 nul_l.alias('anchor_label'),
+                 F.col('rnk').cast('int').alias('rnk'), *no_bitext))
   return (brute.unionByName(ann).unionByName(hn).unionByName(bt)
+          .unionByName(pca)
           .orderBy('method', 'anchor_id', 'rnk',
                    F.desc('cosine_r'), 'vec_id'))
 
@@ -3650,6 +3666,17 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS INT),
                CAST(mutual AS INT)
         FROM bout
+        UNION ALL
+        -- PCA projection section: reads the snapshot verify_pca
+        -- checks with a FULL python recomputation (exact-integer
+        -- covariance + identical eigh + pinned fold + HALF_UP round)
+        SELECT 'pca', vec_id, proj_r,
+               CAST(label AS INT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(rnk AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS INT)
+        FROM read_parquet('/root/repo/oracles/pca_proj.parquet')
         ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': r"""

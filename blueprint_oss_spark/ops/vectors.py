@@ -910,3 +910,117 @@ def bitext_mine(spark: SparkSession, sf_dir: str, *,
                    (F.col('best_src') == F.col('src_id')).cast('int')
                    .alias('mutual'))
           .orderBy('src_id'))
+
+
+def pca_train(spark: SparkSession, sf_dir: str, *,
+              k: int = 8,
+              embeddings: DataFrame = None):
+  """PCA basis training over the embedding table — the
+  dimensionality-reduction step DataComp-style pipelines run in front
+  of ANN / SemDeDup so distance computations pay k dims instead of d.
+
+  The covariance accumulation is EXACT-INTEGER (the lm_score/bitext
+  discipline): components are truncated to micro-units
+  (CAST(x * 1e6 AS LONG) — truncation, not round, so every engine and
+  the python verifier agree trivially), per-row outer products explode
+  to (i, j, xi*xj) rows and reduce in ONE word-count-shaped groupBy
+  keyed (i, j) — map-side combinable, d² = 4096 output rows
+  REGARDLESS of corpus size, sums carried in decimal(38,0)
+  (10^12 rows × 1e12-scale products stay far below overflow).  The
+  mean sums ride the same explode.  NOT d² aggregate columns (that
+  plan dies at codegen) and NOT driver-side vectors.collect().
+
+  The d×d eigendecomposition runs on the DRIVER over the exact
+  integer sums (numpy eigh — the bounded-model-collect precedent of
+  IVF/PQ codebook training; d is a model constant, never data-sized).
+  Eigenvector sign is fixed deterministically (largest-|component|
+  entry made positive, first index on ties).
+
+  Returns (means, components, eigvals): means = per-dim float64
+  means, components = k rows of float64 eigenvectors (descending
+  eigenvalue), eigvals = their variances."""
+  import numpy as np
+  e = (embeddings if embeddings is not None
+       else _emb(spark, sf_dir)).select('embedding')
+  d = len(e.first()['embedding'])
+  if not 0 < k <= d:
+    raise ValueError(f'k must be in 1..{d}')
+  ei = e.select(
+      F.expr('transform(embedding, '
+             'x -> CAST(CAST(x AS DOUBLE) * 1e6 AS LONG))').alias('v'))
+  # (i, j, xi*xj) explode -> one word-count groupBy; pos = i*d + j.
+  # The mean sums ride the j = i diagonal's xi via a separate cheap
+  # aggregate over the d-row per-dim explode.
+  outer = ei.select(F.posexplode(F.expr(
+      'flatten(transform(v, x -> transform(v, y -> x * y)))'))
+      .alias('pos', 'val'))
+  sxx = (outer.groupBy('pos')
+         .agg(F.sum(F.col('val').cast('decimal(38,0)')).alias('s'))
+         .collect())
+  sums = ei.select(F.posexplode('v').alias('i', 'x')) \
+      .groupBy('i').agg(F.sum(F.col('x').cast('decimal(38,0)'))
+                        .alias('s'),
+                        F.count(F.lit(1)).alias('n')).collect()
+  n = int(sums[0]['n'])
+  sx = [0] * d
+  for r in sums:
+    sx[int(r['i'])] = int(r['s'])
+  sxx_m = [[0] * d for _ in range(d)]
+  for r in sxx:
+    p = int(r['pos'])
+    sxx_m[p // d][p % d] = int(r['s'])
+  # cov[i][j] = (n*Sxx - Sx_i*Sx_j) / (n^2 * 1e12): exact integer
+  # numerator, one float division at the end
+  cov = np.array([[float(n * sxx_m[i][j] - sx[i] * sx[j])
+                   for j in range(d)] for i in range(d)],
+                 dtype=np.float64) / (float(n) * n * 1e12)
+  w, v = np.linalg.eigh(cov)
+  order = np.argsort(w)[::-1][:k]
+  comps, eigvals = [], []
+  for c in order:
+    vec = v[:, c].copy()
+    pivot = int(np.argmax(np.abs(vec)))
+    if vec[pivot] < 0:
+      vec = -vec
+    comps.append([float(x) for x in vec])
+    eigvals.append(float(w[c]))
+  means = [sx[i] / (float(n) * 1e6) for i in range(d)]
+  return means, comps, eigvals
+
+
+def pca_project(spark: SparkSession, sf_dir: str, *,
+                k: int = 8,
+                model=None,
+                embeddings: DataFrame = None) -> DataFrame:
+  """Project every embedding onto the trained PCA basis:
+  (vec_id, label, proj array<double> of length k) with
+  proj[c] = Σ_i (x_i − mean_i)·v_c_i evaluated as a PINNED
+  left-to-right JVM fold over literal basis arrays (no Python, no
+  shuffle — one codegen projection over the scan, pinned by test), so
+  the python verifier reproduces every coordinate bit-for-bit.
+
+  `model` short-circuits training (pass the (means, comps, eigvals)
+  from pca_train); the basis is a k×d literal baked into the plan —
+  the quality_classifier broadcast-model device, d and k are model
+  constants."""
+  if model is None:
+    model = pca_train(spark, sf_dir, k=k, embeddings=embeddings)
+  means, comps, _ = model
+  e = (embeddings if embeddings is not None
+       else _emb(spark, sf_dir))
+  d = len(means)
+  mean_sql = ', '.join(repr(m) for m in means)
+  projs = []
+  for c, vec in enumerate(comps):
+    v_sql = ', '.join(repr(x) for x in vec)
+    projs.append(F.expr(f"""
+      aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE),
+        (acc, i) -> acc + (CAST(element_at(embedding, i) AS DOUBLE)
+                           - element_at(array({mean_sql}), i))
+                          * element_at(array({v_sql}), i))
+    """).alias(f'p{c}'))
+  return (e.select('vec_id', 'label', *projs)
+          .select('vec_id', 'label',
+                  F.array(*[f'p{c}' for c in range(len(comps))])
+                  .alias('proj'))
+          .orderBy('vec_id'))

@@ -522,6 +522,50 @@ def verify_ann_topk_methods(sf_dir: str, pdf) -> dict:
                     f"pq: {rec_p['method']}"}
 
 
+def verify_pca(sf_dir: str, pdf, k: int = 8) -> dict:
+  """FULL pure-python PCA recomputation: exact-integer covariance
+  sums (truncated micro-units), numpy eigh on the identical float64
+  matrix, deterministic sign fix, pinned left-to-right projection
+  fold, and Spark-HALF_UP round-6 presentation (BigDecimal.valueOf
+  semantics mirrored with Decimal(repr(x)))."""
+  from decimal import Decimal, ROUND_HALF_UP
+  tb = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  d = len(tb.embedding[0])
+  n = len(tb)
+  vi = [[int(float(x) * 1e6) for x in e] for e in tb.embedding]
+  sx = [sum(v[i] for v in vi) for i in range(d)]
+  sxx = [[sum(v[i] * v[j] for v in vi) for j in range(d)]
+         for i in range(d)]
+  cov = np.array([[float(n * sxx[i][j] - sx[i] * sx[j])
+                   for j in range(d)] for i in range(d)]) \
+      / (float(n) * n * 1e12)
+  w, v = np.linalg.eigh(cov)
+  order = np.argsort(w)[::-1][:k]
+  comps = []
+  for c in order:
+    vec = v[:, c].copy()
+    piv = int(np.argmax(np.abs(vec)))
+    if vec[piv] < 0:
+      vec = -vec
+    comps.append([float(x) for x in vec])
+  means = [sx[i] / (float(n) * 1e6) for i in range(d)]
+  emb = {int(r.vec_id): ([float(x) for x in r.embedding], int(r.label))
+         for r in tb.itertuples()}
+  assert len(pdf) == n * k, (len(pdf), n, k)
+  q = Decimal('0.000001')
+  for r in pdf.itertuples():
+    e, lab = emb[int(r.vec_id)]
+    assert lab == int(r.label)
+    acc = 0.0
+    for i in range(d):
+      acc = acc + (e[i] - means[i]) * comps[int(r.rnk)][i]
+    exp = float(Decimal(repr(acc)).quantize(q, ROUND_HALF_UP))
+    assert exp == r.proj_r, (r.vec_id, r.rnk, exp, r.proj_r)
+  return {'method': 'FULL pure-python PCA recomputation: exact-integer '
+                    'covariance sums + identical eigh + pinned fold + '
+                    'HALF_UP round-6', 'k': k, 'n_vectors': n}
+
+
 def verify_semantic_dedup(sf_dir: str, pdf, *, threshold: float = 0.9,
                           n_cells: int = 16, n_planted: int = 40,
                           plant_eps: float = 0.01) -> dict:
@@ -962,6 +1006,18 @@ def main() -> None:
       manifest = json.load(f)
 
   def run(name, sf_dir=None):
+    if name == 'pca_proj':
+      # not a standalone gate query: the verified projection table the
+      # ann_topk_methods oracle's method='pca' section reads (the
+      # simhash64 device)
+      from pyspark.sql import functions as F
+      from blueprint_oss_spark.ops.vectors import pca_project
+      return (pca_project(spark, sf_dir or args.sf_dir, k=8)
+              .select('vec_id', 'label',
+                      F.posexplode('proj').alias('rnk', 'val'))
+              .select('vec_id', 'label', 'rnk',
+                      F.round('val', 6).alias('proj_r'))
+              .orderBy('vec_id', 'rnk')).toPandas()
     if name == 'simhash64':
       # no longer a standalone gate query (merged into
       # simhash_sigs_pairs) but its snapshot parquet is still the
@@ -985,7 +1041,7 @@ def main() -> None:
           '/root/reference/examples/checks/checks.py')
     return verify_bp_extract(name[len('bp_extract_'):], sf_dir, pdf)
 
-  jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64']
+  jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64', 'pca_proj']
   if args.only:
     jobs = [j for j in jobs if j in args.only]
 
@@ -998,6 +1054,8 @@ def main() -> None:
       rec = verify_minhash(args.sf_dir, pdf, run(name))
     elif name == 'simhash64':
       rec = verify_simhash(args.sf_dir, pdf, run(name))
+    elif name == 'pca_proj':
+      rec = verify_pca(args.sf_dir, pdf)
     elif name == 'ann_topk_methods':
       rec = verify_ann_topk_methods(args.sf_dir, pdf)
     elif name == 'semantic_dedup':
