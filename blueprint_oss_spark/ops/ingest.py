@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ['VALID_KINDS', 'corrupt_interleaved', 'validate_interleaved']
+__all__ = ['VALID_KINDS', 'corrupt_interleaved', 'validate_interleaved',
+           'validation_reason_expr']
 
 #: The span kinds the extraction pipeline understands
 #: (main_content_from_spans' dispatch set).
@@ -103,8 +104,21 @@ def validate_interleaved(spark: SparkSession, sf_dir: str, *,
     spans = interleaved_html_table(spark, sf_dir)
   if plant_corruptions:
     spans = corrupt_interleaved(spans)
+  return spans.select(
+      'doc_id',
+      F.coalesce(F.size('spans'), F.lit(0)).cast('int').alias('n_spans'),
+      validation_reason_expr().alias('reason')) \
+      .withColumn('valid', F.col('reason').isNull().cast('int')) \
+      .select('doc_id', 'n_spans', 'valid', 'reason')
+
+
+def validation_reason_expr():
+  """The first-failure verdict as a single Column over (doc_id, spans)
+  — exposed so composed callers (e.g. the streaming front door) can
+  evaluate it inline on a frame that keeps the spans payload, paying
+  one projection instead of a verdict join."""
   kinds = ', '.join(f"'{k}'" for k in VALID_KINDS)
-  reason = F.expr(f"""
+  return F.expr(f"""
     CASE
       WHEN doc_id IS NULL OR doc_id = '' THEN 'null_doc_id'
       WHEN spans IS NULL OR size(spans) = 0 THEN 'empty_spans'
@@ -125,9 +139,3 @@ def validate_interleaved(spark: SparkSession, sf_dir: str, *,
         THEN 'offset_neg'
       ELSE CAST(NULL AS STRING)
     END""")
-  return spans.select(
-      'doc_id',
-      F.coalesce(F.size('spans'), F.lit(0)).cast('int').alias('n_spans'),
-      reason.alias('reason')) \
-      .withColumn('valid', F.col('reason').isNull().cast('int')) \
-      .select('doc_id', 'n_spans', 'valid', 'reason')

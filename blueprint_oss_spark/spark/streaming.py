@@ -525,3 +525,53 @@ def start_main_content_stream(spark: SparkSession, input_dir: str,
   if trigger_once:
     writer = writer.trigger(availableNow=True)
   return writer.start()
+
+
+def start_validation_stream(spark: SparkSession, input_dir: str,
+                            clean_dir: str, quarantine_dir: str,
+                            checkpoint_dir: str, *,
+                            trigger_once: bool = False,
+                            max_files_per_trigger: int = 16) \
+    -> StreamingQuery:
+  """Streaming ingest validation / quarantine — the front door of the
+  continuous crawl: every arriving interleaved-spans file is
+  contract-checked with ops/ingest's first-failure taxonomy evaluated
+  INLINE on the batch frame (validation_reason_expr — one projection,
+  no verdict join), clean rows stream to `clean_dir` with their full
+  spans payload intact, violating rows' verdicts to `quarantine_dir`
+  as (doc_id, n_spans, reason, batch_id) — the auditable reject log.
+
+  foreachBatch + checkpoint = exactly-once per micro-batch for the
+  idempotent parquet sinks (two sinks need foreachBatch; a plain
+  writeStream has one path).  The verdict is stateless, so no
+  streaming state accumulates; the micro-batch is persisted for the
+  two consumers and unpersisted after both writes (each batch is
+  file-sized, not corpus-sized)."""
+  from ..ops.ingest import validation_reason_expr
+  src = (spark.readStream
+         .schema(SPANS_SCHEMA)
+         .option('maxFilesPerTrigger', max_files_per_trigger)
+         .parquet(input_dir))
+
+  def _split(batch_df: DataFrame, batch_id: int) -> None:
+    judged = batch_df.withColumn('reason', validation_reason_expr()) \
+        .persist()
+    try:
+      (judged.where(F.col('reason').isNull())
+       .select('doc_id', 'spans')
+       .write.mode('append').parquet(clean_dir))
+      (judged.where(F.col('reason').isNotNull())
+       .select('doc_id',
+               F.coalesce(F.size('spans'), F.lit(0)).cast('int')
+               .alias('n_spans'),
+               'reason', F.lit(batch_id).alias('batch_id'))
+       .write.mode('append').parquet(quarantine_dir))
+    finally:
+      judged.unpersist()
+
+  writer = (src.writeStream
+            .foreachBatch(_split)
+            .option('checkpointLocation', checkpoint_dir))
+  if trigger_once:
+    writer = writer.trigger(availableNow=True)
+  return writer.start()

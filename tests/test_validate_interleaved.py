@@ -141,3 +141,43 @@ def test_verdict_plan_is_shuffle_free_and_python_free(spark):
       ._jdf.queryExecution().executedPlan().toString())
   assert 'Exchange' not in plan2
   assert 'EvalPython' not in plan2
+
+
+def test_streaming_validation_matches_batch(spark, tmp_path):
+  """The validation front door as a continuous job: file-source stream
+  -> inline verdict projection -> clean + quarantine sinks equals the
+  batch operator, and a second availableNow trigger with the same
+  checkpoint emits nothing new (exactly-once resume)."""
+  from blueprint_oss_spark.ops.html_extract import interleaved_html_table
+  from blueprint_oss_spark.spark.streaming import start_validation_stream
+
+  inp, clean, quar, ckpt = (str(tmp_path / d) for d in
+                            ('in', 'clean', 'quar', 'ckpt'))
+  src = corrupt_interleaved(
+      interleaved_html_table(spark, SF1).limit(50)).cache()
+  src.write.parquet(inp)
+
+  q = start_validation_stream(spark, inp, clean, quar, ckpt,
+                              trigger_once=True)
+  q.awaitTermination(120)
+
+  batch = validate_interleaved(spark, SF1, spans=src).toPandas()
+  got_clean = spark.read.parquet(clean).toPandas()
+  got_quar = spark.read.parquet(quar).toPandas()
+  assert set(got_clean.doc_id) \
+      == set(batch[batch.valid == 1].doc_id)
+  bad = batch[batch.valid == 0].set_index('doc_id')
+  assert len(got_quar) == len(bad)
+  for r in got_quar.itertuples():
+    assert bad.loc[r.doc_id].reason == r.reason
+    assert bad.loc[r.doc_id].n_spans == r.n_spans
+  # clean sink keeps the full spans payload
+  assert 'spans' in got_clean.columns
+  assert got_clean.spans.map(len).min() >= 3
+
+  q2 = start_validation_stream(spark, inp, clean, quar, ckpt,
+                               trigger_once=True)
+  q2.awaitTermination(120)
+  assert len(spark.read.parquet(clean).collect()) == len(got_clean)
+  assert len(spark.read.parquet(quar).collect()) == len(got_quar)
+  src.unpersist()
