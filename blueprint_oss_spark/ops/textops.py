@@ -1166,6 +1166,86 @@ def bm25_topk(spark: SparkSession, sf_dir: str, *,
           .orderBy('query_id', 'rnk'))
 
 
+def bm25_from_postings(spark: SparkSession, sf_dir: str, *,
+                       n_queries: int = 8, k: int = 5,
+                       postings: DataFrame = None,
+                       docs: DataFrame = None) -> DataFrame:
+  """BM25 served FROM the materialized postings index — the
+  query-time path build_postings exists for, proving the index
+  actually serves what the scan-based scorer computes: identical
+  arithmetic (same staged expressions, same parenthesization, same
+  single commutative addition per 2-term query), so the output is
+  asserted BIT-EQUAL to bm25_topk by test — the cross-operator
+  equality is this operator's oracle.
+
+  What changes vs bm25_topk is WHERE each quantity comes from:
+    * query synthesis reads per-term cf from the INDEX (term-level
+      rollup over bucket rows — no corpus scan, no vocabulary-shaped
+      shuffle at query time);
+    * candidate (doc_id, tf) pairs come from posexploding only the
+      query terms' posting buckets (broadcast the ≤2Q-term query
+      dimension into the index scan — term pushdown);
+    * df comes from the index rollup, not a window;
+    * only document lengths still read the corpus (ONE scan — the
+      dl table a production deployment stores next to the index,
+      bucketed-store co-locatable), pinned as the plan's single
+      FileScan when the index is materialized."""
+  from pyspark.sql import Window
+
+  idx = (postings if postings is not None
+         else build_postings(spark, sf_dir, docs=docs))
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  dls = d.select('doc_id', F.size(toks).cast('bigint').alias('dl'))
+  tot = dls.agg(F.count(F.lit(1)).alias('n'),
+                F.sum('dl').alias('sum_dl')).collect()[0]
+  n_docs, sum_dl = int(tot['n']), int(tot['sum_dl'] or 0)
+  empty_schema = ('query_id int, query string, doc_id bigint, '
+                  'dl bigint, score_r double, rnk int')
+  if n_docs == 0:
+    return spark.createDataFrame([], empty_schema)
+  avgdl = sum_dl / n_docs
+
+  term_stats = (idx.groupBy('term')
+                .agg(F.first('df').alias('df'), F.first('cf').alias('cf')))
+  top_terms = (term_stats.orderBy(F.col('cf').desc(), 'term')
+               .limit(2 * n_queries).collect())
+  qrows = [(i // 2, str(r['term'])) for i, r in enumerate(top_terms)]
+  if not qrows:
+    return spark.createDataFrame([], empty_schema)
+  qterms = spark.createDataFrame(qrows, 'query_id int, term string')
+  qnames = (qterms.groupBy('query_id')
+            .agg(F.concat_ws(' ', F.array_sort(F.collect_list('term')))
+                 .alias('query')))
+
+  cand = (idx.join(F.broadcast(qterms), 'term')
+          .select('query_id', 'term', 'df',
+                  F.explode('postings').alias('p'))
+          .select('query_id', 'term', 'df',
+                  F.col('p.doc_id').alias('doc_id'),
+                  F.col('p.tf').alias('tf'))
+          .join(dls, 'doc_id'))
+  idf = ((F.lit(float(n_docs)) - F.col('df') + F.lit(0.5))
+         / (F.col('df') + F.lit(0.5)))
+  tf_d = F.col('tf').cast('double')
+  norm = F.lit(1.2) * (F.lit(0.25)
+                       + F.lit(0.75) * (F.col('dl').cast('double')
+                                        / F.lit(avgdl)))
+  contrib = idf * ((tf_d * F.lit(2.2)) / (tf_d + norm))
+  scored = (cand.groupBy('query_id', 'doc_id')
+            .agg(F.sum(contrib).alias('score'),
+                 F.first('dl').alias('dl')))
+  w = Window.partitionBy('query_id').orderBy(
+      F.col('score').desc(), 'doc_id')
+  return (scored.withColumn('rnk', F.row_number().over(w))
+          .where(F.col('rnk') <= k)
+          .join(F.broadcast(qnames), 'query_id')
+          .select('query_id', 'query', 'doc_id', 'dl',
+                  F.round('score', 6).alias('score_r'), 'rnk')
+          .orderBy('query_id', 'rnk'))
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str, *,
                     chunk_tokens: int = 64, overlap: int = 16,
                     docs: DataFrame = None) -> DataFrame:

@@ -122,3 +122,26 @@ def test_rollup_reads_materialized_buckets_not_the_corpus(spark):
 def test_doc_bucket_must_be_positive(spark):
   with pytest.raises(ValueError):
     T.build_postings(spark, SF1, doc_bucket=0)
+
+
+@pytest.mark.parametrize('sf', [SF1, SF2])
+def test_bm25_served_from_index_is_bit_equal(spark, sf):
+  # the cross-operator oracle: the index-served scorer must reproduce
+  # the scan-based bm25_topk EXACTLY — same queries, same candidates,
+  # same double scores to the last bit, same ranks
+  scan = T.bm25_topk(spark, sf).toPandas()
+  idx = T.bm25_from_postings(spark, sf).toPandas()
+  assert list(idx.columns) == list(scan.columns)
+  for c in idx.columns:
+    scan[c] = scan[c].astype(idx[c].dtype)
+  assert idx.reset_index(drop=True).equals(scan.reset_index(drop=True))
+  assert len(idx) > 0
+
+
+def test_bm25_index_query_path_scans_corpus_once(spark):
+  # with the index materialized, the only FileScan left is the
+  # doc-length table — query synthesis and candidates come from the
+  # index, never a second corpus pass
+  plan = (T.bm25_from_postings(spark, SF1)
+          ._jdf.queryExecution().executedPlan().toString())
+  assert plan.count('FileScan') == 1
