@@ -363,8 +363,22 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                  nul_d.alias('norm_sq'), nul_l.alias('anchor_id'),
                  nul_l.alias('anchor_label'),
                  F.col('rnk').cast('int').alias('rnk'), *no_bitext))
+  # method='kmeans': distributed FULL-corpus Lloyd (vectors.
+  # kmeans_train — per iteration one map-side-combinable (cell, dim)
+  # groupBy over exact-integer micro-units, k·d bounded model rows,
+  # codegen assignment vs literal centroids).  cosine_r carries the
+  # round-6 cosine to the assigned centroid, rnk the 1-based cell;
+  # verified snapshot (build_oracles verify_kmeans: full python Lloyd
+  # recomputation incl. xxhash64 init and HALF_UP rounding).
+  km = (V.kmeans_assign(spark, sf_dir)
+        .select(F.lit('kmeans').alias('method'), 'vec_id',
+                F.col('cos_r').alias('cosine_r'),
+                F.col('label').cast('int').alias('label'),
+                nul_d.alias('norm_sq'), nul_l.alias('anchor_id'),
+                nul_l.alias('anchor_label'),
+                F.col('cell').cast('int').alias('rnk'), *no_bitext))
   return (brute.unionByName(ann).unionByName(hn).unionByName(bt)
-          .unionByName(pca)
+          .unionByName(pca).unionByName(km)
           .orderBy('method', 'anchor_id', 'rnk',
                    F.desc('cosine_r'), 'vec_id'))
 
@@ -3677,6 +3691,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), CAST(NULL AS INT),
                CAST(NULL AS INT)
         FROM read_parquet('/root/repo/oracles/pca_proj.parquet')
+        UNION ALL
+        -- distributed full-corpus k-means section: reads the snapshot
+        -- verify_kmeans checks with a FULL python Lloyd recomputation
+        -- (xxhash64 init + pinned folds + exact-integer micro-unit
+        -- sums + HALF_UP round-6 cosine)
+        SELECT 'kmeans', vec_id, cos_r,
+               CAST(label AS INT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(cell AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS INT)
+        FROM read_parquet('/root/repo/oracles/kmeans_assign.parquet')
         ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': r"""

@@ -1024,3 +1024,146 @@ def pca_project(spark: SparkSession, sf_dir: str, *,
                   F.array(*[f'p{c}' for c in range(len(comps))])
                   .alias('proj'))
           .orderBy('vec_id'))
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-corpus k-means (Lloyd) — the codebook trainer that
+# scales past a driver sample.
+# ---------------------------------------------------------------------------
+
+def kmeans_train(spark: SparkSession, sf_dir: str, *,
+                 n_cells: int = 16, iters: int = 4,
+                 embeddings: DataFrame = None):
+  """Distributed spherical k-means over the FULL corpus — the
+  100 TB-correct codebook trainer next to the bounded-sample
+  `train_ivf_centroids` (which stays as the cheap option; FAISS trains
+  IVF coarse quantizers on samples too, but production web-corpus
+  clustering — SemDeDup's k-means over every embedding — needs the
+  full-pass Lloyd this implements).
+
+  Scale shape (the pca_train discipline, per iteration):
+    * assignment is pure codegen against the k×d centroid basis baked
+      in as literals (broadcast-model device) — no corpus shuffle, no
+      Python, nearest cell = first-argmax of k pinned left-to-right
+      dot folds;
+    * the update is ONE map-side-combinable groupBy keyed (cell, dim)
+      over micro-unit-truncated components (CAST(x·1e6 AS LONG) of the
+      L2-normalized double vector — truncation, so every engine and
+      the python verifier agree trivially), summed in decimal(38,0):
+      k·d bounded output rows REGARDLESS of corpus size (10^12 rows ×
+      1e6-scale micro-units stay far below decimal(38) overflow).
+      Exact-integer sums are order-independent, so centroids are
+      bit-identical under any partitioning or cluster size;
+    * the driver touches only the k·d integer sums per iteration
+      (model-sized, the IVF/PQ codebook precedent) — never vectors.
+  The corpus is re-scanned once per iteration (iters+1 scans total) —
+  at 100 TB that is the honest shape (caching the normalized corpus is
+  a storage decision, not the operator's).
+
+  Determinism contract: init = the n_cells rows with the smallest
+  (xxhash64(vec_id), vec_id) — a hash-spread, engine-replicable seed
+  (pure-python replica in scripts/spark_xxhash64.py); centroid update
+  c = normalize(Σ micro / (n·1e6)) in float64 with the fold order
+  pinned; an EMPTY cell keeps its previous centroid (documented FAISS
+  behavior is re-seeding — keeping is deterministic without a second
+  data pass).
+
+  Returns (centroids, counts_history): centroids = n_cells unit
+  float64 lists; counts_history[t][c] = rows assigned to cell c+1 at
+  iteration t."""
+  import math
+  e = (embeddings if embeddings is not None
+       else _emb(spark, sf_dir)).select('vec_id', 'embedding')
+  seed_rows = (e.select('vec_id', 'embedding',
+                        F.xxhash64('vec_id').alias('h'))
+               .orderBy('h', 'vec_id').limit(n_cells).collect())
+  if len(seed_rows) < n_cells:
+    raise ValueError(f'corpus has fewer rows than n_cells={n_cells}')
+
+  def _unit(xs):
+    acc = 0.0
+    for x in xs:
+      acc = acc + x * x
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in xs]
+
+  C = [_unit([float(x) for x in r['embedding']]) for r in seed_rows]
+  d = len(C[0])
+
+  # staged projections (the pq_topk no-CSE rule): norm, then the
+  # normalized vector, then the k dot folds — each alias is referenced
+  # many times downstream and interpreted HOFs get no CSE, so the
+  # projection boundaries keep every fold evaluated ONCE per row
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  base = (e.select(vec.alias('v'))
+          .select('v', _norm(F.col('v')).alias('nrm'))
+          .select(F.transform('v', lambda x: x / F.col('nrm'))
+                  .alias('nv')))
+  counts_hist = []
+  for _ in range(iters):
+    dots = F.array(*[
+        _dot(F.col('nv'), F.array(*[F.lit(float(w)) for w in c]))
+        for c in C])
+    staged = base.select('nv', dots.alias('dots')) \
+        .select('nv',
+                F.array_position(F.col('dots'),
+                                 F.array_max(F.col('dots')))
+                .alias('cell'))
+    mic = F.transform(F.col('nv'),
+                      lambda x: (x * F.lit(1e6)).cast('long'))
+    agg = (staged.select('cell', F.posexplode(mic).alias('i', 'x'))
+           .groupBy('cell', 'i')
+           .agg(F.sum(F.col('x').cast('decimal(38,0)')).alias('s'),
+                F.count(F.lit(1)).alias('n'))
+           .collect())
+    sums = {}
+    counts = [0] * n_cells
+    for r in agg:
+      c, i = int(r['cell']) - 1, int(r['i'])
+      sums.setdefault(c, [0] * d)[i] = int(r['s'])
+      if i == 0:
+        counts[c] = int(r['n'])
+    for c in range(n_cells):
+      if counts[c] > 0:
+        mean = [sums[c][i] / (counts[c] * 1e6) for i in range(d)]
+        C[c] = _unit(mean)
+    counts_hist.append(counts)
+  return C, counts_hist
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str, *,
+                  n_cells: int = 16, iters: int = 4,
+                  model=None,
+                  embeddings: DataFrame = None) -> DataFrame:
+  """Final-model cell assignment for every vector: (vec_id, label,
+  cell, cos_r) where cell is the first-argmax nearest trained centroid
+  and cos_r the round-6 cosine to it (vectors are unit-normalized, so
+  the pinned dot fold IS the cosine).  One codegen projection over the
+  scan — zero shuffle, zero Python (pinned by test); the k×d model is
+  literal-baked exactly like pca_project."""
+  if model is None:
+    model, _ = kmeans_train(spark, sf_dir, n_cells=n_cells,
+                            iters=iters, embeddings=embeddings)
+  e = (embeddings if embeddings is not None
+       else _emb(spark, sf_dir))
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  base = (e.select('vec_id', 'label', vec.alias('v'))
+          .select('vec_id', 'label', 'v',
+                  _norm(F.col('v')).alias('nrm'))
+          .select('vec_id', 'label',
+                  F.transform('v', lambda x: x / F.col('nrm'))
+                  .alias('nv')))
+  dots = F.array(*[
+      _dot(F.col('nv'), F.array(*[F.lit(float(w)) for w in c]))
+      for c in model])
+  return (base.select('vec_id', 'label', dots.alias('dots'))
+          .select('vec_id', 'label',
+                  F.array_position(F.col('dots'),
+                                   F.array_max(F.col('dots')))
+                  .cast('int').alias('cell'),
+                  F.round(F.element_at(
+                      F.col('dots'),
+                      F.array_position(F.col('dots'),
+                                       F.array_max(F.col('dots')))
+                      .cast('int')), 6).alias('cos_r'))
+          .orderBy('vec_id'))

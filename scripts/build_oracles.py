@@ -566,6 +566,70 @@ def verify_pca(sf_dir: str, pdf, k: int = 8) -> dict:
                     'HALF_UP round-6', 'k': k, 'n_vectors': n}
 
 
+def verify_kmeans(sf_dir: str, pdf, *, n_cells: int = 16,
+                  iters: int = 4) -> dict:
+  """FULL pure-python recomputation of the distributed Lloyd run:
+  xxhash64-spread init (scripts/spark_xxhash64.py replica), pinned
+  left-to-right dot/norm folds, micro-unit truncation, exact-integer
+  centroid updates (empty cells keep their centroid), first-argmax
+  assignment and Spark-HALF_UP round-6 cosine presentation — every
+  snapshot row asserted (vec_id, label, cell, cos_r)."""
+  import math
+  from decimal import Decimal, ROUND_HALF_UP
+  from spark_xxhash64 import spark_xxhash64
+  tb = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  rows = [(int(r.vec_id), [float(x) for x in r.embedding],
+           int(r.label)) for r in tb.itertuples()]
+
+  def unit(xs):
+    acc = 0.0
+    for x in xs:
+      acc = acc + x * x
+    nrm = math.sqrt(acc)
+    return [x / nrm for x in xs]
+
+  def fold_dot(a, b):
+    acc = 0.0
+    for i in range(len(a)):
+      acc = acc + a[i] * b[i]
+    return acc
+
+  seeds = sorted(rows, key=lambda r: (spark_xxhash64(('long', r[0])),
+                                      r[0]))[:n_cells]
+  C = [unit(r[1]) for r in seeds]
+  d = len(C[0])
+  nrows = [(v, unit(e), lab) for v, e, lab in rows]
+  for _ in range(iters):
+    sums = [[0] * d for _ in range(n_cells)]
+    counts = [0] * n_cells
+    for _v, ne, _lab in nrows:
+      dots = [fold_dot(ne, c) for c in C]
+      cidx = dots.index(max(dots))
+      counts[cidx] += 1
+      for i in range(d):
+        sums[cidx][i] += int(ne[i] * 1e6)
+    for c in range(n_cells):
+      if counts[c] > 0:
+        C[c] = unit([sums[c][i] / (counts[c] * 1e6)
+                     for i in range(d)])
+  q = Decimal('0.000001')
+  assert len(pdf) == len(nrows), (len(pdf), len(nrows))
+  exp = {}
+  for v, ne, lab in nrows:
+    dots = [fold_dot(ne, c) for c in C]
+    cidx = dots.index(max(dots))
+    cr = float(Decimal(repr(dots[cidx]))
+               .quantize(q, rounding=ROUND_HALF_UP))
+    exp[v] = (lab, cidx + 1, cr)
+  for r in pdf.itertuples():
+    assert exp[int(r.vec_id)] == (int(r.label), int(r.cell),
+                                  float(r.cos_r)), r
+  return {'method': 'FULL pure-python Lloyd recomputation: xxhash64 '
+                    'init + pinned folds + exact-integer micro-unit '
+                    'updates + HALF_UP round-6 cosine',
+          'n_cells': n_cells, 'iters': iters, 'n_vectors': len(nrows)}
+
+
 def verify_semantic_dedup(sf_dir: str, pdf, *, threshold: float = 0.9,
                           n_cells: int = 16, n_planted: int = 40,
                           plant_eps: float = 0.01) -> dict:
@@ -1018,6 +1082,12 @@ def main() -> None:
               .select('vec_id', 'label', 'rnk',
                       F.round('val', 6).alias('proj_r'))
               .orderBy('vec_id', 'rnk')).toPandas()
+    if name == 'kmeans_assign':
+      # not a standalone gate query: the verified assignment table the
+      # ann_topk_methods oracle's method='kmeans' section reads
+      from blueprint_oss_spark.ops.vectors import kmeans_assign
+      return (kmeans_assign(spark, sf_dir or args.sf_dir)
+              .orderBy('vec_id')).toPandas()
     if name == 'simhash64':
       # no longer a standalone gate query (merged into
       # simhash_sigs_pairs) but its snapshot parquet is still the
@@ -1041,7 +1111,8 @@ def main() -> None:
           '/root/reference/examples/checks/checks.py')
     return verify_bp_extract(name[len('bp_extract_'):], sf_dir, pdf)
 
-  jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64', 'pca_proj']
+  jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64', 'pca_proj',
+                                          'kmeans_assign']
   if args.only:
     jobs = [j for j in jobs if j in args.only]
 
@@ -1056,6 +1127,8 @@ def main() -> None:
       rec = verify_simhash(args.sf_dir, pdf, run(name))
     elif name == 'pca_proj':
       rec = verify_pca(args.sf_dir, pdf)
+    elif name == 'kmeans_assign':
+      rec = verify_kmeans(args.sf_dir, pdf)
     elif name == 'ann_topk_methods':
       rec = verify_ann_topk_methods(args.sf_dir, pdf)
     elif name == 'semantic_dedup':
@@ -1099,11 +1172,15 @@ def main() -> None:
 
   for extra_sf in (args.extra_verify_sf or []):
     for name in jobs:
-      if not name.startswith('bp_extract_'):
+      if not (name.startswith('bp_extract_')
+              or name == 'kmeans_assign'):
         continue
       t0 = time.monotonic()
       pdf = run(name, extra_sf)
-      rec = verify_bp(name, extra_sf, pdf)
+      if name == 'kmeans_assign':
+        rec = verify_kmeans(extra_sf, pdf)
+      else:
+        rec = verify_bp(name, extra_sf, pdf)
       rec.update(rows=len(pdf), sf_dir=extra_sf,
                  build_sec=round(time.monotonic() - t0, 1))
       manifest.setdefault(name, {}) \
