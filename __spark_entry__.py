@@ -468,8 +468,19 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
   recoverable-ground-truth device the main_content_spans oracle uses)
   and reruns the sequential BPE with the sentinel excluded, so both
   tokenizer paths and the special-token contract all get a hard
-  driver signal from one gate row."""
+  driver signal from one gate row.
+
+  Plus the UNIGRAM tokenizer section (method='unigram'): the Kudo
+  2018 unigram-LM vocabulary (ops/unigram.py — seed substrings, EM
+  expected counts in order-free micro-unit integers, count pruning)
+  as one row per retained piece (left/merged=piece, right=char|multi,
+  pair_count=em_micro) with whole-corpus exact-integer Viterbi encode
+  totals broadcast as ug_words/ug_tokens/ug_total — verified by the
+  FULL sequential python recomputation in
+  scripts/build_oracles.py::verify_unigram before the snapshot is
+  written.  Both published subword tokenizers share one gate row."""
   from blueprint_oss_spark.ops import textops as T
+  from blueprint_oss_spark.ops import unigram as U
   from blueprint_oss_spark.ops.multimodal import tokenize_interleaved
   merges = T.bpe_train(spark, sf_dir)
   totals = T.bpe_encode(spark, sf_dir, merges=merges).agg(
@@ -489,9 +500,33 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            for lang in ('en', 'es', 'de', 'fr')
            for m in ('words', 'tokens', 'chars', 'bytes')]
   f1 = fert.agg(*fcols)
-  return (merges.crossJoin(F.broadcast(totals))
+  uv = U.unigram_train(spark, sf_dir).localCheckpoint(eager=True)
+  ug_tot = (U.unigram_encode(spark, sf_dir, vocab=uv)
+            .agg(F.sum('n_words').alias('ug_words'),
+                 F.sum('n_tokens').alias('ug_tokens'))
+            .crossJoin(F.broadcast(
+                uv.agg(F.max('total_micro').alias('ug_total')))))
+  ug_rows = uv.select(
+      F.lit('unigram').alias('method'), 'rank',
+      F.col('piece').alias('left'),
+      F.when(F.col('is_char'), 'char').otherwise('multi')
+      .alias('right'),
+      F.col('piece').alias('merged'),
+      F.col('em_micro').alias('pair_count'))
+  bpe_rows = merges.withColumn('method', F.lit('bpe'))
+  return (bpe_rows.unionByName(ug_rows, allowMissingColumns=False)
+          .crossJoin(F.broadcast(totals))
           .crossJoin(F.broadcast(it))
-          .crossJoin(F.broadcast(f1)).orderBy('rank'))
+          .crossJoin(F.broadcast(f1))
+          .crossJoin(F.broadcast(ug_tot))
+          .select('method', 'rank', 'left', 'right', 'merged',
+                  'pair_count', 'corpus_words', 'corpus_tokens',
+                  'it_words', 'it_tokens', 'it_sentinels',
+                  *[f'f_{lang}_{m}'
+                    for lang in ('en', 'es', 'de', 'fr')
+                    for m in ('words', 'tokens', 'chars', 'bytes')],
+                  'ug_words', 'ug_tokens', 'ug_total')
+          .orderBy('method', 'rank'))
 
 
 def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1492,7 +1527,7 @@ _SNAPSHOT_ORACLES = {
     'bp_extract_paystubs': 'doc_id',
     'bp_extract_checks': 'doc_id',
     'minhash_pairs': 'doc_a, doc_b',
-    'bpe_train': 'rank',
+    'bpe_train': 'method, rank',
     'semantic_dedup': 'vec_id',
     'media_features_phash': 'media_ref',
     'extraction_accuracy': 'field',

@@ -821,11 +821,137 @@ def verify_media_phash(pdf) -> dict:
           'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
+def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
+  """FULL sequential pure-python unigram-LM recomputation (Kudo 2018
+  with the documented deviations of ops/unigram.py): seed substring
+  counts, n_em forward-backward EM rounds with per-word micro-unit
+  integer truncation, char-preserving count pruning, and whole-corpus
+  Viterbi encode totals with exact Fraction scoring — every retained
+  piece row and both corpus totals must match exactly."""
+  from fractions import Fraction
+  MICRO = 1_000_000
+  VOCAB_SIZE, SEED_SIZE, MPL, N_EM = 48, 96, 4, 3
+  texts = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .column('text').to_pylist()
+  wc: dict = {}
+  for t in texts:
+    for w in t.split(' '):
+      if w:
+        wc[w] = wc.get(w, 0) + 1
+  sc: dict = {}
+  for w, c in wc.items():
+    for i in range(len(w)):
+      for l in range(1, min(MPL, len(w) - i) + 1):
+        sc[w[i:i + l]] = sc.get(w[i:i + l], 0) + c
+  vocab = dict(sorted(sc.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[:SEED_SIZE])
+  for p, c in sc.items():
+    if len(p) == 1:
+      vocab.setdefault(p, c)
+  vocab = {p: c * MICRO for p, c in vocab.items()}
+
+  def expected(word, probs):
+    n = len(word)
+    alpha = [1.0] + [0.0] * n
+    for i in range(1, n + 1):
+      s = 0.0
+      for j in range(max(0, i - MPL), i):
+        p = probs.get(word[j:i])
+        if p and alpha[j]:
+          s += alpha[j] * p
+      alpha[i] = s
+    if alpha[n] == 0.0:
+      return {}
+    beta = [0.0] * n + [1.0]
+    for i in range(n - 1, -1, -1):
+      s = 0.0
+      for j in range(i + 1, min(n, i + MPL) + 1):
+        p = probs.get(word[i:j])
+        if p and beta[j]:
+          s += p * beta[j]
+      beta[i] = s
+    out: dict = {}
+    for j in range(n):
+      for i in range(j + 1, min(n, j + MPL) + 1):
+        p = probs.get(word[j:i])
+        if p and alpha[j] and beta[i]:
+          out[word[j:i]] = out.get(word[j:i], 0.0) \
+              + alpha[j] * p * beta[i] / alpha[n]
+    return out
+
+  for _ in range(N_EM):
+    total = sum(vocab.values())
+    probs = {p: c / total for p, c in vocab.items() if c > 0}
+    new: dict = {}
+    for w, c in wc.items():
+      for piece, g in expected(w, probs).items():
+        new[piece] = new.get(piece, 0) + int(g * c * MICRO)
+    vocab = {p: new.get(p, 0) for p in vocab
+             if len(p) == 1 or new.get(p, 0) > 0}
+
+  chars = {p: c for p, c in vocab.items() if len(p) == 1}
+  multi = sorted(((p, c) for p, c in vocab.items() if len(p) > 1),
+                 key=lambda kv: (-kv[1], kv[0]))
+  keep = dict(chars)
+  for p, c in multi:
+    if len(keep) >= max(VOCAB_SIZE, len(chars)):
+      break
+    keep[p] = c
+  total = sum(keep.values())
+  ranked = sorted(keep.items(), key=lambda kv: (-kv[1], kv[0]))
+
+  got = [(int(r.rank), r.left, r.right, r.merged, int(r.pair_count))
+         for r in updf.sort_values('rank')
+         [['rank', 'left', 'right', 'merged', 'pair_count']]
+         .itertuples(index=False)]
+  exp = [(i, p, 'char' if len(p) == 1 else 'multi', p, c)
+         for i, (p, c) in enumerate(ranked)]
+  assert got == exp, f'unigram vocab mismatch: first diff ' \
+      f'{next((g, e) for g, e in zip(got, exp) if g != e)}'
+  assert (updf['ug_total'] == total).all()
+
+  def viterbi(word):
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = (Fraction(1), 0)
+    for i in range(1, n + 1):
+      cur = None
+      for j in range(max(0, i - MPL), i):
+        if best[j] is None:
+          continue
+        c = keep.get(word[j:i])
+        if c is None:
+          continue
+        sc2 = best[j][0] * Fraction(c, total)
+        cand = (sc2, best[j][1] + 1)
+        if cur is None or sc2 > cur[0] or (sc2 == cur[0]
+                                           and cand[1] < cur[1]):
+          cur = cand
+      best[i] = cur
+    return best[n][1]
+
+  seglen = {w: viterbi(w) for w in wc}
+  exp_words = sum(wc.values())
+  exp_tokens = sum(seglen[w] * c for w, c in wc.items())
+  assert ug_words == exp_words, f'{ug_words} != {exp_words}'
+  assert ug_tokens == exp_tokens, f'{ug_tokens} != {exp_tokens}'
+  return {'pieces': len(exp), 'ug_words': int(exp_words),
+          'ug_tokens': int(exp_tokens)}
+
+
 def verify_bpe(sf_dir: str, pdf) -> dict:
   """FULL sequential pure-python BPE recomputation (Sennrich et al.
   2016 greedy left-to-right merges, highest-count / lexicographically
-  smallest tie-break) — every learned merge row must match exactly."""
+  smallest tie-break) — every learned merge row must match exactly.
+  The frame is method-tagged: the 'unigram' section is verified by
+  verify_unigram's full sequential recomputation, the 'bpe' section
+  by this function's."""
   from collections import Counter
+  updf = pdf[pdf['method'] == 'unigram']
+  rec_u = verify_unigram(sf_dir, updf,
+                         int(updf['ug_words'].iloc[0]),
+                         int(updf['ug_tokens'].iloc[0]))
+  pdf = pdf[pdf['method'] == 'bpe']
   docs = pq.read_table(f'{sf_dir}/documents.parquet') \
       .select(['text']).to_pandas()
   wc: Counter = Counter()
@@ -960,7 +1086,8 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
           'corpus_words': int(exp_words),
           'corpus_tokens': int(exp_tokens),
           'it_words': int(it_words), 'it_tokens': int(it_tokens),
-          'it_sentinels': int(it_sents)}
+          'it_sentinels': int(it_sents),
+          'unigram': rec_u}
 
 
 def verify_dedup_groups_minhash(sf_dir: str, pdf) -> dict:
