@@ -377,8 +377,24 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nul_d.alias('norm_sq'), nul_l.alias('anchor_id'),
                 nul_l.alias('anchor_label'),
                 F.col('cell').cast('int').alias('rnk'), *no_bitext))
+  # method='anneval': retrieval-quality eval of the LSH index vs the
+  # exact ground truth (vectors.ann_eval — per-query recall@k /
+  # NN-rank integers).  vec_id carries q_id, label n_hit, anchor_id
+  # n_gt, anchor_label n_ann, rnk nn_rank; verified snapshot
+  # (build_oracles verify_ann_eval: full python recomputation with
+  # the xxhash64 bucket replica).
+  ae = (V.ann_eval(spark, sf_dir)
+        .select(F.lit('anneval').alias('method'),
+                F.col('q_id').alias('vec_id'),
+                nul_d.alias('cosine_r'),
+                F.col('n_hit').cast('int').alias('label'),
+                nul_d.alias('norm_sq'),
+                F.col('n_gt').alias('anchor_id'),
+                F.col('n_ann').alias('anchor_label'),
+                F.col('nn_rank').cast('int').alias('rnk'),
+                *no_bitext))
   return (brute.unionByName(ann).unionByName(hn).unionByName(bt)
-          .unionByName(pca).unionByName(km)
+          .unionByName(pca).unionByName(km).unionByName(ae)
           .orderBy('method', 'anchor_id', 'rnk',
                    F.desc('cosine_r'), 'vec_id'))
 
@@ -3738,6 +3754,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE), CAST(NULL AS INT),
                CAST(NULL AS INT)
         FROM read_parquet('/root/repo/oracles/kmeans_assign.parquet')
+        UNION ALL
+        -- ANN retrieval-eval section (recall@k / NN-rank vs exact
+        -- ground truth): reads the snapshot verify_ann_eval checks
+        -- with a FULL python recomputation (xxhash64 bucket replica
+        -- + exact round-then-sort top-k on both sides)
+        SELECT 'anneval', q_id, CAST(NULL AS DOUBLE),
+               CAST(n_hit AS INT), CAST(NULL AS DOUBLE),
+               n_gt, n_ann, CAST(nn_rank AS INT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS INT)
+        FROM read_parquet('/root/repo/oracles/ann_eval.parquet')
         ORDER BY method, anchor_id, rnk, cosine_r DESC, vec_id
       """,
       'ngram_jaccard_pairs': r"""

@@ -1167,3 +1167,98 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, *,
                                        F.array_max(F.col('dots')))
                       .cast('int')), 6).alias('cos_r'))
           .orderBy('vec_id'))
+
+
+def ann_eval(spark: SparkSession, sf_dir: str, *,
+             query_mod: int = 29, k: int = 10,
+             n_planes: int = 8, bands: int = 2,
+             embeddings: DataFrame = None) -> DataFrame:
+  """Retrieval-quality evaluation of the banded sign-LSH index against
+  exact ground truth — the recall@k / reciprocal-rank report every ANN
+  deployment runs before trusting an index (the measurement protocol of
+  ann-benchmarks / Aumüller et al. 2020): ground truth is the exact
+  cosine top-k per query, the index answer is the LSH bucket probe
+  (ann_topk_lsh's machinery, multi-query), and the metrics are their
+  per-query set overlap.
+
+  Query sample = `vec_id % query_mod == 0` (a real deployment passes
+  its held-out query table; the seam is the WHERE clause).  Ground
+  truth over a SAMPLED query set is exactly how production ANN eval
+  works at corpus scale — the exact top-k is per-query brute force,
+  affordable precisely because the query dimension is bounded.
+
+  Scale shape: the query slice is a bounded dimension BROADCAST
+  against the corpus scan for BOTH sides (ground-truth scoring is one
+  cosine fold per (row, query) map-side; candidate generation
+  broadcasts the queries' bucket ids into the bucket-exploded corpus —
+  term-pushdown, the corpus never shuffles for candidates); both
+  per-query top-k passes are rank windows whose `rnk <= k` filter
+  pushes down as WindowGroupLimit on both sides of the exchange
+  (map-side partial top-k — the hard_negative_mining discipline), so
+  each shuffle carries at most k·partitions rows per query, never the
+  scored corpus.  The metric aggregation then runs on k-bounded
+  per-query groups.
+
+  Determinism: ordering key = (round(cos, 6) DESC, vec_id) everywhere,
+  so ground truth, index answer and every derived integer are
+  reproducible bit-for-bit; all metric columns are exact integers.
+
+  Returns one row per query: (q_id, n_gt [= |exact top-k|, < k only
+  when the corpus is smaller], n_ann [= |index answer|, < k when the
+  probed buckets are thin — the recall/speed tradeoff made visible],
+  n_hit [= |intersection|], nn_rank [the index's rank of the TRUE
+  nearest neighbour, NULL when the index missed it — the
+  reciprocal-rank numerator])."""
+  e = (embeddings if embeddings is not None
+       else _emb(spark, sf_dir)).select('vec_id', 'embedding')
+  vec = F.transform(F.col('embedding'), lambda x: x.cast('double'))
+  probe = _spread_small_scan(
+      e, e.select('vec_id', vec.alias('v')))
+  qs = (e.where(F.pmod(F.col('vec_id'), F.lit(query_mod)) == 0)
+        .select(F.col('vec_id').alias('q_id'), vec.alias('q')))
+
+  # ground truth: exact cosine per (row, query), per-query top-k
+  scored = (probe.crossJoin(F.broadcast(qs))
+            .where(F.col('vec_id') != F.col('q_id'))
+            .select('q_id', 'vec_id',
+                    F.round(_dot(F.col('v'), F.col('q'))
+                            / (_norm(F.col('v')) * _norm(F.col('q'))),
+                            6).alias('cos6')))
+  w = Window.partitionBy('q_id').orderBy(F.desc('cos6'), 'vec_id')
+  gt = (scored.withColumn('rnk', F.row_number().over(w))
+        .where(F.col('rnk') <= k))
+
+  # index answer: probe the queries' buckets, exact cosine on the
+  # candidates only, same round-then-sort top-k
+  band_cols = _banded_bucket_cols(F.col('v'), n_planes, bands)
+  stacked = probe.select(
+      'vec_id', 'v', F.explode(F.array(*band_cols)).alias('bucket'))
+  qb = (stacked.join(F.broadcast(qs.select('q_id')),
+                     F.col('vec_id') == F.col('q_id'))
+        .select('q_id', 'bucket'))
+  cand = (stacked.select('vec_id', 'bucket')
+          .join(F.broadcast(qb), 'bucket')
+          .where(F.col('vec_id') != F.col('q_id'))
+          .select('q_id', 'vec_id').distinct())
+  ann = (scored.join(cand, ['q_id', 'vec_id'])
+         .withColumn('ann_rnk', F.row_number().over(w))
+         .where(F.col('ann_rnk') <= k))
+
+  g = gt.groupBy('q_id').agg(F.count(F.lit(1)).alias('n_gt'))
+  a = ann.groupBy('q_id').agg(F.count(F.lit(1)).alias('n_ann'))
+  h = (gt.select('q_id', 'vec_id', 'rnk')
+       .join(ann.select('q_id', 'vec_id', 'ann_rnk'),
+             ['q_id', 'vec_id'])
+       .groupBy('q_id')
+       .agg(F.count(F.lit(1)).alias('n_hit'),
+            F.min(F.when(F.col('rnk') == 1, F.col('ann_rnk')))
+            .cast('int').alias('nn_rank')))
+  return (g.join(a, 'q_id', 'left').join(h, 'q_id', 'left')
+          .select('q_id',
+                  F.col('n_gt').cast('long'),
+                  F.coalesce('n_ann', F.lit(0)).cast('long')
+                  .alias('n_ann'),
+                  F.coalesce('n_hit', F.lit(0)).cast('long')
+                  .alias('n_hit'),
+                  'nn_rank')
+          .orderBy('q_id'))

@@ -522,6 +522,45 @@ def verify_ann_topk_methods(sf_dir: str, pdf) -> dict:
                     f"pq: {rec_p['method']}"}
 
 
+def verify_ann_eval(sf_dir: str, pdf, *, query_mod: int = 29,
+                    k: int = 10, n_planes: int = 8,
+                    bands: int = 2) -> dict:
+  """FULL pure-python recomputation of the ANN retrieval eval
+  (ops/vectors.ann_eval): exact ground-truth top-k per sampled query
+  (numpy cosine, round-6-then-sort with vec_id tie-break), the LSH
+  index answer via the xxhash64 bucket replica, and every derived
+  integer (n_gt / n_ann / n_hit / nn_rank) asserted per query."""
+  t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
+  E = {int(v): np.asarray(e, dtype=np.float64)
+       for v, e in zip(t.vec_id, t.embedding)}
+  B = {v: set(_lsh_band_buckets_python(E[v], n_planes, bands))
+       for v in E}
+  exp = {}
+  for q in sorted(E):
+    if q % query_mod != 0:
+      continue
+    qv = E[q]
+    cos = {v: round(float(E[v] @ qv / (np.linalg.norm(E[v])
+                                       * np.linalg.norm(qv))), 6)
+           for v in E if v != q}
+    order = sorted(cos, key=lambda v: (-cos[v], v))
+    gt = order[:k]
+    ann = [v for v in order if B[v] & B[q]][:k]
+    ann_rank = {v: i + 1 for i, v in enumerate(ann)}
+    exp[q] = (len(gt), len(ann), len(set(gt) & set(ann)),
+              ann_rank.get(gt[0]))
+  got = {int(r.q_id): (int(r.n_gt), int(r.n_ann), int(r.n_hit),
+                       None if pd.isna(r.nn_rank) else int(r.nn_rank))
+         for r in pdf.itertuples()}
+  assert got == exp, f'ann_eval mismatch: first diff ' \
+      f'{next((q, got.get(q), exp.get(q)) for q in exp if got.get(q) != exp.get(q))}'
+  n_hit = sum(v[2] for v in exp.values())
+  n_gt = sum(v[0] for v in exp.values())
+  return {'method': 'FULL python recomputation: xxhash64 bucket '
+                    'replica + exact round-then-sort top-k both sides',
+          'queries': len(exp), 'recall_at_k': f'{n_hit}/{n_gt}'}
+
+
 def verify_pca(sf_dir: str, pdf, k: int = 8) -> dict:
   """FULL pure-python PCA recomputation: exact-integer covariance
   sums (truncated micro-units), numpy eigh on the identical float64
@@ -1221,6 +1260,11 @@ def main() -> None:
       # verified signature table that query's SQL oracle reads
       from blueprint_oss_spark.ops.textops import simhash64
       return simhash64(spark, sf_dir or args.sf_dir).toPandas()
+    if name == 'ann_eval':
+      # not a standalone gate query: the verified retrieval-eval table
+      # the ann_topk_methods oracle's method='anneval' section reads
+      from blueprint_oss_spark.ops.vectors import ann_eval
+      return ann_eval(spark, sf_dir or args.sf_dir).toPandas()
     return queries[name](spark, sf_dir or args.sf_dir).toPandas()
 
   def verify_bp(name, sf_dir, pdf):
@@ -1239,7 +1283,7 @@ def main() -> None:
     return verify_bp_extract(name[len('bp_extract_'):], sf_dir, pdf)
 
   jobs = list(entry._SNAPSHOT_ORACLES) + ['simhash64', 'pca_proj',
-                                          'kmeans_assign']
+                                          'kmeans_assign', 'ann_eval']
   if args.only:
     jobs = [j for j in jobs if j in args.only]
 
@@ -1256,6 +1300,8 @@ def main() -> None:
       rec = verify_pca(args.sf_dir, pdf)
     elif name == 'kmeans_assign':
       rec = verify_kmeans(args.sf_dir, pdf)
+    elif name == 'ann_eval':
+      rec = verify_ann_eval(args.sf_dir, pdf)
     elif name == 'ann_topk_methods':
       rec = verify_ann_topk_methods(args.sf_dir, pdf)
     elif name == 'semantic_dedup':

@@ -1,0 +1,124 @@
+"""ANN retrieval eval (recall@k / NN-rank vs exact ground truth):
+full pure-python recomputation (spark_xxhash64 bucket replica + numpy
+cosine, same round-then-sort discipline); metric invariants; planted
+exact-duplicate recall; partitioning determinism; WindowGroupLimit
+partial-top-k plan pin on both rank passes.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, '/root/repo/scripts')
+
+from blueprint_oss_spark.ops import vectors as V  # noqa: E402
+
+SF1 = '/root/testdata/sf0.001'
+
+QM, K, NP, NB = 29, 10, 8, 2
+
+
+def _replica(sf, query_mod=QM, k=K, n_planes=NP, bands=NB):
+  import pyarrow.parquet as pq
+  from spark_xxhash64 import spark_xxhash64
+  t = pq.read_table(f'{sf}/embeddings.parquet').to_pandas()
+  E = {int(v): np.asarray(e, dtype=np.float64)
+       for v, e in zip(t.vec_id, t.embedding)}
+
+  def buckets(vec):
+    ppb = n_planes // bands
+    out = []
+    for b in range(bands):
+      bucket = b * (1 << ppb)
+      for j in range(ppb):
+        plane = b * ppb + j
+        proj = 0.0
+        for d, x in enumerate(vec):
+          w = (spark_xxhash64(('int', d), ('int', plane)) % 2000
+               + 2000) % 2000
+          proj += float(x) * ((w - 1000) / 1000.0)
+        if proj >= 0:
+          bucket += 1 << j
+      out.append(bucket)
+    return set(out)
+
+  B = {v: buckets(E[v]) for v in E}
+  rows = {}
+  for q in sorted(E):
+    if q % query_mod != 0:
+      continue
+    qv = E[q]
+    cos = {v: round(float(E[v] @ qv
+                          / (np.linalg.norm(E[v])
+                             * np.linalg.norm(qv))), 6)
+           for v in E if v != q}
+    order = sorted(cos, key=lambda v: (-cos[v], v))
+    gt = order[:k]
+    cand = [v for v in order if B[v] & B[q]]
+    ann = cand[:k]
+    ann_rank = {v: i + 1 for i, v in enumerate(ann)}
+    hits = set(gt) & set(ann)
+    rows[q] = (len(gt), len(ann), len(hits), ann_rank.get(gt[0]))
+  return rows
+
+
+@pytest.fixture(scope='module')
+def got(spark):
+  return {r['q_id']: (r['n_gt'], r['n_ann'], r['n_hit'], r['nn_rank'])
+          for r in V.ann_eval(spark, SF1).collect()}
+
+
+def test_matches_python_replica(spark, got):
+  assert got == _replica(SF1)
+
+
+def test_metric_invariants(spark, got):
+  assert len(got) > 10
+  for q, (n_gt, n_ann, n_hit, nn_rank) in got.items():
+    assert q % QM == 0
+    assert 0 <= n_hit <= min(n_gt, n_ann) <= K
+    if nn_rank is not None:
+      assert 1 <= nn_rank <= K
+      assert n_hit >= 1
+
+
+def test_nn_rank_null_iff_true_nn_missed(spark, got):
+  exp = _replica(SF1)
+  for q in got:
+    assert (got[q][3] is None) == (exp[q][3] is None)
+
+
+def test_planted_duplicate_always_recalled(spark):
+  """A planted exact duplicate of a query vector collides in EVERY
+  band (identical projections) and has cosine ~1 — the index must
+  return it as the top answer, making nn_rank == 1."""
+  e = (V._emb(spark, SF1)
+       .select('vec_id',
+               F.transform('embedding', lambda x: x.cast('double'))
+               .alias('e')))
+  dup = e.where(F.col('vec_id') == 0).select(
+      F.lit(1_000_000).cast('long').alias('vec_id'), 'e')
+  planted = e.unionByName(dup).select(
+      'vec_id', F.col('e').alias('embedding'))
+  out = {r['q_id']: r for r in
+         V.ann_eval(spark, SF1, embeddings=planted).collect()}
+  assert out[0]['nn_rank'] == 1
+  assert out[0]['n_hit'] >= 1
+
+
+def test_repartition_invariant(spark, got):
+  e = V._emb(spark, SF1).repartition(7) \
+      .select('vec_id', 'embedding')
+  got2 = {r['q_id']: (r['n_gt'], r['n_ann'], r['n_hit'], r['nn_rank'])
+          for r in V.ann_eval(spark, SF1, embeddings=e).collect()}
+  assert got2 == got
+
+
+def test_plan_partial_topk_both_passes(spark):
+  plan = V.ann_eval(spark, SF1)._jdf.queryExecution() \
+      .executedPlan().toString()
+  assert plan.count('WindowGroupLimit') >= 4, plan
