@@ -586,11 +586,25 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             urls=uc.select('doc_id', 'norm_url', 'domain'))
         .select('doc_id', 'has_sitemap', 'sm_listed', 'sm_lastmod',
                 'sm_changefreq', 'sm_priority'))
+  # domain-granularity quality rollup (domain_quality_rollup, strict
+  # keep_num=keep_den=1 so BOTH domain verdicts occur corpus-wide at
+  # the gate scale), joined back per-doc on the SAME threaded frame;
+  # the oracle recomputes every Gopher verdict + exact totals + the
+  # cross-multiplied domain verdict from scratch
+  dq = (C.domain_quality_rollup(
+            spark, sf_dir, keep_num=1, keep_den=1,
+            urls=uc.select('doc_id', 'domain'))
+        .select('domain', F.col('n_docs').alias('dq_docs'),
+                F.col('n_keep').alias('dq_keep'),
+                F.col('n_tokens').alias('dq_tokens'),
+                F.col('n_chars').alias('dq_chars'),
+                F.col('domain_keep').alias('dq_domain_keep')))
   return (uc
           .join(G.pagerank(spark, sf_dir), 'doc_id')
           .join(rb, 'doc_id')
           .join(cs, 'doc_id', 'left')
           .join(sc, 'doc_id')
+          .join(F.broadcast(dq), 'domain')
           .orderBy('doc_id'))
 
 
@@ -4382,6 +4396,41 @@ def oracle_sql() -> dict[str, str]:
                  END AS domain_rank
           FROM elig
         ),
+        -- domain-granularity quality rollup (strict gate config
+        -- keep_num=keep_den=1): Gopher verdicts + exact totals per
+        -- doc, rolled up to the normalized domain, cross-multiplied
+        -- integer domain verdict
+        dqk AS (
+          SELECT doc_id,
+                 CAST((len(toks) >= 5 AND len(toks) <= 100000
+                   AND list_sum(list_transform(toks, x -> len(x)))
+                       >= 2 * len(toks)
+                   AND list_sum(list_transform(toks, x -> len(x)))
+                       <= 12 * len(toks)
+                   AND len(list_filter(toks, x -> x IN ('the','a','of',
+                       'and','to','in','is','it','for','on','with',
+                       'as','at','by'))) >= 1
+                   AND 2 * length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                 'g'))
+                       >= length(text)) AS INT) AS keep,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split(text, ' '),
+                                   x -> len(x) > 0) AS toks
+                FROM documents)
+        ),
+        dq AS (
+          SELECT rk2.domain,
+                 CAST(COUNT(*) AS BIGINT) AS dq_docs,
+                 CAST(SUM(keep) AS BIGINT) AS dq_keep,
+                 CAST(SUM(n_toks) AS BIGINT) AS dq_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS dq_chars,
+                 CAST(SUM(keep) >= COUNT(*) AND COUNT(*) >= 1 AS INT)
+                   AS dq_domain_keep
+          FROM ranked rk2 JOIN dqk ON dqk.doc_id = rk2.doc_id
+          GROUP BY rk2.domain
+        ),
         """ + _pagerank_sql_ctes() + """,
         """ + _robots_sql_ctes() + """,
         """ + _sitemap_sql_ctes() + """
@@ -4395,11 +4444,14 @@ def oracle_sql() -> dict[str, str]:
                rb.robots_rule,
                cs.slot, cs.crawl_delay, cs.fetch_offset_s,
                sm.has_sitemap, sm.sm_listed, sm.sm_lastmod,
-               sm.sm_changefreq, sm.sm_priority
+               sm.sm_changefreq, sm.sm_priority,
+               dq.dq_docs, dq.dq_keep, dq.dq_tokens, dq.dq_chars,
+               dq.dq_domain_keep
         FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
         LEFT JOIN rb_verdict rb ON rb.doc_id = rk.doc_id
         LEFT JOIN cs_sched cs ON cs.doc_id = rk.doc_id
         JOIN sm_cov sm ON sm.doc_id = rk.doc_id
+        JOIN dq ON dq.domain = rk.domain
         ORDER BY rk.doc_id
       """,
       # GPT-style concat-and-chunk sequence packing recomputed with the

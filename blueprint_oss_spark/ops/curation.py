@@ -1523,3 +1523,61 @@ def curation_ablation_report(spark: SparkSession, sf_dir: str, *,
           F.col(f'o_{a}__{b}').cast('long').alias('n_both')))
   return (row.select(F.inline(F.array(*(funnel + overlap))))
           .orderBy('section', 'stage', 'filter_a', 'filter_b'))
+
+
+def domain_quality_rollup(spark: SparkSession, sf_dir: str, *,
+                          keep_num: int = 1, keep_den: int = 2,
+                          min_docs: int = 1,
+                          urls: DataFrame = None,
+                          docs: DataFrame = None) -> DataFrame:
+  """DOMAIN-granularity quality report — the aggregation RefinedWeb
+  (Penedo et al. 2023) and Dolma make curation decisions at: a spam
+  farm or template mill is visible in its domain's AGGREGATE keep
+  rate long before any single page is conclusive, so production
+  pipelines roll per-doc verdicts up to the registered domain and
+  blocklist/deprioritize whole domains.
+
+  Per domain: n_docs, n_keep (Gopher quality verdicts, exact
+  integers), n_tokens / n_chars exact totals, and the verdict
+  `domain_keep` = [n_keep·keep_den >= n_docs·keep_num AND n_docs >=
+  min_docs] as a cross-multiplied integer inequality (no ratio
+  column to diverge engines).
+
+  Scale shape: the per-doc quality verdict is `quality_keep_expr`
+  inlined on the corpus scan (zero shuffle, no label join — the
+  quality_classifier device); one doc_id equi-join against the URL
+  frame (bucketed-store co-locatable; AQE broadcasts when the URL
+  side is dimension-sized); then ONE map-side-combinable groupBy on
+  domain — a hub domain's millions of docs collapse to partial sums
+  per map task, so domain skew never concentrates rows (the
+  word-count shape).  Output is domain-count-sized.
+
+  `urls=` takes any (doc_id, domain) frame (production passes its
+  real URL table); default synthesizes via url_curation's
+  deterministic URL grid so the DuckDB oracle can recompute every
+  cell from scratch."""
+  from .textops import quality_keep_expr
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  u = (urls if urls is not None
+       else url_curation(spark, sf_dir).select('doc_id', 'domain'))
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  per_doc = d.select(
+      'doc_id', toks.alias('toks'), F.length('text').alias('n_chars'),
+      quality_keep_expr(F.col('text')).alias('keep'))
+  per_doc = per_doc.select(
+      'doc_id', F.size('toks').alias('n_toks'), 'n_chars',
+      # re-stage: quality_keep_expr re-tokenizes internally (no CSE
+      # for interpreted HOFs), but only once per row and only here
+      'keep')
+  rolled = (per_doc.join(u, 'doc_id')
+            .groupBy('domain')
+            .agg(F.count(F.lit(1)).alias('n_docs'),
+                 F.sum('keep').cast('long').alias('n_keep'),
+                 F.sum('n_toks').cast('long').alias('n_tokens'),
+                 F.sum('n_chars').cast('long').alias('n_chars')))
+  verdict = ((F.col('n_keep') * keep_den >= F.col('n_docs') * keep_num)
+             & (F.col('n_docs') >= min_docs)).cast('int')
+  return (rolled.select('domain', 'n_docs', 'n_keep', 'n_tokens',
+                        'n_chars', verdict.alias('domain_keep'))
+          .orderBy('domain'))
