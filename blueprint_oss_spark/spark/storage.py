@@ -81,3 +81,54 @@ def co_located_join(spark: SparkSession, left: str, right: str,
   lt = spark.table(left)
   rt = spark.table(right)
   return lt.join(rt, on, how)
+
+
+def write_time_partitioned(df: DataFrame, path: str, *,
+                           ts_col: str = 'ts',
+                           granularity: str = 'day',
+                           partition_col: str = 'part_date',
+                           mode: str = 'overwrite') -> None:
+  """Time-partitioned layout: the directory structure IS the index.
+
+  The second layout rule for the 10^12-doc store (next to
+  `write_bucketed`'s join co-location): partition the fact table by
+  event/crawl date so that every time-bounded query — incremental
+  dedup of yesterday's crawl, a backfill of one week, streaming
+  catch-up from a checkpoint — reads ONLY the matching directories.
+  Partition pruning happens at PLANNING time from file-listing
+  metadata: the scan for `WHERE part_date = 'X'` never opens, lists
+  or even stats the other partitions (visible as PartitionFilters in
+  the scan node, pinned in tests/test_time_partitioned.py).  With a
+  filtered dimension joined on the partition column, Spark inserts a
+  DYNAMIC partition-pruning subquery (the star-schema date-dim shape)
+  — also pinned.
+
+  `granularity` ∈ {'day', 'month', 'hour'}: day is the web-crawl
+  default (Common Crawl's own layout); hour only for streaming-heavy
+  tables (24× the directory count); month for small dimensions.
+  The partition value is WRITTEN as a formatted string (stable
+  hive-style directory names across engines); on read, Spark's
+  partition-type inference maps day values back to a DATE column
+  while month/hour values stay strings — both round-trip losslessly
+  (pinned in tests).
+
+  Layout discipline at 100 TB: partitioning multiplies file counts —
+  combine with `write_bucketed`'s sharding note (bucket WITHIN date
+  partitions) and compaction planning (`ops/profiling.
+  plan_compaction`) so each partition holds target-size files."""
+  from pyspark.sql import functions as F
+  fmt = {'day': 'yyyy-MM-dd', 'month': 'yyyy-MM',
+         'hour': 'yyyy-MM-dd-HH'}.get(granularity)
+  if fmt is None:
+    raise ValueError(f'unknown granularity: {granularity!r}')
+  (df.withColumn(partition_col, F.date_format(F.col(ts_col), fmt))
+     .write.mode(mode).partitionBy(partition_col).parquet(path))
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+  """Read a `write_time_partitioned` table.  Filters on the partition
+  column prune directories at planning time; everything else behaves
+  like a plain parquet read (the partition column's type comes from
+  partition inference — DATE for day granularity, string otherwise;
+  string literals in filters auto-cast either way)."""
+  return spark.read.parquet(path)
