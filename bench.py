@@ -65,6 +65,7 @@ def main() -> None:
   from blueprint_oss_spark.ops import textops as T
   from blueprint_oss_spark.ops import vectors as V
   from blueprint_oss_spark.ops import warc as W
+  from blueprint_oss_spark.ops import unigram as U
 
   timings: dict = {}
   medians: dict = {}
@@ -282,6 +283,19 @@ def main() -> None:
       # margin-based bitext mining: broadcast source dimension +
       # double WindowGroupLimit top-k + exact-integer margin verdicts
       ('bitext_mine', lambda: V.bitext_mine(spark, sf_dir).count()),
+      # unigram-LM tokenizer END-TO-END (seed + 3 EM rounds + prune +
+      # whole-corpus Viterbi encode): one corpus word-count pass, then
+      # everything distinct-word-sized (Arrow EM passes + micro-unit
+      # integer groupBys + the encode accounting join)
+      ('unigram_tokenizer',
+       lambda: U.unigram_encode(spark, sf_dir).count()),
+      # ANN retrieval eval: broadcast query dimension both sides,
+      # double WindowGroupLimit top-k, exact-integer metrics
+      ('ann_eval', lambda: V.ann_eval(spark, sf_dir).count()),
+      # domain-granularity quality rollup: verdicts inlined on the
+      # scan, one doc_id join + one map-side-combinable domain groupBy
+      ('domain_rollup',
+       lambda: C.domain_quality_rollup(spark, sf_dir).count()),
   ]
   for _, fn in suite:
     fn()
