@@ -239,7 +239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'supplier_nation_join': R.supplier_nation_join,
       'q5_local_supplier_volume': R.q5_local_supplier_volume,
       'q6_forecast_revenue': R.q6_forecast_revenue,
-      'events_cube': R.events_cube,
+      # cube + the incrementally-maintained rollup (full-scan AND
+      # merge-of-two-halves sections hash against the SAME oracle
+      # rows — the gate itself proves merge ≡ full)
+      'events_cube': _events_cube_rollup,
       'churned_buyers': R.churned_buyers,
       'q10_returned_items': R.q10_returned_items,
       'q4_priority_semi': R.q4_priority_semi,
@@ -397,6 +400,45 @@ def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
           .unionByName(pca).unionByName(km).unionByName(ae)
           .orderBy('method', 'anchor_id', 'rnk',
                    F.desc('cosine_r'), 'vec_id'))
+
+
+def _events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """events_cube plus the incremental-rollup family in one
+  method-tagged driver row-set: method='cube' is the original CUBE
+  rows; method='rollup_full' is the full-scan mergeable rollup's
+  report (relational.rollup_events + rollup_report — counts, exact
+  truncated micro sums, HLL register checksum/zeros/estimate);
+  method='rollup_merged' is the SAME report produced by
+  merge(rollup(history), rollup(delta)) split at 2024-01-21
+  (relational.incremental_rollup).  The oracle recomputes the rollup
+  ONCE from scratch and both rollup sections must hash against those
+  identical rows — so the driver gate itself certifies
+  merge ≡ full, the property that makes the rollup incrementally
+  maintainable."""
+  from blueprint_oss_spark.ops import relational as R
+  nul_s = F.lit(None).cast('string')
+  nul_i = F.lit(None).cast('int')
+  nul_l = F.lit(None).cast('long')
+  nul_d = F.lit(None).cast('double')
+  cube = R.events_cube(spark, sf_dir).select(
+      F.lit('cube').alias('method'), 'event_type', 'dow',
+      nul_s.alias('day'), 'n_events', 'n_users', 'total_value',
+      nul_l.alias('value_micro'), nul_l.alias('n_zero_regs'),
+      nul_l.alias('reg_checksum'), nul_d.alias('hll_est'))
+
+  def tag(df, method):
+    return df.select(
+        F.lit(method).alias('method'), 'event_type', nul_i.alias('dow'),
+        'day', 'n_events', nul_l.alias('n_users'),
+        nul_d.alias('total_value'), 'value_micro', 'n_zero_regs',
+        'reg_checksum', 'hll_est')
+
+  full = tag(R.rollup_report(R.rollup_events(spark, sf_dir)),
+             'rollup_full')
+  merged = tag(R.incremental_rollup(spark, sf_dir), 'rollup_merged')
+  return (cube.unionByName(full).unionByName(merged)
+          .orderBy('method', F.col('event_type').asc_nulls_first(),
+                   F.col('dow').asc_nulls_first(), 'day'))
 
 
 def _top_events_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2876,13 +2918,81 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY method, doc_id, span_order, sentinel_idx
       """,
       'events_cube': """
-        SELECT event_type, dow, COUNT(*) AS n_events,
+        WITH rbase AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id,
+                 CAST(trunc(value * 1000000.0) AS BIGINT) AS vm
+          FROM events
+        ), rsum AS (
+          SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(vm) AS BIGINT) AS value_micro
+          FROM rbase GROUP BY day, event_type
+        ), rh AS (
+          SELECT day, event_type,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) AS h
+          FROM rbase
+        ), rrho AS (
+          SELECT day, event_type, h % 64 AS bucket,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END AS rho
+          FROM rh
+        ), rregs AS (
+          SELECT day, event_type, bucket, max(rho) AS r
+          FROM rrho GROUP BY day, event_type, bucket
+        ), rgb AS (
+          SELECT g.day, g.event_type, b.b AS bucket
+          FROM (SELECT DISTINCT day, event_type FROM rbase) g
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        ), rfilled AS (
+          SELECT rgb.day, rgb.event_type, rgb.bucket,
+                 coalesce(rregs.r, 0) AS r
+          FROM rgb LEFT JOIN rregs
+            ON rregs.day = rgb.day
+           AND rregs.event_type = rgb.event_type
+           AND rregs.bucket = rgb.bucket
+        ), rfolded AS (
+          SELECT day, event_type,
+                 CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_regs,
+                 CAST(sum((bucket + 1) * r) AS BIGINT) AS reg_checksum,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(1.0 AS DOUBLE)
+                          / CAST((1::BIGINT << r) AS DOUBLE)
+                          ORDER BY bucket)),
+                     (a, x) -> a + x) AS denom
+          FROM rfilled GROUP BY day, event_type
+        ), rrep AS (
+          SELECT s.day, s.event_type, s.n_events, s.value_micro,
+                 f.n_zero_regs, f.reg_checksum,
+                 round(0.709 * 64.0 * 64.0 / f.denom, 6) AS hll_est
+          FROM rsum s JOIN rfolded f
+            ON f.day = s.day AND f.event_type = s.event_type
+        )
+        SELECT 'cube' AS method, event_type, dow,
+               CAST(NULL AS VARCHAR) AS day, COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 AS total_value
+                 AS total_value,
+               CAST(NULL AS BIGINT) AS value_micro,
+               CAST(NULL AS BIGINT) AS n_zero_regs,
+               CAST(NULL AS BIGINT) AS reg_checksum,
+               CAST(NULL AS DOUBLE) AS hll_est
         FROM (SELECT *, dayofweek(ts) + 1 AS dow FROM events) t
         GROUP BY CUBE(event_type, dow)
-        ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+        UNION ALL
+        -- BOTH rollup sections read the same from-scratch
+        -- recomputation: the gate hash-matching them both certifies
+        -- merge(rollup(history), rollup(delta)) == rollup(all)
+        SELECT 'rollup_full', event_type, CAST(NULL AS INT), day,
+               n_events, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               value_micro, n_zero_regs, reg_checksum, hll_est
+        FROM rrep
+        UNION ALL
+        SELECT 'rollup_merged', event_type, CAST(NULL AS INT), day,
+               n_events, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               value_micro, n_zero_regs, reg_checksum, hll_est
+        FROM rrep
+        ORDER BY method, event_type NULLS FIRST, dow NULLS FIRST, day
       """,
       'q10_returned_items': """
         SELECT c_custkey, c_name,

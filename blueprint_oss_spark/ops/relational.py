@@ -490,3 +490,144 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col('sum_qty').cast('double').alias('sum_qty'))
           .orderBy(F.desc('totalprice'), 'o_orderkey')
           .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance — the continuous-aggregate /
+# materialized-view shape (TimescaleDB continuous aggregates, Druid
+# rollup segments, streaming MV engines): the aggregate table is kept
+# as MERGEABLE per-group STATE, so a new day's events update it by
+# merging partial states instead of rescanning history.
+# ---------------------------------------------------------------------------
+
+def rollup_events(spark: SparkSession, sf_dir: str, *,
+                  events: DataFrame = None) -> DataFrame:
+  """Mergeable per-(day, event_type) aggregate state over the events
+  table: (day, event_type, n_events, value_micro, regs).
+
+  Every column is chosen for MERGEABILITY — the property that makes a
+  rollup incrementally maintainable: counts and exact-integer value
+  sums merge by addition (value_micro = Σ CAST(trunc toward zero of
+  value·1e6) AS LONG, summed in decimal(38,0) — order-free, the
+  kmeans/pca discipline, and trunc is the double→int contract both
+  engines share); the distinct-user sketch merges by element-wise MAX
+  because it is the 64-register HyperLogLog state of
+  `profiling.hll_distinct` (same 60-bit-md5 / rho formulas, so the
+  DuckDB oracle recomputes the registers from scratch).  An exact
+  countDistinct would NOT merge from partials — which is precisely
+  why production rollups store sketches (the Druid/ClickHouse
+  AggregatingMergeTree shape).
+
+  Scale shape: one groupBy keyed (day, type, bucket) for register
+  maxima — group count is bounded by 64 × the rollup's own
+  cardinality, never the event count, and MAX combines map-side — and
+  one groupBy keyed (day, type) for counts/sums/register assembly.
+  Both shuffles carry rollup-sized row counts regardless of event
+  volume."""
+  ev = (events if events is not None
+        else _t(spark, sf_dir, 'events')) \
+      .select(F.date_format('ts', 'yyyy-MM-dd').alias('day'),
+              'event_type', 'user_id', 'value')
+  h = F.conv(F.substring(F.md5(F.col('user_id').cast('string')),
+                         1, 15), 16, 10).cast('long')
+  rest = F.shiftright(h, 6)
+  rho = F.when(rest == 0, F.lit(55)) \
+      .otherwise(55 - F.length(F.bin(rest)))
+  hashed = ev.select('day', 'event_type',
+                     F.pmod(h, F.lit(64)).alias('bucket'),
+                     rho.alias('rho'),
+                     F.expr('CAST(value * 1000000.0 AS BIGINT)')
+                     .alias('vm'))
+  regs = (hashed.groupBy('day', 'event_type', 'bucket')
+          .agg(F.max('rho').alias('r')))
+  reg_arr = (regs.groupBy('day', 'event_type')
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct('bucket', 'r'))).alias('m'))
+             .select('day', 'event_type',
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(63)),
+                         lambda b: F.coalesce(
+                             F.element_at('m', b.cast('long')),
+                             F.lit(0)).cast('int')).alias('regs')))
+  sums = (hashed.groupBy('day', 'event_type')
+          .agg(F.count(F.lit(1)).alias('n_events'),
+               F.sum(F.col('vm').cast('decimal(38,0)')).cast('long')
+               .alias('value_micro')))
+  return sums.join(reg_arr, ['day', 'event_type'])
+
+
+def merge_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
+  """Merge two rollup states (the incremental-maintenance step): a
+  full-outer join on the group key — bounded by the rollup's own
+  cardinality — with additive merge for counts/sums and element-wise
+  MAX for the HLL registers.  merge(rollup(X), rollup(Y)) ≡
+  rollup(X ∪ Y) exactly (integer sums are associative, MAX is a
+  semilattice) — asserted bitwise in tests and in the gate."""
+  zero_regs = F.transform(F.sequence(F.lit(0), F.lit(63)),
+                          lambda _: F.lit(0).cast('int'))
+  an = a.select('day', 'event_type',
+                F.col('n_events').alias('n_a'),
+                F.col('value_micro').alias('v_a'),
+                F.col('regs').alias('r_a'))
+  bn = b.select('day', 'event_type',
+                F.col('n_events').alias('n_b'),
+                F.col('value_micro').alias('v_b'),
+                F.col('regs').alias('r_b'))
+  j = an.join(bn, ['day', 'event_type'], 'full_outer')
+  return j.select(
+      'day', 'event_type',
+      (F.coalesce('n_a', F.lit(0)) + F.coalesce('n_b', F.lit(0)))
+      .alias('n_events'),
+      (F.coalesce('v_a', F.lit(0)) + F.coalesce('v_b', F.lit(0)))
+      .alias('value_micro'),
+      F.zip_with(F.coalesce('r_a', zero_regs),
+                 F.coalesce('r_b', zero_regs),
+                 lambda x, y: F.greatest(x, y)).alias('regs'))
+
+
+def rollup_report(state: DataFrame) -> DataFrame:
+  """Render a rollup state for consumption: exact counts/sums plus
+  the register-derived distinct-user columns — n_zero_regs,
+  reg_checksum (Σ (bucket+1)·rho, an exact order-free integer that
+  pins every register), and the transcendental-free raw HLL estimate
+  (pinned bucket-ascending fold of exact powers of two, the
+  hll_distinct contract)."""
+  regs = F.col('regs')
+  checksum = F.aggregate(
+      F.zip_with(regs, F.sequence(F.lit(1), F.lit(64)),
+                 lambda r, i: r.cast('long') * i.cast('long')),
+      F.lit(0).cast('long'), lambda acc, x: acc + x)
+  n_zero = F.size(F.filter(regs, lambda r: r == 0))
+  # the python F.shiftleft wrapper wants an int literal (the
+  # hll_distinct lesson) — the column-by-column shift goes via expr
+  denom = F.expr(
+      'aggregate(transform(regs, r -> CAST(1.0 AS DOUBLE) / '
+      'CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)), '
+      'CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)')
+  est = F.round(F.lit(0.709) * 64.0 * 64.0 / denom, 6)
+  return (state.select('day', 'event_type', 'n_events', 'value_micro',
+                       n_zero.cast('long').alias('n_zero_regs'),
+                       checksum.alias('reg_checksum'),
+                       est.alias('hll_est'))
+          .orderBy('day', 'event_type'))
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str, *,
+                       split_day: str = '2024-01-21',
+                       events: DataFrame = None) -> DataFrame:
+  """The incremental-maintenance harness: rebuild the rollup as
+  merge(rollup(history), rollup(new batch)) with the event table
+  split at `split_day` — the daily-crawl / late-arriving-facts shape
+  (history state is read back, ONLY the delta is scanned in
+  production; here both halves derive from the same table so the
+  DuckDB oracle can recompute everything).  Returns the merged
+  report; equality with the full-scan rollup is asserted bitwise in
+  tests and by the gate (both sections hash against the same oracle
+  rows)."""
+  ev = (events if events is not None
+        else _t(spark, sf_dir, 'events'))
+  old = ev.where(F.date_format('ts', 'yyyy-MM-dd') < split_day)
+  new = ev.where(F.date_format('ts', 'yyyy-MM-dd') >= split_day)
+  merged = merge_rollups(rollup_events(spark, sf_dir, events=old),
+                         rollup_events(spark, sf_dir, events=new))
+  return rollup_report(merged)
