@@ -33,8 +33,8 @@ from pyspark.sql.streaming.state import (
     GroupState, GroupStateTimeout,
 )
 from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, LongType, StringType,
-    StructField, StructType, TimestampType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType, TimestampType,
 )
 
 from ..model.nodes import Node
@@ -571,6 +571,91 @@ def start_validation_stream(spark: SparkSession, input_dir: str,
 
   writer = (src.writeStream
             .foreachBatch(_split)
+            .option('checkpointLocation', checkpoint_dir))
+  if trigger_once:
+    writer = writer.trigger(availableNow=True)
+  return writer.start()
+
+
+EVENTS_SCHEMA = StructType([
+    StructField('event_id', LongType()),
+    StructField('ts', TimestampType()),
+    StructField('user_id', LongType()),
+    StructField('event_type', StringType()),
+    StructField('value', DoubleType()),
+    StructField('props', StringType()),
+])
+
+
+def read_rollup_state(spark: SparkSession, state_dir: str,
+                      *, before_batch: Optional[int] = None) \
+    -> Optional[DataFrame]:
+  """Latest committed rollup-state version in `state_dir` (written by
+  start_rollup_stream as v{batch_id} directories), or the latest with
+  batch_id < `before_batch` — the read a replayed micro-batch does so
+  it rebuilds its version from the SAME predecessor."""
+  import os
+  import re
+  if not os.path.isdir(state_dir):
+    return None
+  versions = sorted(int(m.group(1))
+                    for d in os.listdir(state_dir)
+                    if (m := re.fullmatch(r'v(\d+)', d)))
+  if before_batch is not None:
+    versions = [v for v in versions if v < before_batch]
+  if not versions:
+    return None
+  return spark.read.parquet(f'{state_dir}/v{versions[-1]:09d}')
+
+
+def start_rollup_stream(spark: SparkSession, input_dir: str,
+                        state_dir: str, checkpoint_dir: str, *,
+                        trigger_once: bool = False,
+                        max_files_per_trigger: int = 16) \
+    -> StreamingQuery:
+  """Continuous-aggregate maintenance: the streaming twin of
+  ops/relational.rollup_events + merge_rollups — every arriving
+  events micro-batch updates the persisted per-(day, event_type)
+  rollup by MERGING partial states, never rescanning history (the
+  TimescaleDB-continuous-aggregate / Druid-ingestion shape).
+
+  Exactly-once WITHOUT a transactional sink, via versioned
+  idempotence: micro-batch n writes state version
+  `state_dir/v{n} = merge(latest version < n, rollup(batch n))`.
+  After a crash Spark replays the last uncommitted batch with the
+  SAME batch_id and SAME rows (file source + checkpoint contract);
+  the replay re-reads the same predecessor (strictly `< n`, so its
+  own partial write is invisible) and deterministically rewrites the
+  same version — a re-run is a byte-identical overwrite, not a
+  double-count.  This is the Iceberg-snapshot pattern with plain
+  directories; with the runtime jar present the version write becomes
+  a snapshot commit (spark/pipeline.py write_iceberg).
+
+  State cost is zero on the streaming side (no watermark state, no
+  streaming aggregation): the micro-batch is the increment, the merge
+  runs INSIDE batch scope on rollup-cardinality frames, and readers
+  get a consistent aggregate by reading the latest committed version
+  (`read_rollup_state`)."""
+  from ..ops.relational import merge_rollups, rollup_events
+
+  stream = (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(input_dir))
+
+  def _update(batch_df: DataFrame, batch_id: int) -> None:
+    sp = batch_df.sparkSession
+    delta = rollup_events(sp, '', events=batch_df)
+    prev = read_rollup_state(sp, state_dir, before_batch=batch_id)
+    state = delta if prev is None else merge_rollups(prev, delta)
+    # the write target is v{batch_id}, strictly newer than every
+    # directory `prev` reads (before_batch excludes a partial replay
+    # write of v{batch_id} itself) — no self-dependency to sever
+    state.write.mode('overwrite') \
+        .parquet(f'{state_dir}/v{batch_id:09d}')
+
+  writer = (stream.writeStream
+            .foreachBatch(_update)
             .option('checkpointLocation', checkpoint_dir))
   if trigger_once:
     writer = writer.trigger(availableNow=True)
