@@ -67,11 +67,17 @@ MICRO = 1_000_000
 
 
 def _word_counts(spark: SparkSession, sf_dir: str,
-                 docs: DataFrame) -> DataFrame:
+                 docs: DataFrame,
+                 special_tokens: tuple = ()) -> DataFrame:
   d = (docs if docs is not None else _docs(spark, sf_dir)).select('text')
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
-  return (d.select(F.explode(toks).alias('word'))
-          .groupBy('word').agg(F.count(F.lit(1)).alias('cnt')))
+  word_rows = d.select(F.explode(toks).alias('word'))
+  if special_tokens:
+    # reserved tokens (e.g. render_interleaved's media sentinel) are
+    # atomic vocabulary entries: they never contribute substring or
+    # expected counts — the bpe_train contract
+    word_rows = word_rows.where(~F.col('word').isin(*special_tokens))
+  return word_rows.groupBy('word').agg(F.count(F.lit(1)).alias('cnt'))
 
 
 def _seed_vocab(words: DataFrame, seed_size: int,
@@ -145,7 +151,8 @@ def _expected_counts_word(word: str, probs: dict,
 def unigram_train(spark: SparkSession, sf_dir: str, *,
                   vocab_size: int = 48, seed_size: int = 96,
                   max_piece_len: int = 4, n_em: int = 3,
-                  docs: DataFrame = None) -> DataFrame:
+                  docs: DataFrame = None,
+                  special_tokens: tuple = ()) -> DataFrame:
   """Train a unigram-LM piece vocabulary (see module docstring).
 
   Returns one row per retained piece, ranked by final expected count:
@@ -155,7 +162,8 @@ def unigram_train(spark: SparkSession, sf_dir: str, *,
   predate EM rounds, i.e. when n_em=0), total_micro the sum over the
   retained vocabulary (so em_micro/total_micro is the piece
   probability the encoder uses)."""
-  words = _word_counts(spark, sf_dir, docs).localCheckpoint(eager=True)
+  words = _word_counts(spark, sf_dir, docs, special_tokens) \
+      .localCheckpoint(eager=True)
   try:
     vocab = dict(_seed_vocab(words, seed_size, max_piece_len))
     # seed counts are plain corpus counts — scale to micro-units so
@@ -250,6 +258,7 @@ def unigram_encode(spark: SparkSession, sf_dir: str, *,
                    vocab: DataFrame = None, docs: DataFrame = None,
                    max_piece_len: int = 4,
                    return_tokens: bool = False,
+                   special_tokens: tuple = (),
                    **train_kw) -> DataFrame:
   """Tokenize every document with a trained unigram vocabulary (from
   `unigram_train`, or trained inline with `**train_kw`).
@@ -264,22 +273,29 @@ def unigram_encode(spark: SparkSession, sf_dir: str, *,
       .select('doc_id', 'text')
   if vocab is None:
     vocab = unigram_train(spark, sf_dir, docs=docs,
-                          max_piece_len=max_piece_len, **train_kw)
+                          max_piece_len=max_piece_len,
+                          special_tokens=special_tokens, **train_kw)
   vrows = vocab.collect()
   vmap = {r['piece']: int(r['em_micro']) for r in vrows}
   total = int(vrows[0]['total_micro']) if vrows else 1
   mpl = max_piece_len
+  specials = frozenset(special_tokens)
 
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
   doc_words = d.select('doc_id', F.posexplode(toks).alias('pos', 'word'))
 
   def seg(batches: Iterator[pd.DataFrame],
-          _v=vmap, _t=total, _mpl=mpl) -> Iterator[pd.DataFrame]:
+          _v=vmap, _t=total, _mpl=mpl,
+          _sp=specials) -> Iterator[pd.DataFrame]:
     for pdf in batches:
       out_w, out_s = [], []
       for w in pdf['word']:
         out_w.append(w)
-        out_s.append(viterbi_segment(str(w), _v, _t, _mpl))
+        # reserved tokens encode to themselves, atomically — the DP
+        # never sees them (distinct-word-sized branch, no per-token
+        # cost; the bpe_encode contract)
+        out_s.append([str(w)] if w in _sp
+                     else viterbi_segment(str(w), _v, _t, _mpl))
       yield pd.DataFrame({'word': out_w, 'syms': out_s})
 
   dvocab = (doc_words.select('word').distinct()

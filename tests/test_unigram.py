@@ -239,6 +239,28 @@ def test_encode_totals_match_replica(spark, trained):
   assert got == exp
 
 
+def test_special_tokens_atomic(spark):
+  """The media sentinel is a reserved atomic vocabulary entry (the
+  bpe_train/bpe_encode contract): it contributes no substring or
+  expected counts to training — its characters never enter the seed —
+  and always encodes to exactly one token."""
+  sent = '<|image|>'
+  rows = [(0, f'hello world {sent} hello again'),
+          (1, f'{sent} {sent} world world world')]
+  d = spark.createDataFrame(rows, 'doc_id long, text string')
+  v = U.unigram_train(spark, SF1, docs=d, special_tokens=(sent,),
+                      vocab_size=20, seed_size=30, n_em=1)
+  pieces = {r['piece'] for r in v.collect()}
+  assert sent not in pieces
+  assert '<' not in pieces and '|' not in pieces  # chars never counted
+  enc = U.unigram_encode(spark, SF1, docs=d, vocab=v,
+                         special_tokens=(sent,), return_tokens=True)
+  toks = {r['doc_id']: r['tokens'] for r in enc.collect()}
+  assert toks[0].count(sent) == 1
+  assert toks[1].count(sent) == 2
+  assert ''.join(toks[1]) == f'{sent}{sent}worldworldworld'
+
+
 def test_encode_tokens_reconstruct_corpus(spark, trained):
   v, _ = trained
   enc = U.unigram_encode(spark, SF1, vocab=v, return_tokens=True)
