@@ -660,3 +660,70 @@ def start_rollup_stream(spark: SparkSession, input_dir: str,
   if trigger_once:
     writer = writer.trigger(availableNow=True)
   return writer.start()
+
+
+def start_attribution_join_stream(spark: SparkSession,
+                                  clicks_dir: str, purchases_dir: str,
+                                  output_dir: str, checkpoint_dir: str,
+                                  *, attribution_window: str = '1 hour',
+                                  watermark: str = '2 hours',
+                                  trigger_once: bool = False,
+                                  max_files_per_trigger: int = 16) \
+    -> StreamingQuery:
+  """Watermarked STREAM-STREAM join — the last-click attribution
+  shape: every purchase joins the same user's clicks that happened in
+  the preceding `attribution_window`.  This is the canonical
+  two-unbounded-sides join Structured Streaming exists to bound:
+  without the event-time constraint + watermarks, matching "a past
+  click" would require keeping every click forever.
+
+  State story (the part that survives 100 TB/day): both sides carry a
+  `withWatermark`, and the join condition includes the event-time
+  range `click.ts ∈ [purchase.ts - window, purchase.ts]` — together
+  they let Spark EVICT buffered clicks once the purchase-side
+  watermark passes click.ts + window (no purchase that could still
+  match can arrive), so join state is bounded by
+  rate × (window + watermark delay) instead of the stream's history.
+  An inner join emits exactly the matched pairs append-only; rows
+  arriving later than the watermark are dropped by contract (the
+  documented completeness/latency trade every streaming join makes).
+
+  The two inputs are separate directories because that is the honest
+  production topology (clicks and purchases land from different
+  pipelines); both use the events-table schema with the type filter
+  applied inside."""
+  clicks = (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(clicks_dir)
+            .where(F.col('event_type') == 'click')
+            .select(F.col('event_id').alias('click_id'),
+                    F.col('ts').alias('click_ts'),
+                    F.col('user_id'),
+                    F.col('value').alias('click_value'))
+            .withWatermark('click_ts', watermark))
+  purchases = (spark.readStream
+               .schema(EVENTS_SCHEMA)
+               .option('maxFilesPerTrigger', max_files_per_trigger)
+               .parquet(purchases_dir)
+               .where(F.col('event_type') == 'purchase')
+               .select(F.col('event_id').alias('purchase_id'),
+                       F.col('ts').alias('purchase_ts'),
+                       F.col('user_id').alias('p_user_id'),
+                       F.col('value').alias('purchase_value'))
+               .withWatermark('purchase_ts', watermark))
+  joined = purchases.join(
+      clicks,
+      (F.col('user_id') == F.col('p_user_id'))
+      & (F.col('click_ts') <= F.col('purchase_ts'))
+      & (F.col('click_ts') >= F.col('purchase_ts')
+         - F.expr(f'INTERVAL {attribution_window}')),
+      'inner').drop('p_user_id')
+  writer = (joined.writeStream
+            .format('parquet')
+            .option('path', output_dir)
+            .option('checkpointLocation', checkpoint_dir)
+            .outputMode('append'))
+  if trigger_once:
+    writer = writer.trigger(availableNow=True)
+  return writer.start()
