@@ -849,11 +849,35 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nul_i.alias('hh_heavy'), nul_l.alias('hh_count'),
                 nul_l.alias('hh_n_total'),
                 'bucket', 'df_bucket', 'cf'))
-  pads = ('bucket', 'df_bucket', 'cf')
-  for c in pads:
+  # cluster labeling (method='ctopics'): top terms per cell — cell
+  # rides doc_id, n_in_cell rides tf, n_cells_with rides df.  The
+  # gate runs it over the DETERMINISTIC doc_id % 16 assignment so the
+  # oracle recomputes every count/window/context cell from scratch at
+  # ANY scale (the real kmeans_assign composition is pytest-verified
+  # in tests/test_cluster_topics.py; wiring it here would pin the
+  # whole row to the sf0.01 snapshot)
+  from blueprint_oss_spark.ops.vectors import cluster_topics
+  syn_assign = (spark.read.parquet(f'{sf_dir}/documents.parquet')
+                .select(F.col('doc_id').alias('vec_id'),
+                        (F.col('doc_id') % 16).cast('int')
+                        .alias('cell')))
+  ct = (cluster_topics(spark, sf_dir, assignments=syn_assign)
+        .select(F.lit('ctopics').alias('method'),
+                F.col('cell').cast('long').alias('doc_id'), 'term',
+                F.col('n_in_cell').alias('tf'),
+                F.col('n_cells_with').alias('df'),
+                F.lit(None).cast('double').alias('score_r'),
+                F.col('rnk').cast('int').alias('rnk'),
+                nul_l.alias('cms_est'), nul_l.alias('cms_overcount'),
+                nul_i.alias('hh_heavy'), nul_l.alias('hh_count'),
+                nul_l.alias('hh_n_total'), 'n_global'))
+  for c in ('bucket', 'df_bucket', 'cf'):
     tft = tft.withColumn(c, nul_l)
     bm = bm.withColumn(c, nul_l)
-  return (tft.unionByName(bm).unionByName(po)
+    ct = ct.withColumn(c, nul_l)
+  for f in (('n_global'),):
+    tft, bm, po = (x.withColumn(f, nul_l) for x in (tft, bm, po))
+  return (tft.unionByName(bm).unionByName(po).unionByName(ct)
           .orderBy('method', 'doc_id', 'rnk', 'term'))
 
 
@@ -4111,7 +4135,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(hhv.n_total AS BIGINT) AS hh_n_total,
                CAST(NULL AS BIGINT) AS bucket,
                CAST(NULL AS BIGINT) AS df_bucket,
-               CAST(NULL AS BIGINT) AS cf
+               CAST(NULL AS BIGINT) AS cf,
+               CAST(NULL AS BIGINT) AS n_global
         FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                        ORDER BY score DESC, term) AS rnk
@@ -4129,7 +4154,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT) AS hh_heavy,
                CAST(NULL AS BIGINT) AS hh_count,
                CAST(NULL AS BIGINT) AS hh_n_total,
-               NULL, NULL, NULL
+               NULL, NULL, NULL, NULL
         FROM btop b JOIN qnames q ON b.query_id = q.query_id
         WHERE b.rnk <= 5
         UNION ALL
@@ -4143,7 +4168,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS INT), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT),
-               pb.bucket, pdfb.df_bucket, ptot.cf
+               pb.bucket, pdfb.df_bucket, ptot.cf,
+               CAST(NULL AS BIGINT) AS n_global
         FROM (
           SELECT term, doc_id // 100 AS bucket, doc_id, tf,
                  CAST(row_number() OVER (
@@ -4157,6 +4183,52 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS df_bucket
               FROM tf GROUP BY 1, 2) pdfb
           ON pb.term = pdfb.term AND pb.bucket = pdfb.bucket
+        UNION ALL
+        -- cluster labeling (method='ctopics'): top-5 non-stopword
+        -- terms per cell over the deterministic doc_id % 16
+        -- assignment (from-scratch at any scale; the kmeans
+        -- composition is pytest-verified); cell rides doc_id,
+        -- n_in_cell rides tf, n_cells_with rides df
+        SELECT 'ctopics' AS method,
+               CAST(r.cell AS BIGINT) AS doc_id, r.term,
+               r.n_in_cell AS tf, c.n_cells_with AS df,
+               CAST(NULL AS DOUBLE) AS score_r,
+               CAST(r.rnk AS INT) AS rnk,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS INT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), c.n_global
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY cell
+                     ORDER BY n_in_cell DESC, term) AS rnk
+          FROM (
+            SELECT t2.cell, t2.term,
+                   CAST(COUNT(*) AS BIGINT) AS n_in_cell
+            FROM (SELECT doc_id, doc_id % 16 AS cell,
+                         unnest(list_filter(
+                      string_split(text, ' '),
+                      x -> len(x) > 0 AND x NOT IN ('the','a','of',
+                        'and','to','in','is','it','for','on','with',
+                        'as','at','by'))) AS term
+                  FROM documents) t2
+            GROUP BY t2.cell, t2.term)) r
+        JOIN (
+          SELECT term, CAST(SUM(n_in_cell) AS BIGINT) AS n_global,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells_with
+          FROM (
+            SELECT t3.cell, t3.term,
+                   CAST(COUNT(*) AS BIGINT) AS n_in_cell
+            FROM (SELECT doc_id, doc_id % 16 AS cell,
+                         unnest(list_filter(
+                      string_split(text, ' '),
+                      x -> len(x) > 0 AND x NOT IN ('the','a','of',
+                        'and','to','in','is','it','for','on','with',
+                        'as','at','by'))) AS term
+                  FROM documents) t3
+            GROUP BY t3.cell, t3.term) GROUP BY term) c
+          ON c.term = r.term
+        WHERE r.rnk <= 5
         ORDER BY method, doc_id, rnk, term
       """,
       # Hash-threshold stratified sampling: md5 hex compared against a

@@ -1262,3 +1262,60 @@ def ann_eval(spark: SparkSession, sf_dir: str, *,
                   .alias('n_hit'),
                   'nn_rank')
           .orderBy('q_id'))
+
+
+def cluster_topics(spark: SparkSession, sf_dir: str, *,
+                   k_terms: int = 5,
+                   assignments: DataFrame = None,
+                   docs: DataFrame = None) -> DataFrame:
+  """Cluster labeling — the inspection report every embedding-cluster
+  pipeline (SemDeDup, Dolma's quality clusters, topic-balanced
+  sampling) produces before trusting its cells: for each k-means cell,
+  the top `k_terms` most frequent non-stopword terms of its member
+  documents, with global context per term (corpus-wide count and how
+  many cells surface it — a term appearing in every cell is corpus
+  boilerplate, not a topic).
+
+  Composition: `kmeans_assign` supplies (vec_id, cell) — the verified
+  full-corpus Lloyd assignment — and vec_id joins doc_id 1:1 (the
+  embeddings table is the documents table's embedding column, same
+  key domain; bucketed-store co-locatable).
+
+  Scale shape: one doc_id equi-join, one map-side-combinable groupBy
+  keyed (cell, term) — the word-count shape, hot terms absorbed in
+  partial aggregation — then the per-cell top-k is a rank window
+  whose rnk <= k_terms filter pushes down as WindowGroupLimit on both
+  exchange sides.  The global-context rollup reads the (cell, term)
+  frame, NOT the corpus (localCheckpointed first: two aggregation
+  trees over one subtree otherwise re-run the corpus scan twice — the
+  build_postings lesson).  Determinism: (count DESC, term ASC)
+  everywhere.
+
+  Returns (cell, rnk, term, n_in_cell, n_global, n_cells_with)."""
+  from blueprint_oss_spark.ops.textops import STOPWORDS_EN
+  a = (assignments if assignments is not None
+       else kmeans_assign(spark, sf_dir)) \
+      .select(F.col('vec_id').alias('doc_id'), 'cell')
+  d = (docs if docs is not None
+       else spark.read.parquet(f'{sf_dir}/documents.parquet')) \
+      .select('doc_id', 'text')
+  toks = F.filter(
+      F.split(F.col('text'), ' '),
+      lambda x: (F.length(x) > 0)
+      & ~F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS_EN]), x))
+  tc = (d.join(a, 'doc_id')
+        .select('cell', F.explode(toks).alias('term'))
+        .groupBy('cell', 'term')
+        .agg(F.count(F.lit(1)).alias('n_in_cell'))
+        .localCheckpoint(eager=True))
+  w = Window.partitionBy('cell').orderBy(F.desc('n_in_cell'), 'term')
+  top = (tc.withColumn('rnk', F.row_number().over(w))
+         .where(F.col('rnk') <= k_terms))
+  ctx = (tc.groupBy('term')
+         .agg(F.sum('n_in_cell').cast('long').alias('n_global'),
+              F.count(F.lit(1)).cast('long').alias('n_cells_with')))
+  return (top.join(ctx, 'term')
+          .select('cell', 'rnk', 'term',
+                  F.col('n_in_cell').cast('long').alias('n_in_cell'),
+                  'n_global', 'n_cells_with')
+          .orderBy('cell', 'rnk'))
