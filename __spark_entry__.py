@@ -875,8 +875,8 @@ def _tfidf_with_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tft = tft.withColumn(c, nul_l)
     bm = bm.withColumn(c, nul_l)
     ct = ct.withColumn(c, nul_l)
-  for f in (('n_global'),):
-    tft, bm, po = (x.withColumn(f, nul_l) for x in (tft, bm, po))
+  tft, bm, po = (x.withColumn('n_global', nul_l)
+                 for x in (tft, bm, po))
   return (tft.unionByName(bm).unionByName(po).unionByName(ct)
           .orderBy('method', 'doc_id', 'rnk', 'term'))
 

@@ -1562,14 +1562,16 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str, *,
   u = (urls if urls is not None
        else url_curation(spark, sf_dir).select('doc_id', 'domain'))
   toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
-  per_doc = d.select(
-      'doc_id', toks.alias('toks'), F.length('text').alias('n_chars'),
-      quality_keep_expr(F.col('text')).alias('keep'))
-  per_doc = per_doc.select(
-      'doc_id', F.size('toks').alias('n_toks'), 'n_chars',
-      # re-stage: quality_keep_expr re-tokenizes internally (no CSE
-      # for interpreted HOFs), but only once per row and only here
-      'keep')
+  # stage the token array ONCE, then thread it through the toks= seam
+  # (the data_card pattern): interpreted HOFs get no CSE, so the
+  # default inline tokenization inside quality_keep_expr would re-run
+  # the split+filter three times per row on the corpus scan
+  staged = d.select('doc_id', 'text', toks.alias('toks'))
+  per_doc = staged.select(
+      'doc_id', F.size('toks').alias('n_toks'),
+      F.length('text').alias('n_chars'),
+      quality_keep_expr(F.col('text'), toks=F.col('toks'))
+      .alias('keep'))
   rolled = (per_doc.join(u, 'doc_id')
             .groupBy('domain')
             .agg(F.count(F.lit(1)).alias('n_docs'),

@@ -1172,7 +1172,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, *,
 def ann_eval(spark: SparkSession, sf_dir: str, *,
              query_mod: int = 29, k: int = 10,
              n_planes: int = 8, bands: int = 2,
-             embeddings: DataFrame = None) -> DataFrame:
+             embeddings: DataFrame = None,
+             materialize: bool = True) -> DataFrame:
   """Retrieval-quality evaluation of the banded sign-LSH index against
   exact ground truth — the recall@k / reciprocal-rank report every ANN
   deployment runs before trusting an index (the measurement protocol of
@@ -1203,6 +1204,13 @@ def ann_eval(spark: SparkSession, sf_dir: str, *,
   so ground truth, index answer and every derived integer are
   reproducible bit-for-bit; all metric columns are exact integers.
 
+  The two k·queries-bounded top-k frames are localCheckpointed
+  (default `materialize=True`): the metric joins consume each from
+  two branches, and without the checkpoint every consumer re-runs the
+  corpus-scoring subtree (the build_postings / cluster_topics
+  double-scan lesson).  `materialize=False` keeps the lazy plan for
+  composition and plan inspection.
+
   Returns one row per query: (q_id, n_gt [= |exact top-k|, < k only
   when the corpus is smaller], n_ann [= |index answer|, < k when the
   probed buckets are thin — the recall/speed tradeoff made visible],
@@ -1217,32 +1225,51 @@ def ann_eval(spark: SparkSession, sf_dir: str, *,
   qs = (e.where(F.pmod(F.col('vec_id'), F.lit(query_mod)) == 0)
         .select(F.col('vec_id').alias('q_id'), vec.alias('q')))
 
-  # ground truth: exact cosine per (row, query), per-query top-k
+  # ground truth: exact cosine per (row, query), per-query top-k —
+  # the brute pass is the eval's irreducible exactness cost.  The
+  # k·queries-bounded result is localCheckpointed: the metric joins
+  # below consume it from 2 branches, and without the checkpoint each
+  # consumer re-runs the whole corpus-scoring subtree (the
+  # build_postings / cluster_topics double-scan lesson).
+  cos6 = F.round(_dot(F.col('v'), F.col('q'))
+                 / (_norm(F.col('v')) * _norm(F.col('q'))), 6)
   scored = (probe.crossJoin(F.broadcast(qs))
             .where(F.col('vec_id') != F.col('q_id'))
-            .select('q_id', 'vec_id',
-                    F.round(_dot(F.col('v'), F.col('q'))
-                            / (_norm(F.col('v')) * _norm(F.col('q'))),
-                            6).alias('cos6')))
+            .select('q_id', 'vec_id', cos6.alias('cos6')))
   w = Window.partitionBy('q_id').orderBy(F.desc('cos6'), 'vec_id')
   gt = (scored.withColumn('rnk', F.row_number().over(w))
         .where(F.col('rnk') <= k))
+  if materialize:
+    gt = gt.localCheckpoint(eager=True)
 
-  # index answer: probe the queries' buckets, exact cosine on the
-  # candidates only, same round-then-sort top-k
+  # index answer: probe the queries' buckets, then compute the exact
+  # cosine ONLY for the candidates — the candidate join runs BELOW
+  # the scoring projection, so the index path pays bucket-fraction
+  # cost, never the brute-force product (that is the point of the
+  # index; joining candidates onto the pre-scored cross join would
+  # silently re-pay it)
   band_cols = _banded_bucket_cols(F.col('v'), n_planes, bands)
   stacked = probe.select(
       'vec_id', 'v', F.explode(F.array(*band_cols)).alias('bucket'))
   qb = (stacked.join(F.broadcast(qs.select('q_id')),
                      F.col('vec_id') == F.col('q_id'))
         .select('q_id', 'bucket'))
-  cand = (stacked.select('vec_id', 'bucket')
-          .join(F.broadcast(qb), 'bucket')
-          .where(F.col('vec_id') != F.col('q_id'))
-          .select('q_id', 'vec_id').distinct())
-  ann = (scored.join(cand, ['q_id', 'vec_id'])
+  # the vector rides the bucket join, so scoring stays map-side on
+  # the corpus scan (no corpus shuffle, no join back for vectors); a
+  # pair colliding in several bands is scored <= bands times and
+  # deduplicated by a CANDIDATE-sized groupBy (max of identical
+  # values) — the only shuffles on this path carry bucket-fraction
+  # row counts
+  ann = (stacked.join(F.broadcast(qb), 'bucket')
+         .where(F.col('vec_id') != F.col('q_id'))
+         .join(F.broadcast(qs), 'q_id')
+         .select('q_id', 'vec_id', cos6.alias('cos6'))
+         .groupBy('q_id', 'vec_id')
+         .agg(F.max('cos6').alias('cos6'))
          .withColumn('ann_rnk', F.row_number().over(w))
          .where(F.col('ann_rnk') <= k))
+  if materialize:
+    ann = ann.localCheckpoint(eager=True)
 
   g = gt.groupBy('q_id').agg(F.count(F.lit(1)).alias('n_gt'))
   a = ann.groupBy('q_id').agg(F.count(F.lit(1)).alias('n_ann'))

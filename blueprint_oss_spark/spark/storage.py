@@ -121,8 +121,16 @@ def write_time_partitioned(df: DataFrame, path: str, *,
          'hour': 'yyyy-MM-dd-HH'}.get(granularity)
   if fmt is None:
     raise ValueError(f'unknown granularity: {granularity!r}')
+  # DYNAMIC partition overwrite: mode='overwrite' replaces only the
+  # partitions present in `df` — the incremental-ingest contract the
+  # docstring advertises (re-land yesterday's crawl, history
+  # untouched).  Spark's default STATIC overwrite would delete the
+  # whole table root first, silently destroying every prior day;
+  # pinned by test (re-landing one day leaves the other 29 intact).
   (df.withColumn(partition_col, F.date_format(F.col(ts_col), fmt))
-     .write.mode(mode).partitionBy(partition_col).parquet(path))
+     .write.mode(mode)
+     .option('partitionOverwriteMode', 'dynamic')
+     .partitionBy(partition_col).parquet(path))
 
 
 def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:

@@ -598,9 +598,15 @@ def read_rollup_state(spark: SparkSession, state_dir: str,
   import re
   if not os.path.isdir(state_dir):
     return None
-  versions = sorted(int(m.group(1))
-                    for d in os.listdir(state_dir)
-                    if (m := re.fullmatch(r'v(\d+)', d)))
+  # committed = the writer's _SUCCESS marker is present; a version
+  # directory mid-write (crash, or the stream still running) is
+  # invisible to readers — without this check the 'latest committed
+  # version' contract breaks with a torn or unreadable state
+  versions = sorted(
+      int(m.group(1))
+      for d in os.listdir(state_dir)
+      if (m := re.fullmatch(r'v(\d+)', d))
+      and os.path.exists(os.path.join(state_dir, d, '_SUCCESS')))
   if before_batch is not None:
     versions = [v for v in versions if v < before_batch]
   if not versions:

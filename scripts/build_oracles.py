@@ -530,6 +530,15 @@ def verify_ann_eval(sf_dir: str, pdf, *, query_mod: int = 29,
   (numpy cosine, round-6-then-sort with vec_id tie-break), the LSH
   index answer via the xxhash64 bucket replica, and every derived
   integer (n_gt / n_ann / n_hit / nn_rank) asserted per query."""
+  from decimal import Decimal, ROUND_HALF_UP
+  q6 = Decimal('0.000001')
+
+  def r6(x):
+    # Spark F.round = BigDecimal HALF_UP over the shortest decimal
+    # repr — python round() is half-even over the binary value and
+    # diverges on half-edges (the verify_kmeans/verify_pca replica)
+    return float(Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP))
+
   t = pq.read_table(f'{sf_dir}/embeddings.parquet').to_pandas()
   E = {int(v): np.asarray(e, dtype=np.float64)
        for v, e in zip(t.vec_id, t.embedding)}
@@ -540,8 +549,8 @@ def verify_ann_eval(sf_dir: str, pdf, *, query_mod: int = 29,
     if q % query_mod != 0:
       continue
     qv = E[q]
-    cos = {v: round(float(E[v] @ qv / (np.linalg.norm(E[v])
-                                       * np.linalg.norm(qv))), 6)
+    cos = {v: r6(E[v] @ qv / (np.linalg.norm(E[v])
+                              * np.linalg.norm(qv)))
            for v in E if v != q}
     order = sorted(cos, key=lambda v: (-cos[v], v))
     gt = order[:k]
@@ -552,8 +561,10 @@ def verify_ann_eval(sf_dir: str, pdf, *, query_mod: int = 29,
   got = {int(r.q_id): (int(r.n_gt), int(r.n_ann), int(r.n_hit),
                        None if pd.isna(r.nn_rank) else int(r.nn_rank))
          for r in pdf.itertuples()}
-  assert got == exp, f'ann_eval mismatch: first diff ' \
-      f'{next((q, got.get(q), exp.get(q)) for q in exp if got.get(q) != exp.get(q))}'
+  diff = next(((qq, got.get(qq), exp.get(qq))
+               for qq in sorted(set(exp) | set(got))
+               if got.get(qq) != exp.get(qq)), None)
+  assert got == exp, f'ann_eval mismatch: first diff {diff}'
   n_hit = sum(v[2] for v in exp.values())
   n_gt = sum(v[0] for v in exp.values())
   return {'method': 'FULL python recomputation: xxhash64 bucket '

@@ -22,6 +22,15 @@ SF1 = '/root/testdata/sf0.001'
 QM, K, NP, NB = 29, 10, 8, 2
 
 
+def _r6(x):
+  # Spark F.round = BigDecimal HALF_UP over the shortest decimal
+  # repr; python round() is half-even over the binary value and can
+  # diverge on half-edges
+  from decimal import Decimal, ROUND_HALF_UP
+  return float(Decimal(repr(float(x)))
+               .quantize(Decimal('0.000001'), ROUND_HALF_UP))
+
+
 def _replica(sf, query_mod=QM, k=K, n_planes=NP, bands=NB):
   import pyarrow.parquet as pq
   from spark_xxhash64 import spark_xxhash64
@@ -52,9 +61,8 @@ def _replica(sf, query_mod=QM, k=K, n_planes=NP, bands=NB):
     if q % query_mod != 0:
       continue
     qv = E[q]
-    cos = {v: round(float(E[v] @ qv
-                          / (np.linalg.norm(E[v])
-                             * np.linalg.norm(qv))), 6)
+    cos = {v: _r6(E[v] @ qv
+                  / (np.linalg.norm(E[v]) * np.linalg.norm(qv)))
            for v in E if v != q}
     order = sorted(cos, key=lambda v: (-cos[v], v))
     gt = order[:k]
@@ -119,6 +127,22 @@ def test_repartition_invariant(spark, got):
 
 
 def test_plan_partial_topk_both_passes(spark):
-  plan = V.ann_eval(spark, SF1)._jdf.queryExecution() \
-      .executedPlan().toString()
+  # materialize=False keeps the lazy plan (the default checkpoints
+  # the two k-bounded top-k frames, hiding their windows)
+  plan = V.ann_eval(spark, SF1, materialize=False) \
+      ._jdf.queryExecution().executedPlan().toString()
   assert plan.count('WindowGroupLimit') >= 4, plan
+  # every cross-join product in the plan is the GT side's brute
+  # baseline (duplicated across metric branches in the LAZY plan —
+  # exactly the recomputation the default materialize=True collapses
+  # to one execution); the index path's joins are all bucket/q_id
+  # hash joins, never a second scoring cross product
+  n_gt_consumers = 2  # the g count branch and the h hits branch
+  assert plan.count('BroadcastNestedLoopJoin') <= n_gt_consumers, plan
+  assert 'BroadcastHashJoin [bucket' in plan, plan
+
+
+def test_materialized_equals_lazy(spark, got):
+  lazy = {r['q_id']: (r['n_gt'], r['n_ann'], r['n_hit'], r['nn_rank'])
+          for r in V.ann_eval(spark, SF1, materialize=False).collect()}
+  assert lazy == got

@@ -94,6 +94,24 @@ def test_dynamic_partition_pruning_from_date_dim(spark, part_path):
   assert n == exp > 0
 
 
+def test_overwrite_is_dynamic_per_partition(spark, tmp_path):
+  """Re-landing ONE day must replace only that day's directory —
+  Spark's static overwrite would wipe the whole table root (the
+  incremental-ingest data-loss trap)."""
+  path = str(tmp_path / 'dyn')
+  ev = spark.read.parquet(f'{SF1}/events.parquet')
+  write_time_partitioned(ev, path)
+  n_total = read_time_partitioned(spark, path).count()
+  one_day = ev.where(F.date_format('ts', 'yyyy-MM-dd') == '2024-01-05')
+  # re-land the same day (e.g. a corrected crawl): idempotent
+  write_time_partitioned(one_day, path)
+  back = read_time_partitioned(spark, path)
+  assert back.count() == n_total
+  days = {str(r['part_date']) for r in
+          back.select('part_date').distinct().collect()}
+  assert len(days) == 30  # every other day survived
+
+
 def test_month_and_hour_granularities(spark, tmp_path):
   ev = spark.read.parquet(f'{SF1}/events.parquet').limit(50)
   write_time_partitioned(ev, str(tmp_path / 'm'), granularity='month')
