@@ -997,7 +997,26 @@ def _pack_and_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nul_l.alias('chunk_last'), nul_l.alias('n_chunks'),
                    'chunk_no', 'start_tok', 'chunk_text',
                    nul_l.alias('fill_tokens')))
+  # method='lenbucket': sorted-by-length varlen batching with
+  # padding-waste accounting (length_bucket_batches — the
+  # non-packing loader policy next to pack_sequences).  bucket rides
+  # chunk_first, batch_id chunk_last, batch_docs n_chunks,
+  # pos_in_batch chunk_no, batch_max tokens_before, pad_waste
+  # fill_tokens — every operator column stays value-checked against
+  # the oracle's from-scratch recomputation.
+  lb = (T.length_bucket_batches(spark, sf_dir)
+        .select(F.lit('lenbucket').alias('method'), 'doc_id',
+                F.col('shard').cast('long').alias('shard'),
+                F.col('n_tokens').cast('int').alias('n_tokens'),
+                F.col('batch_max').cast('long').alias('tokens_before'),
+                F.col('bucket').cast('long').alias('chunk_first'),
+                F.col('batch_id').cast('long').alias('chunk_last'),
+                F.col('batch_docs').cast('long').alias('n_chunks'),
+                F.col('pos_in_batch').cast('int').alias('chunk_no'),
+                nul_i.alias('start_tok'), nul_s.alias('chunk_text'),
+                F.col('pad_waste').cast('long').alias('fill_tokens')))
   return (pack.unionByName(chunk).unionByName(il).unionByName(seg)
+          .unionByName(lb)
           .orderBy('method', 'doc_id', 'chunk_no', 'chunk_first'))
 
 
@@ -4797,6 +4816,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(start_in_chunk AS INT), CAST(NULL AS VARCHAR),
                CAST(fill AS BIGINT)
         FROM segfin
+        UNION ALL
+        -- sorted-by-length varlen batching (method='lenbucket'):
+        -- md5 shard, edge-inclusive buckets, (n_tokens, doc_id) fill,
+        -- per-batch max / count / padding waste — bucket rides
+        -- chunk_first, batch_id chunk_last, batch_docs n_chunks,
+        -- pos_in_batch chunk_no, batch_max tokens_before, pad_waste
+        -- fill_tokens
+        SELECT 'lenbucket', doc_id, shard,
+               CAST(n_tokens AS INT),
+               CAST(MAX(n_tokens) OVER lbb AS BIGINT),
+               CAST(bucket AS BIGINT), batch_id,
+               CAST(COUNT(*) OVER lbb AS BIGINT),
+               pos_in_batch, CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR),
+               CAST(MAX(n_tokens) OVER lbb * COUNT(*) OVER lbb
+                    - SUM(n_tokens) OVER lbb AS BIGINT)
+        FROM (
+          SELECT *, CAST((row_number() OVER lbw - 1) // 8 AS BIGINT)
+                     AS batch_id,
+                    CAST((row_number() OVER lbw - 1) % 8 AS INT)
+                     AS pos_in_batch
+          FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) % 8 AS shard,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            x -> len(x) > 0)) AS INT) AS n_tokens,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                            x -> len(x) > 0)) <= 32 THEN 0
+                        WHEN len(list_filter(string_split(text, ' '),
+                            x -> len(x) > 0)) <= 64 THEN 1
+                        WHEN len(list_filter(string_split(text, ' '),
+                            x -> len(x) > 0)) <= 128 THEN 2
+                        ELSE 3 END AS bucket
+            FROM documents)
+          WINDOW lbw AS (PARTITION BY shard, bucket
+                         ORDER BY n_tokens, doc_id))
+        WINDOW lbb AS (PARTITION BY shard, bucket, batch_id)
         ORDER BY method, doc_id, chunk_no
       """,
       # The web-scale end-to-end chain recomputed from the RAW table:

@@ -2435,3 +2435,64 @@ def corpus_diff(spark: SparkSession, sf_dir: str, *,
       .otherwise('unchanged').alias('verdict'),
       'old_hash', 'new_hash')
       .orderBy('doc_id'))
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str, *,
+                          bin_edges: tuple = (32, 64, 128),
+                          batch_size: int = 8, n_shards: int = 8,
+                          docs: DataFrame = None) -> DataFrame:
+  """Sorted-by-length bucketed batching with padding-waste accounting
+  — the varlen dataloader policy (bucket by length, batch within
+  bucket, pad each batch to its own max) that Transformer training
+  uses when it does NOT pack: the alternative to `pack_sequences`'
+  concat-and-chunk, and the report that tells you which one to run
+  (pad_waste is exactly the token budget packing would recover).
+
+  Assignment contract (deterministic, engine-replicable): bucket =
+  index of the first bin edge >= n_tokens (last bucket open-ended);
+  within each (shard, bucket), docs order by (n_tokens, doc_id) —
+  ascending length is the padding-minimizing order — and fill batches
+  of `batch_size` (the trailing partial batch is kept, its waste
+  accounted like any other).  Per-batch columns: batch_docs,
+  batch_max (the pad-to length), pad_waste = batch_max·batch_docs -
+  Σ n_tokens — all exact integers.
+
+  Scale shape: token counts ride the scan; shard = md5-prefix of
+  doc_id mod n_shards (shard_manifests' engine-replicable hash
+  device) so a popular length bucket never funnels through one
+  reducer — the per-shard batches are what a multi-worker loader
+  consumes anyway.
+  Two windows on the (shard, bucket) / (shard, bucket, batch) keys —
+  each carries every doc row once; no corpus self-join, no collect.
+
+  Returns (doc_id, shard, n_tokens, bucket, batch_id, pos_in_batch,
+  batch_docs, batch_max, pad_waste)."""
+  from pyspark.sql import Window
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  n = F.size(toks)
+  bucket = F.lit(len(bin_edges))
+  for i in range(len(bin_edges) - 1, -1, -1):
+    bucket = F.when(n <= bin_edges[i], F.lit(i)).otherwise(bucket)
+  shard = F.pmod(
+      F.conv(F.substring(F.md5(F.col('doc_id').cast('string')), 1, 8),
+             16, 10).cast('long'), F.lit(n_shards))
+  base = d.select('doc_id', shard.alias('shard'),
+                  n.alias('n_tokens'), bucket.alias('bucket'))
+  w = Window.partitionBy('shard', 'bucket') \
+      .orderBy('n_tokens', 'doc_id')
+  placed = base.select(
+      '*', (F.row_number().over(w) - 1).alias('rn')) \
+      .select('doc_id', 'shard', 'n_tokens', 'bucket',
+              (F.col('rn') / batch_size).cast('long').alias('batch_id'),
+              F.pmod(F.col('rn'), F.lit(batch_size)).cast('int')
+              .alias('pos_in_batch'))
+  wb = Window.partitionBy('shard', 'bucket', 'batch_id')
+  return (placed.select(
+      '*',
+      F.count(F.lit(1)).over(wb).alias('batch_docs'),
+      F.max('n_tokens').over(wb).alias('batch_max'),
+      (F.max('n_tokens').over(wb) * F.count(F.lit(1)).over(wb)
+       - F.sum('n_tokens').over(wb)).alias('pad_waste'))
+      .orderBy('shard', 'bucket', 'batch_id', 'pos_in_batch'))
