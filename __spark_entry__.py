@@ -1175,7 +1175,23 @@ def _substring_paragraph_dedup(spark: SparkSession,
         .select(F.lit('docline').alias('method'), 'doc_id',
                 'clean_text', F.col('n_lines').alias('n_units'),
                 'n_removed', 'n_kept'))
+  # method='t5span': T5 span-corruption prep (Raffel §3.1.4
+  # deterministic variant) — the denoising-objective span surgeon
+  # next to the dedup surgeons; input_text rides clean_text, n_tokens
+  # n_units, n_masked n_removed, n_runs n_kept, and target_text is
+  # value-checked through its own padded column.
+  t5 = (T.t5_span_corruption(spark, sf_dir)
+        .select(F.lit('t5span').alias('method'), 'doc_id',
+                F.col('input_text').alias('clean_text'),
+                F.col('n_tokens').alias('n_units'),
+                F.col('n_masked').alias('n_removed'),
+                F.col('n_runs').alias('n_kept'),
+                'target_text'))
+  nul_s = F.lit(None).cast('string')
+  es, pp, c4, dl = (x.withColumn('target_text', nul_s)
+                    for x in (es, pp, c4, dl))
   return (es.unionByName(pp).unionByName(c4).unionByName(dl)
+          .unionByName(t5)
           .orderBy('method', 'doc_id'))
 
 
@@ -2381,7 +2397,8 @@ def oracle_sql() -> dict[str, str]:
                                     x -> len(x) > 0)) AS BIGINT)
                  AS n_units,
                CAST(coalesce(covn.n_removed, 0) AS BIGINT) AS n_removed,
-               CAST(NULL AS BIGINT) AS n_kept
+               CAST(NULL AS BIGINT) AS n_kept,
+               CAST(NULL AS VARCHAR) AS target_text
         FROM documents d
         LEFT JOIN reb USING (doc_id)
         LEFT JOIN covn USING (doc_id)
@@ -2390,22 +2407,70 @@ def oracle_sql() -> dict[str, str]:
                coalesce(r.clean_text, ''),
                CAST(len(l.paras) AS BIGINT),
                CAST(len(l.paras) AS BIGINT) - coalesce(r.n_kept, 0),
-               coalesce(r.n_kept, 0)
+               coalesce(r.n_kept, 0), CAST(NULL AS VARCHAR)
         FROM plined l LEFT JOIN preb r USING (doc_id)
         UNION ALL
         SELECT 'c4span', s.doc_id,
                coalesce(r.clean_text, ''),
                CAST(len(s.sents) AS BIGINT),
                CAST(len(s.sents) AS BIGINT) - coalesce(r.n_kept, 0),
-               coalesce(r.n_kept, 0)
+               coalesce(r.n_kept, 0), CAST(NULL AS VARCHAR)
         FROM csented s LEFT JOIN csreb r USING (doc_id)
         UNION ALL
         SELECT 'docline', l.doc_id,
                coalesce(r.clean_text, ''),
                CAST(len(l.lines) AS BIGINT),
                CAST(len(l.lines) AS BIGINT) - coalesce(r.n_kept, 0),
-               coalesce(r.n_kept, 0)
+               coalesce(r.n_kept, 0), CAST(NULL AS VARCHAR)
         FROM dlined l LEFT JOIN dlreb r USING (doc_id)
+        UNION ALL
+        -- T5 span corruption (method='t5span', Raffel 3.1.4
+        -- deterministic variant): md5 start-rank, 3-token spans,
+        -- run merge, sentinel numbering -- full input/target strings
+        -- recomputed with the same window arithmetic
+        SELECT 't5span', doc_id,
+               string_agg(inp, ' ' ORDER BY pos) FILTER (inp IS NOT NULL),
+               CAST(MAX(t5n) AS BIGINT),
+               CAST(SUM(t5masked) AS BIGINT),
+               CAST(SUM(CASE WHEN inp LIKE '<extra_id_%' THEN 1
+                        ELSE 0 END) AS BIGINT),
+               string_agg(tgt, ' ' ORDER BY pos) FILTER (tgt IS NOT NULL)
+        FROM (
+          SELECT doc_id, n AS t5n, pos, masked AS t5masked,
+                 CASE WHEN masked = 0 THEN token
+                      WHEN run_start = 1 THEN '<extra_id_'
+                           || CAST(k AS VARCHAR) || '>' END AS inp,
+                 CASE WHEN run_start = 1 THEN '<extra_id_'
+                           || CAST(k AS VARCHAR) || '> ' || token
+                      WHEN masked = 1 THEN token END AS tgt
+          FROM (
+            SELECT *, SUM(run_start) OVER (PARTITION BY doc_id
+                       ORDER BY pos) - run_start AS k
+            FROM (
+              SELECT *, CAST(masked = 1 AND coalesce(lag(masked)
+                         OVER (PARTITION BY doc_id ORDER BY pos), 0)
+                         = 0 AS INT) AS run_start
+              FROM (
+                SELECT *, MAX(is_start) OVER (PARTITION BY doc_id
+                           ORDER BY pos ROWS BETWEEN 2 PRECEDING
+                           AND CURRENT ROW) AS masked
+                FROM (
+                  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)
+                             || ':' || CAST(pos AS VARCHAR)), pos)
+                             <= greatest(1, (n * 3) // 60) AS INT)
+                             AS is_start
+                  FROM (
+                    SELECT doc_id,
+                           len(list_filter(string_split(text, ' '),
+                               x -> len(x) > 0)) AS n,
+                           unnest(list_filter(string_split(text, ' '),
+                               x -> len(x) > 0)) AS token,
+                           generate_subscripts(list_filter(
+                               string_split(text, ' '),
+                               x -> len(x) > 0), 1) - 1 AS pos
+                    FROM documents))))))
+        GROUP BY doc_id
         ORDER BY method, doc_id
       """,
       # method='dom': ground truth = whitespace-normalized original

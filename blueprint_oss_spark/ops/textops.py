@@ -2496,3 +2496,96 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str, *,
       (F.max('n_tokens').over(wb) * F.count(F.lit(1)).over(wb)
        - F.sum('n_tokens').over(wb)).alias('pad_waste'))
       .orderBy('shard', 'bucket', 'batch_id', 'pos_in_batch'))
+
+
+def t5_span_corruption(spark: SparkSession, sf_dir: str, *,
+                       noise_num: int = 3, noise_den: int = 20,
+                       span_len: int = 3,
+                       docs: DataFrame = None) -> DataFrame:
+  """T5 span-corruption data prep (Raffel et al. 2020, §3.1.4 of
+  "Exploring the Limits of Transfer Learning..."): mask a fraction of
+  each document's tokens in multi-token spans, replace every masked
+  RUN with an `<extra_id_k>` sentinel in the encoder input, and emit
+  each run's tokens after the same sentinel as the decoder target —
+  the denoising-objective example builder.
+
+  Deterministic deviations (documented; T5 samples both): the span
+  COUNT is exact arithmetic — n_spans = max(1, n·noise_num DIV
+  (noise_den·span_len)), i.e. ~15% of tokens at the default 3/20 in
+  spans of FIXED length `span_len` (T5's mean-3 geometric sampling
+  replaced by the constant mean) — and span starts are the n_spans
+  positions with the smallest md5(doc:pos) hashes (engine-replicable
+  hash spread instead of an RNG).  Overlapping/adjacent spans merge
+  into one run with one sentinel, exactly like T5's implementation;
+  masked-token fraction can exceed the target when runs clip at the
+  document end, and the accounting columns expose it.
+
+  Scale shape: ONE exchange keyed doc_id (token rows; groups are
+  doc-bounded) carrying the start-rank window, the run windows and
+  the final per-doc assembly — Catalyst reuses the partitioning for
+  the groupBy, so corpus bytes cross the wire once.  All arithmetic
+  is exact integers; the DuckDB oracle recomputes every input/target
+  string and count with the same window functions.
+
+  Returns (doc_id, n_tokens, n_masked, n_runs, input_text,
+  target_text)."""
+  from pyspark.sql import Window
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id', 'text')
+  toks = F.filter(F.split(F.col('text'), ' '), lambda x: F.length(x) > 0)
+  tok_rows = d.select(
+      'doc_id', F.size(toks).alias('n'),
+      F.posexplode(toks).alias('pos', 'token'))
+
+  # FLOOR division, stated explicitly: Spark's cast(double as long)
+  # truncates but DuckDB's rounds — the exact-arithmetic contract is
+  # n_spans = max(1, (n*noise_num) DIV (noise_den*span_len))
+  n_spans = F.greatest(
+      F.lit(1),
+      F.floor(F.col('n') * noise_num / (noise_den * span_len))
+      .cast('long'))
+  h = F.md5(F.concat(F.col('doc_id').cast('string'), F.lit(':'),
+                     F.col('pos').cast('string')))
+  wrank = Window.partitionBy('doc_id').orderBy(h, 'pos')
+  wpos = Window.partitionBy('doc_id').orderBy('pos')
+  staged = tok_rows.select(
+      'doc_id', 'n', 'pos', 'token',
+      (F.row_number().over(wrank) <= n_spans).cast('int')
+      .alias('is_start'))
+  masked = F.max('is_start').over(
+      wpos.rowsBetween(-(span_len - 1), 0))
+  st2 = staged.select('doc_id', 'n', 'pos', 'token', 'is_start',
+                      masked.alias('masked'))
+  run_start = ((F.col('masked') == 1)
+               & (F.coalesce(F.lag('masked').over(wpos), F.lit(0))
+                  == 0)).cast('int')
+  st3 = st2.select('doc_id', 'n', 'pos', 'token', 'masked',
+                   run_start.alias('run_start'))
+  k = F.sum('run_start').over(wpos) - F.col('run_start')
+  sentinel = F.concat(F.lit('<extra_id_'), k.cast('string'),
+                      F.lit('>'))
+  in_piece = F.when(F.col('masked') == 0, F.col('token')) \
+      .when(F.col('run_start') == 1, sentinel)
+  tgt_piece = F.when(
+      F.col('run_start') == 1,
+      F.concat(sentinel, F.lit(' '), F.col('token'))) \
+      .when(F.col('masked') == 1, F.col('token'))
+  pieces = st3.select('doc_id', 'n', 'pos', 'masked',
+                      in_piece.alias('inp'), tgt_piece.alias('tgt'))
+
+  def _joined(col):
+    return F.concat_ws(' ', F.flatten(F.transform(
+        F.array_sort(F.collect_list(F.struct('pos', col))),
+        lambda s: F.when(s[col].isNotNull(),
+                         F.array(s[col]))
+        .otherwise(F.array().cast('array<string>')))))
+
+  return (pieces.groupBy('doc_id')
+          .agg(F.max('n').cast('long').alias('n_tokens'),
+               F.sum('masked').cast('long').alias('n_masked'),
+               F.sum(F.when(F.col('inp').startswith('<extra_id_'),
+                            1).otherwise(0)).cast('long')
+               .alias('n_runs'),
+               _joined('inp').alias('input_text'),
+               _joined('tgt').alias('target_text'))
+          .orderBy('doc_id'))
