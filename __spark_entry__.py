@@ -548,6 +548,14 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       F.sum('n_words').alias('it_words'),
       F.sum('n_tokens').alias('it_tokens'),
       F.sum('n_sentinels').cast('long').alias('it_sentinels'))
+  # the interleaved-corpus UNIGRAM totals (same rendered corpus, same
+  # sentinel contract, the other published subword tokenizer) —
+  # verified by the sequential unigram replica over the
+  # formula-rendered word counts in verify_bpe
+  it_ug = tokenize_interleaved(spark, sf_dir, tokenizer='unigram').agg(
+      F.sum('n_words').alias('ug_it_words'),
+      F.sum('n_tokens').alias('ug_it_tokens'),
+      F.sum('n_sentinels').cast('long').alias('ug_it_sentinels'))
   # per-language fertility audit (tokenizer_fertility) pivoted to one
   # broadcast row: f_{lang}_{words,tokens,chars,bytes} — the XLM-R /
   # BLOOM-style multilingual tokenizer-quality table, every cell an
@@ -577,9 +585,11 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
           .crossJoin(F.broadcast(it))
           .crossJoin(F.broadcast(f1))
           .crossJoin(F.broadcast(ug_tot))
+          .crossJoin(F.broadcast(it_ug))
           .select('method', 'rank', 'left', 'right', 'merged',
                   'pair_count', 'corpus_words', 'corpus_tokens',
                   'it_words', 'it_tokens', 'it_sentinels',
+                  'ug_it_words', 'ug_it_tokens', 'ug_it_sentinels',
                   *[f'f_{lang}_{m}'
                     for lang in ('en', 'es', 'de', 'fr')
                     for m in ('words', 'tokens', 'chars', 'bytes')],

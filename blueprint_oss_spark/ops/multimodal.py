@@ -1216,7 +1216,8 @@ def tokenize_interleaved(spark: SparkSession, sf_dir: str, *,
                          n_merges: int = 24,
                          media_token: str = '<|image|>',
                          content: DataFrame = None,
-                         merges: DataFrame = None) -> DataFrame:
+                         merges: DataFrame = None,
+                         tokenizer: str = 'bpe') -> DataFrame:
   """BPE-tokenize the INTERLEAVED corpus: render the north-rule
   main-content output to sentinel text (render_interleaved), train a
   BPE vocabulary on that rendered corpus with the media sentinel as a
@@ -1239,7 +1240,13 @@ def tokenize_interleaved(spark: SparkSession, sf_dir: str, *,
   bpe_encode's distinct-word encode+join; all merge learning happens
   on the vocabulary-sized word table, never the corpus (see
   textops.bpe_train).  `content=`/`merges=` are the pre-extracted
-  corpus and pre-trained vocabulary seams."""
+  corpus and pre-trained vocabulary seams.
+
+  `tokenizer='unigram'` swaps in the unigram-LM tokenizer
+  (ops/unigram.py, Kudo 2018) with the identical sentinel contract —
+  the same rendered corpus, the same reserved-atomic media token,
+  the same output schema; `merges=` then carries the unigram
+  vocabulary frame instead of the merge table."""
   from .html_extract import (
       interleaved_html_table, main_content_from_spans,
   )
@@ -1251,11 +1258,21 @@ def tokenize_interleaved(spark: SparkSession, sf_dir: str, *,
       .select('doc_id', 'rendered_text', 'n_sentinels',
               'n_render_tokens').localCheckpoint()
   docs = rend.select('doc_id', F.col('rendered_text').alias('text'))
-  if merges is None:
-    merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs,
-                       special_tokens=(media_token,))
-  enc = bpe_encode(spark, sf_dir, merges=merges, docs=docs,
-                   special_tokens=(media_token,))
+  if tokenizer == 'unigram':
+    from .unigram import unigram_encode, unigram_train
+    if merges is None:
+      merges = unigram_train(spark, sf_dir, docs=docs,
+                             special_tokens=(media_token,))
+    enc = unigram_encode(spark, sf_dir, vocab=merges, docs=docs,
+                         special_tokens=(media_token,))
+  elif tokenizer == 'bpe':
+    if merges is None:
+      merges = bpe_train(spark, sf_dir, n_merges=n_merges, docs=docs,
+                         special_tokens=(media_token,))
+    enc = bpe_encode(spark, sf_dir, merges=merges, docs=docs,
+                     special_tokens=(media_token,))
+  else:
+    raise ValueError(f'unknown tokenizer: {tokenizer!r}')
   return (rend
           .join(enc, 'doc_id', 'left')
           .select('doc_id',

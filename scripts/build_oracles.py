@@ -871,30 +871,22 @@ def verify_media_phash(pdf) -> dict:
           'rows': len(pdf), 'ok': n_ok, 'unsupported': n_unsup}
 
 
-def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
-  """FULL sequential pure-python unigram-LM recomputation (Kudo 2018
-  with the documented deviations of ops/unigram.py): seed substring
-  counts, n_em forward-backward EM rounds with per-word micro-unit
-  integer truncation, char-preserving count pruning, and whole-corpus
-  Viterbi encode totals with exact Fraction scoring — every retained
-  piece row and both corpus totals must match exactly."""
-  from fractions import Fraction
+def _unigram_replica_train(wc: dict, *, vocab_size: int = 48,
+                           seed_size: int = 96, mpl: int = 4,
+                           n_em: int = 3):
+  """Sequential unigram-LM training replica over an arbitrary word-
+  count table (shared by the documents-corpus and interleaved-corpus
+  verifications) — seed substrings, n_em forward-backward EM rounds
+  with per-word micro-unit truncation, char-preserving pruning.
+  Returns (keep: piece->micro_count, total)."""
   MICRO = 1_000_000
-  VOCAB_SIZE, SEED_SIZE, MPL, N_EM = 48, 96, 4, 3
-  texts = pq.read_table(f'{sf_dir}/documents.parquet') \
-      .column('text').to_pylist()
-  wc: dict = {}
-  for t in texts:
-    for w in t.split(' '):
-      if w:
-        wc[w] = wc.get(w, 0) + 1
   sc: dict = {}
   for w, c in wc.items():
     for i in range(len(w)):
-      for l in range(1, min(MPL, len(w) - i) + 1):
+      for l in range(1, min(mpl, len(w) - i) + 1):
         sc[w[i:i + l]] = sc.get(w[i:i + l], 0) + c
   vocab = dict(sorted(sc.items(),
-                      key=lambda kv: (-kv[1], kv[0]))[:SEED_SIZE])
+                      key=lambda kv: (-kv[1], kv[0]))[:seed_size])
   for p, c in sc.items():
     if len(p) == 1:
       vocab.setdefault(p, c)
@@ -904,32 +896,32 @@ def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
     n = len(word)
     alpha = [1.0] + [0.0] * n
     for i in range(1, n + 1):
-      s = 0.0
-      for j in range(max(0, i - MPL), i):
+      s2 = 0.0
+      for j in range(max(0, i - mpl), i):
         p = probs.get(word[j:i])
         if p and alpha[j]:
-          s += alpha[j] * p
-      alpha[i] = s
+          s2 += alpha[j] * p
+      alpha[i] = s2
     if alpha[n] == 0.0:
       return {}
     beta = [0.0] * n + [1.0]
     for i in range(n - 1, -1, -1):
-      s = 0.0
-      for j in range(i + 1, min(n, i + MPL) + 1):
+      s2 = 0.0
+      for j in range(i + 1, min(n, i + mpl) + 1):
         p = probs.get(word[i:j])
         if p and beta[j]:
-          s += p * beta[j]
-      beta[i] = s
+          s2 += p * beta[j]
+      beta[i] = s2
     out: dict = {}
     for j in range(n):
-      for i in range(j + 1, min(n, j + MPL) + 1):
+      for i in range(j + 1, min(n, j + mpl) + 1):
         p = probs.get(word[j:i])
         if p and alpha[j] and beta[i]:
           out[word[j:i]] = out.get(word[j:i], 0.0) \
               + alpha[j] * p * beta[i] / alpha[n]
     return out
 
-  for _ in range(N_EM):
+  for _ in range(n_em):
     total = sum(vocab.values())
     probs = {p: c / total for p, c in vocab.items() if c > 0}
     new: dict = {}
@@ -944,10 +936,50 @@ def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
                  key=lambda kv: (-kv[1], kv[0]))
   keep = dict(chars)
   for p, c in multi:
-    if len(keep) >= max(VOCAB_SIZE, len(chars)):
+    if len(keep) >= max(vocab_size, len(chars)):
       break
     keep[p] = c
-  total = sum(keep.values())
+  return keep, sum(keep.values())
+
+
+def _unigram_viterbi_len(word: str, keep: dict, total: int,
+                         mpl: int = 4) -> int:
+  """Exact-Fraction Viterbi segment LENGTH (ties: fewer pieces, then
+  pinned ascending-start scan) — the encode replica."""
+  from fractions import Fraction
+  n = len(word)
+  best = [None] * (n + 1)
+  best[0] = (Fraction(1), 0)
+  for i in range(1, n + 1):
+    cur = None
+    for j in range(max(0, i - mpl), i):
+      if best[j] is None:
+        continue
+      c = keep.get(word[j:i])
+      if c is None:
+        continue
+      sc2 = best[j][0] * Fraction(c, total)
+      cand = (sc2, best[j][1] + 1)
+      if cur is None or sc2 > cur[0] or (sc2 == cur[0]
+                                         and cand[1] < cur[1]):
+        cur = cand
+    best[i] = cur
+  return best[n][1]
+
+
+def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
+  """FULL sequential pure-python unigram-LM recomputation (Kudo 2018
+  with the documented deviations of ops/unigram.py) via the shared
+  replica helpers — every retained piece row and both corpus totals
+  must match exactly."""
+  texts = pq.read_table(f'{sf_dir}/documents.parquet') \
+      .column('text').to_pylist()
+  wc: dict = {}
+  for t in texts:
+    for w in t.split(' '):
+      if w:
+        wc[w] = wc.get(w, 0) + 1
+  keep, total = _unigram_replica_train(wc)
   ranked = sorted(keep.items(), key=lambda kv: (-kv[1], kv[0]))
 
   got = [(int(r.rank), r.left, r.right, r.merged, int(r.pair_count))
@@ -960,27 +992,7 @@ def verify_unigram(sf_dir: str, updf, ug_words: int, ug_tokens: int) -> dict:
       f'{next((g, e) for g, e in zip(got, exp) if g != e)}'
   assert (updf['ug_total'] == total).all()
 
-  def viterbi(word):
-    n = len(word)
-    best = [None] * (n + 1)
-    best[0] = (Fraction(1), 0)
-    for i in range(1, n + 1):
-      cur = None
-      for j in range(max(0, i - MPL), i):
-        if best[j] is None:
-          continue
-        c = keep.get(word[j:i])
-        if c is None:
-          continue
-        sc2 = best[j][0] * Fraction(c, total)
-        cand = (sc2, best[j][1] + 1)
-        if cur is None or sc2 > cur[0] or (sc2 == cur[0]
-                                           and cand[1] < cur[1]):
-          cur = cand
-      best[i] = cur
-    return best[n][1]
-
-  seglen = {w: viterbi(w) for w in wc}
+  seglen = {w: _unigram_viterbi_len(w, keep, total) for w in wc}
   exp_words = sum(wc.values())
   exp_tokens = sum(seglen[w] * c for w, c in wc.items())
   assert ug_words == exp_words, f'{ug_words} != {exp_words}'
@@ -1127,6 +1139,19 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
                    ('it_sentinels', it_sents)):
     assert (pdf[col] == exp).all(), \
         f'{col} mismatch: {set(pdf[col])} != {exp}'
+
+  # interleaved UNIGRAM tokenizer totals: train the unigram replica
+  # on the same rendered word counts (sentinel excluded — iwc never
+  # saw it), Viterbi-encode every distinct word, sentinels atomic
+  ukeep, utotal = _unigram_replica_train(dict(iwc))
+  ug_it_words = sum(iwc.values()) + it_sents
+  ug_it_tokens = sum(_unigram_viterbi_len(w, ukeep, utotal) * c
+                     for w, c in iwc.items()) + it_sents
+  for col, exp in (('ug_it_words', ug_it_words),
+                   ('ug_it_tokens', ug_it_tokens),
+                   ('ug_it_sentinels', it_sents)):
+    assert (pdf[col] == exp).all(), \
+        f'{col} mismatch: {set(pdf[col])} != {exp}'
   return {'method': 'FULL sequential pure-python BPE train + encode '
                     'recomputation (greedy left-to-right merges, '
                     'count/lex tie-break; encode totals from the '
@@ -1137,6 +1162,8 @@ def verify_bpe(sf_dir: str, pdf) -> dict:
           'corpus_tokens': int(exp_tokens),
           'it_words': int(it_words), 'it_tokens': int(it_tokens),
           'it_sentinels': int(it_sents),
+          'ug_it_words': int(ug_it_words),
+          'ug_it_tokens': int(ug_it_tokens),
           'unigram': rec_u}
 
 
