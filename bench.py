@@ -66,6 +66,7 @@ def main() -> None:
   from blueprint_oss_spark.ops import vectors as V
   from blueprint_oss_spark.ops import warc as W
   from blueprint_oss_spark.ops import unigram as U
+  from pyspark.sql import functions as FN
 
   timings: dict = {}
   medians: dict = {}
@@ -296,6 +297,22 @@ def main() -> None:
       # scan, one doc_id join + one map-side-combinable domain groupBy
       ('domain_rollup',
        lambda: C.domain_quality_rollup(spark, sf_dir).count()),
+      # T5 span corruption: one doc_id-keyed exchange carries all the
+      # windows + per-doc assembly
+      ('t5_span_corruption',
+       lambda: T.t5_span_corruption(spark, sf_dir).count()),
+      # varlen length-bucketed batching: two shard-bucket windows
+      ('length_bucket_batches',
+       lambda: T.length_bucket_batches(spark, sf_dir).count()),
+      # cluster labeling over the deterministic doc_id % 16 assignment
+      # (times the labeling machinery; the kmeans trainer's own cost
+      # is a model-build one-off, measured by its scaling evidence)
+      ('cluster_topics', lambda: V.cluster_topics(
+          spark, sf_dir,
+          assignments=spark.read.parquet(f'{sf_dir}/documents.parquet')
+          .select(FN.col('doc_id').alias('vec_id'),
+                  (FN.col('doc_id') % 16).cast('int').alias('cell')))
+          .count()),
   ]
   for _, fn in suite:
     fn()
