@@ -651,8 +651,19 @@ def _url_curation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col('n_tokens').alias('dq_tokens'),
                 F.col('n_chars').alias('dq_chars'),
                 F.col('domain_keep').alias('dq_domain_keep')))
+  # Kleinberg HITS over the same synthesized link graph (exact
+  # integers; the oracle unrolls all rounds in BIGINT — see
+  # _hits_sql_ctes); the planted hub page's authority dominance is a
+  # corpus-wide value check
+  ht = (G.hits(spark, sf_dir)
+        .select('doc_id',
+                F.col('hub_num').alias('hits_hub_num'),
+                F.col('auth_num').alias('hits_auth_num'),
+                F.col('hub').alias('hits_hub'),
+                F.col('auth').alias('hits_auth')))
   return (uc
           .join(G.pagerank(spark, sf_dir), 'doc_id')
+          .join(ht, 'doc_id')
           .join(rb, 'doc_id')
           .join(cs, 'doc_id', 'left')
           .join(sc, 'doc_id')
@@ -1990,6 +2001,49 @@ def _pagerank_sql_ctes(iterations: int = 6) -> str:
           LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg
                      FROM pedges GROUP BY dst) idg
             ON idg.dst = r.node)""")
+  return ',\n        '.join(ctes)
+
+
+def _hits_sql_ctes(iterations: int = 4, mass: int = 10 ** 9) -> str:
+  """CTE block recomputing ops.graph.hits from scratch in DuckDB over
+  the SAME synthesized link graph (`pedges` from _pagerank_sql_ctes
+  must be spliced earlier in the WITH list): unrolled alternating
+  hub/authority rounds, each half-step rescaled to the fixed integer
+  mass with floor division — all BIGINT (raw sums are bounded by
+  max_out_deg·mass = 4e9, so v·mass stays under int64), equality with
+  Spark bit-exact."""
+  ctes = [f"""hh0 AS (
+          SELECT doc_id AS node,
+                 CAST({mass} // p.n AS BIGINT) AS v
+          FROM documents, prm p)"""]
+  for t in range(1, iterations + 1):
+    ctes.append(f"""ha{t}raw AS (
+          SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS v
+          FROM hh{t - 1} h JOIN pedges e ON e.src = h.node
+          GROUP BY e.dst)""")
+    ctes.append(f"""ha{t} AS (
+          SELECT node, CAST(CASE WHEN t.tot > 0
+                 THEN (v * {mass}) // t.tot ELSE 0 END AS BIGINT) AS v
+          FROM ha{t}raw, (SELECT SUM(v) AS tot FROM ha{t}raw) t)""")
+    ctes.append(f"""hh{t}raw AS (
+          SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS v
+          FROM ha{t} a JOIN pedges e ON e.dst = a.node
+          GROUP BY e.src)""")
+    ctes.append(f"""hh{t} AS (
+          SELECT node, CAST(CASE WHEN t.tot > 0
+                 THEN (v * {mass}) // t.tot ELSE 0 END AS BIGINT) AS v
+          FROM hh{t}raw, (SELECT SUM(v) AS tot FROM hh{t}raw) t)""")
+  ctes.append(f"""hitsf AS (
+          SELECT d.doc_id AS h_doc_id,
+                 COALESCE(h.v, 0) AS hits_hub_num,
+                 COALESCE(a.v, 0) AS hits_auth_num,
+                 CAST(COALESCE(h.v, 0) AS DOUBLE) / {mass}.0
+                   AS hits_hub,
+                 CAST(COALESCE(a.v, 0) AS DOUBLE) / {mass}.0
+                   AS hits_auth
+          FROM documents d
+          LEFT JOIN hh{iterations} h ON h.node = d.doc_id
+          LEFT JOIN ha{iterations} a ON a.node = d.doc_id)""")
   return ',\n        '.join(ctes)
 
 
@@ -4708,6 +4762,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY rk2.domain
         ),
         """ + _pagerank_sql_ctes() + """,
+        """ + _hits_sql_ctes() + """,
         """ + _robots_sql_ctes() + """,
         """ + _sitemap_sql_ctes() + """
         SELECT rk.doc_id, rk.url, rk.norm_url, rk.domain,
@@ -4722,8 +4777,11 @@ def oracle_sql() -> dict[str, str]:
                sm.has_sitemap, sm.sm_listed, sm.sm_lastmod,
                sm.sm_changefreq, sm.sm_priority,
                dq.dq_docs, dq.dq_keep, dq.dq_tokens, dq.dq_chars,
-               dq.dq_domain_keep
+               dq.dq_domain_keep,
+               ht.hits_hub_num, ht.hits_auth_num,
+               ht.hits_hub, ht.hits_auth
         FROM ranked rk JOIN pr ON pr.pr_doc_id = rk.doc_id
+        JOIN hitsf ht ON ht.h_doc_id = rk.doc_id
         LEFT JOIN rb_verdict rb ON rb.doc_id = rk.doc_id
         LEFT JOIN cs_sched cs ON cs.doc_id = rk.doc_id
         JOIN sm_cov sm ON sm.doc_id = rk.doc_id

@@ -308,3 +308,95 @@ def pagerank(spark: SparkSession, sf_dir: str, *,
                   .alias('in_deg'),
                   F.col('num').alias('pr_num'),
                   (F.col('num') / F.lit(denom)).alias('pagerank')))
+
+
+def hits(spark: SparkSession, sf_dir: str, *,
+         iterations: int = 4, mass: int = 10 ** 9,
+         docs: DataFrame = None, edges: DataFrame = None,
+         checkpoint_interval: int = 2) -> DataFrame:
+  """Exact-integer HITS (Kleinberg 1999, "Authoritative Sources in a
+  Hyperlinked Environment", JACM 46(5)) — hubs & authorities over the
+  (synthesized) link graph, the query-independent topic-distillation
+  signal next to `pagerank`'s random-surfer one:
+
+      auth'(i) = Σ_{j→i} hub(j)       (good pages are pointed AT
+      hub'(j)  = Σ_{j→i} auth'(i)      by good hubs, and vice versa)
+
+  with each half-step RENORMALIZED TO A FIXED INTEGER MASS:
+  v ← v·mass DIV Σv.  Kleinberg normalizes in L2; L1-to-fixed-
+  integer-mass is the documented deviation that keeps every quantity
+  a BIGINT — the per-target reduction stays an order-independent
+  integer SUM (map-side combinable, so the planted hub page's ~n/5
+  in-neighborhood collapses to partial sums per map task — the
+  pagerank argument), and floor division is deterministic on every
+  engine.  Rescaled mass is mass - r with r < |nonzero-score nodes|
+  (floored remainders; asserted by tests).  The iteration-limit
+  ranking is norm-independent, so hub/authority ORDER matches the
+  textbook algorithm.
+
+  Magnitudes: with mass = 10^9 every product v·mass ≤ 10^18 stays in
+  int64 (raw sums ≤ max_out_deg·mass = 4·10^9 on the synthesized
+  graph); at 10^12-node scale lift the arithmetic to decimal(38,0)
+  — the score granularity of 1e-9 of total mass is the trade.
+
+  Scale shape per half-step: scores ⋈ edges + partial-SUM groupBy +
+  the 1-row total crossJoined back as a broadcast (LAZY — a per-round
+  driver collect would be the eager-checkpoint barrier the pagerank
+  scaling model measured at ~18% serial); lazy periodic
+  localCheckpoints bound lineage.  Degenerate graphs degrade
+  deterministically: a side whose total hits 0 stays all-zero.
+
+  Returns one row per document:
+    (doc_id, hub_num, auth_num, hub, auth)
+  with hub = hub_num / mass (exact BIGINT→DOUBLE, operands < 2^53).
+  """
+  d = (docs if docs is not None
+       else spark.read.parquet(f'{sf_dir}/documents.parquet'))
+  nodes = d.select(F.col('doc_id').cast('long').alias('doc_id'))
+  n = nodes.count()
+  if edges is None:
+    edges = link_graph(nodes, n)
+  edges = edges.select(F.col('src').cast('long').alias('src'),
+                       F.col('dst').cast('long').alias('dst')) \
+      .localCheckpoint(eager=True)
+
+  per_node = mass // max(n, 1)
+  hub = nodes.select(F.col('doc_id').alias('node'),
+                     F.lit(per_node).cast('long').alias('v'))
+
+  def _rescale(scores: DataFrame) -> DataFrame:
+    tot = scores.agg(F.sum('v').alias('tot'))
+    return (scores.crossJoin(F.broadcast(tot))
+            .select('node',
+                    F.when(F.col('tot') > 0,
+                           F.expr(f'(v * {mass}L) DIV tot'))
+                    .otherwise(F.lit(0)).cast('long').alias('v')))
+
+  auth = None
+  for it in range(iterations):
+    raw_a = (hub.join(edges, hub.node == edges.src)
+             .groupBy(F.col('dst').alias('node'))
+             .agg(F.sum('v').alias('v')))
+    auth = _rescale(raw_a)
+    raw_h = (auth.join(edges, auth.node == edges.dst)
+             .groupBy(F.col('src').alias('node'))
+             .agg(F.sum('v').alias('v')))
+    hub = _rescale(raw_h)
+    if (it + 1) % max(checkpoint_interval, 1) == 0:
+      hub = hub.localCheckpoint(eager=False)
+      auth = auth.localCheckpoint(eager=False)
+
+  m = float(mass)
+  return (nodes
+          .join(hub.withColumnRenamed('v', 'hub_num'),
+                nodes.doc_id == hub.node, 'left').drop('node')
+          .join(auth.withColumnRenamed('v', 'auth_num'),
+                nodes.doc_id == auth.node, 'left').drop('node')
+          .select('doc_id',
+                  F.coalesce('hub_num', F.lit(0).cast('long'))
+                  .alias('hub_num'),
+                  F.coalesce('auth_num', F.lit(0).cast('long'))
+                  .alias('auth_num'))
+          .select('doc_id', 'hub_num', 'auth_num',
+                  (F.col('hub_num') / m).alias('hub'),
+                  (F.col('auth_num') / m).alias('auth')))
