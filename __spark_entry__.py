@@ -544,7 +544,14 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
   totals = T.bpe_encode(spark, sf_dir, merges=merges).agg(
       F.sum('n_words').alias('corpus_words'),
       F.sum('n_tokens').alias('corpus_tokens'))
-  it = tokenize_interleaved(spark, sf_dir).agg(
+  from blueprint_oss_spark.ops.html_extract import (
+      interleaved_html_table, main_content_from_spans)
+  # ONE interleaved extract for both tokenizer paths (the content=
+  # seam exists exactly for this; the duplicate pipeline pass was the
+  # gate's most expensive stage run twice)
+  it_content = main_content_from_spans(
+      interleaved_html_table(spark, sf_dir)).localCheckpoint(eager=True)
+  it = tokenize_interleaved(spark, sf_dir, content=it_content).agg(
       F.sum('n_words').alias('it_words'),
       F.sum('n_tokens').alias('it_tokens'),
       F.sum('n_sentinels').cast('long').alias('it_sentinels'))
@@ -552,7 +559,8 @@ def _bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
   # sentinel contract, the other published subword tokenizer) —
   # verified by the sequential unigram replica over the
   # formula-rendered word counts in verify_bpe
-  it_ug = tokenize_interleaved(spark, sf_dir, tokenizer='unigram').agg(
+  it_ug = tokenize_interleaved(spark, sf_dir, tokenizer='unigram',
+                               content=it_content).agg(
       F.sum('n_words').alias('ug_it_words'),
       F.sum('n_tokens').alias('ug_it_tokens'),
       F.sum('n_sentinels').cast('long').alias('ug_it_sentinels'))
@@ -2496,11 +2504,11 @@ def oracle_sql() -> dict[str, str]:
                string_agg(inp, ' ' ORDER BY pos) FILTER (inp IS NOT NULL),
                CAST(MAX(t5n) AS BIGINT),
                CAST(SUM(t5masked) AS BIGINT),
-               CAST(SUM(CASE WHEN inp LIKE '<extra_id_%' THEN 1
-                        ELSE 0 END) AS BIGINT),
+               CAST(SUM(t5rs) AS BIGINT),
                string_agg(tgt, ' ' ORDER BY pos) FILTER (tgt IS NOT NULL)
         FROM (
           SELECT doc_id, n AS t5n, pos, masked AS t5masked,
+                 run_start AS t5rs,
                  CASE WHEN masked = 0 THEN token
                       WHEN run_start = 1 THEN '<extra_id_'
                            || CAST(k AS VARCHAR) || '>' END AS inp,

@@ -350,6 +350,8 @@ def hits(spark: SparkSession, sf_dir: str, *,
     (doc_id, hub_num, auth_num, hub, auth)
   with hub = hub_num / mass (exact BIGINT→DOUBLE, operands < 2^53).
   """
+  if iterations < 1:
+    raise ValueError(f'iterations must be >= 1, got {iterations}')
   d = (docs if docs is not None
        else spark.read.parquet(f'{sf_dir}/documents.parquet'))
   nodes = d.select(F.col('doc_id').cast('long').alias('doc_id'))
@@ -359,6 +361,17 @@ def hits(spark: SparkSession, sf_dir: str, *,
   edges = edges.select(F.col('src').cast('long').alias('src'),
                        F.col('dst').cast('long').alias('dst')) \
       .localCheckpoint(eager=True)
+  # loud int64-overflow guard for the edges= seam: raw half-step sums
+  # are bounded by max_out_deg * mass, and _rescale multiplies them by
+  # mass again — real link graphs have degrees far above the
+  # synthesized 4, where silent wraparound would corrupt every score
+  max_deg = edges.groupBy('src').count() \
+      .agg(F.max('count')).collect()[0][0] or 0
+  if max_deg * mass * mass > 2 ** 62:
+    raise ValueError(
+        f'max out-degree {max_deg} * mass^2 would overflow int64; '
+        f'pass a smaller mass= (or lift the arithmetic to '
+        f'decimal(38,0) for this graph)')
 
   per_node = mass // max(n, 1)
   hub = nodes.select(F.col('doc_id').alias('node'),

@@ -2485,7 +2485,12 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str, *,
   placed = base.select(
       '*', (F.row_number().over(w) - 1).alias('rn')) \
       .select('doc_id', 'shard', 'n_tokens', 'bucket',
-              (F.col('rn') / batch_size).cast('long').alias('batch_id'),
+              # explicit integral DIV — the oracle-shared-arithmetic
+              # contract (double division + cast truncates in Spark
+              # but the oracle's // floors; equal for positive
+              # operands, stated explicitly anyway)
+              F.expr(f'CAST(rn AS BIGINT) div {batch_size}')
+              .alias('batch_id'),
               F.pmod(F.col('rn'), F.lit(batch_size)).cast('int')
               .alias('pos_in_batch'))
   wb = Window.partitionBy('shard', 'bucket', 'batch_id')
@@ -2570,7 +2575,7 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str, *,
       F.col('run_start') == 1,
       F.concat(sentinel, F.lit(' '), F.col('token'))) \
       .when(F.col('masked') == 1, F.col('token'))
-  pieces = st3.select('doc_id', 'n', 'pos', 'masked',
+  pieces = st3.select('doc_id', 'n', 'pos', 'masked', 'run_start',
                       in_piece.alias('inp'), tgt_piece.alias('tgt'))
 
   def _joined(col):
@@ -2583,9 +2588,10 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str, *,
   return (pieces.groupBy('doc_id')
           .agg(F.max('n').cast('long').alias('n_tokens'),
                F.sum('masked').cast('long').alias('n_masked'),
-               F.sum(F.when(F.col('inp').startswith('<extra_id_'),
-                            1).otherwise(0)).cast('long')
-               .alias('n_runs'),
+               # the run_start flag, not a string-prefix probe — a
+               # corpus whose TEXT contains '<extra_id_...' tokens
+               # (re-corruption, docs about T5) must not inflate this
+               F.sum('run_start').cast('long').alias('n_runs'),
                _joined('inp').alias('input_text'),
                _joined('tgt').alias('target_text'))
           .orderBy('doc_id'))

@@ -86,8 +86,6 @@ def test_accounting_invariants(spark):
 def test_sorted_fill_minimizes_waste_vs_shuffled(spark):
   """The reason for the (n_tokens, doc_id) order: per-bucket ascending
   fill must not waste more than a hash-ordered fill."""
-  rows = T.length_bucket_batches(spark, SF2).collect()
-  sorted_waste = sum(r['pad_waste'] for r in rows) / 8  # rows per batch
   # shuffled control: same buckets, order by md5(doc_id)
   ctl = duckdb.sql(f"""
     WITH base AS (

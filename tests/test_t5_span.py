@@ -47,7 +47,7 @@ WITH tok AS (
             - run_start AS k
   FROM rs
 ), pieces AS (
-  SELECT doc_id, n, pos, masked,
+  SELECT doc_id, n, pos, masked, run_start AS t5rs,
          CASE WHEN masked = 0 THEN token
               WHEN run_start = 1
                 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END
@@ -60,8 +60,7 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
        CAST(SUM(masked) AS BIGINT) AS n_masked,
-       CAST(SUM(CASE WHEN inp LIKE '<extra_id_%' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_runs,
+       CAST(SUM(t5rs) AS BIGINT) AS n_runs,
        string_agg(inp, ' ' ORDER BY pos) FILTER (inp IS NOT NULL)
          AS input_text,
        string_agg(tgt, ' ' ORDER BY pos) FILTER (tgt IS NOT NULL)
