@@ -1192,6 +1192,14 @@ def _substring_paragraph_dedup(spark: SparkSession,
         .select(F.lit('exactsubstr').alias('method'), 'doc_id',
                 'clean_text', F.col('n_tokens').alias('n_units'),
                 'n_removed', F.lit(None).cast('long').alias('n_kept')))
+  # method='exactsubstr50': the paper-faithful length-threshold mode
+  # (Lee et al. §3.1 removes duplicated substrings >= 50 tokens only;
+  # covered runs shorter than 50 survive).  At gate scale the covered
+  # runs span 11..93 tokens, so both branches are value-checked.
+  e50 = (T.remove_duplicated_spans(spark, sf_dir, min_run_tokens=50)
+         .select(F.lit('exactsubstr50').alias('method'), 'doc_id',
+                 'clean_text', F.col('n_tokens').alias('n_units'),
+                 'n_removed', F.lit(None).cast('long').alias('n_kept')))
   pp = (T.dedup_paragraphs(spark, sf_dir)
         .select(F.lit('paragraph').alias('method'), 'doc_id',
                 'clean_text', F.col('n_paras').alias('n_units'),
@@ -1217,10 +1225,10 @@ def _substring_paragraph_dedup(spark: SparkSession,
                 F.col('n_runs').alias('n_kept'),
                 'target_text'))
   nul_s = F.lit(None).cast('string')
-  es, pp, c4, dl = (x.withColumn('target_text', nul_s)
-                    for x in (es, pp, c4, dl))
-  return (es.unionByName(pp).unionByName(c4).unionByName(dl)
-          .unionByName(t5)
+  es, e50, pp, c4, dl = (x.withColumn('target_text', nul_s)
+                         for x in (es, e50, pp, c4, dl))
+  return (es.unionByName(e50).unionByName(pp).unionByName(c4)
+          .unionByName(dl).unionByName(t5)
           .orderBy('method', 'doc_id'))
 
 
@@ -2335,6 +2343,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT o.doc_id, o.pos + k.k AS p
           FROM occ o JOIN dup USING (gram),
                (SELECT unnest(generate_series(0, 9)) AS k) k),
+        -- paper-faithful length-threshold mode (exactsubstr50):
+        -- gaps-and-islands run merge over covered positions; only
+        -- maximal runs >= 50 tokens are stripped (Lee et al. 3.1)
+        covruns AS (
+          SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY p) AS grp
+          FROM cov),
+        cov50 AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   count(*) OVER (PARTITION BY doc_id, grp) AS rl
+            FROM covruns)
+          WHERE rl >= 50),
         tokrows AS (
           SELECT doc_id, w[i.i] AS tok, CAST(i.i - 1 AS BIGINT) AS pos
           FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) i
@@ -2351,6 +2373,19 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY doc_id),
         covn AS (
           SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        kept50 AS (
+          SELECT tr.doc_id, tr.tok, tr.pos
+          FROM tokrows tr
+          LEFT JOIN cov50 c ON tr.doc_id = c.doc_id AND tr.pos = c.p
+          WHERE c.p IS NULL),
+        reb50 AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+                   AS clean_text,
+                 count(*) AS n_kept
+          FROM kept50 GROUP BY doc_id),
+        covn50 AS (
+          SELECT doc_id, count(*) AS n_removed
+          FROM cov50 GROUP BY doc_id),
         -- paragraph-granularity section (Dolma canonical-first rule):
         -- re-synthesize 10-word paragraphs + planted boilerplate
         -- (variant doc_id % 3 — NOT (doc_id+j) % 3, which the
@@ -2474,6 +2509,19 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN reb USING (doc_id)
         LEFT JOIN covn USING (doc_id)
+        UNION ALL
+        SELECT 'exactsubstr50' AS method, d.doc_id,
+               coalesce(reb50.clean_text, '') AS clean_text,
+               CAST(len(list_filter(string_split(d.text, ' '),
+                                    x -> len(x) > 0)) AS BIGINT)
+                 AS n_units,
+               CAST(coalesce(covn50.n_removed, 0) AS BIGINT)
+                 AS n_removed,
+               CAST(NULL AS BIGINT) AS n_kept,
+               CAST(NULL AS VARCHAR) AS target_text
+        FROM documents d
+        LEFT JOIN reb50 USING (doc_id)
+        LEFT JOIN covn50 USING (doc_id)
         UNION ALL
         SELECT 'paragraph', l.doc_id,
                coalesce(r.clean_text, ''),

@@ -1380,6 +1380,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str, *,
 
 def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
                             n: int = 10, min_count: int = 2,
+                            min_run_tokens: int = None,
                             docs: DataFrame = None) -> DataFrame:
   """Exact substring deduplication (Lee et al. 2022, "Deduplicating
   Training Data Makes Language Models Better", arXiv:2107.06499 §3.1
@@ -1407,7 +1408,20 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
   the dup set is NOT small — AQE may still elect one at toy scale).
   Coverage expansion is a bounded n-fold posting-list explode keyed on
   (doc_id, pos), and the rebuild is one per-doc aggregation over
-  bounded token arrays.  No Python, no driver collect, no all-pairs."""
+  bounded token arrays.  No Python, no driver collect, no all-pairs.
+
+  `min_run_tokens` (paper-faithful mode): Lee et al. §3.1 only removes
+  duplicated substrings of >= 50 TOKENS — the default any-covered-token
+  rule above is strictly more aggressive.  When set, adjacent covered
+  positions are merged into maximal runs (a maximal run of consecutive
+  duplicated n-grams starting at p..q covers tokens p..q+n-1, i.e. a
+  duplicated substring of q-p+n tokens) and only runs of
+  >= min_run_tokens tokens are stripped; shorter duplicated islands
+  survive, matching the paper's length threshold.  The run merge is
+  one gaps-and-islands window (pos - row_number) partitioned on
+  doc_id — the covered frame is already (doc_id, pos)-shuffled, and
+  run length is bounded by doc length, so the extra window adds one
+  doc-keyed exchange over the (small) covered subset only."""
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
   # spread a single-split scan before the map-heavy n-gram stage (same
@@ -1419,7 +1433,8 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
          .where(F.col('count') >= min_count)
          .select('gram'))
 
-  return strip_covered_tokens(base, occ, dup, n)
+  return strip_covered_tokens(base, occ, dup, n,
+                              min_run_tokens=min_run_tokens)
 
 
 def gram_occurrences(d: DataFrame, n: int):
@@ -1443,18 +1458,35 @@ def gram_occurrences(d: DataFrame, n: int):
 
 
 def strip_covered_tokens(base: DataFrame, occ: DataFrame,
-                         bad: DataFrame, n: int) -> DataFrame:
+                         bad: DataFrame, n: int, *,
+                         min_run_tokens: int = None) -> DataFrame:
   """Remove every token covered by an occurrence of a gram in `bad`
   (a one-column 'gram' dimension) and re-join survivors in order:
   (doc_id, clean_text, n_tokens, n_removed) for every doc in base.
   Coverage = bounded n-fold posting explode keyed (doc_id, pos);
-  rebuild = one per-doc aggregation over bounded token arrays."""
+  rebuild = one per-doc aggregation over bounded token arrays.
+  With min_run_tokens set, only maximal runs of consecutive covered
+  positions of at least that many tokens are stripped (Lee et al.
+  2022 length-threshold semantics — see remove_duplicated_spans)."""
   covered = (occ.join(bad, 'gram')
              .select('doc_id',
                      F.explode(F.sequence(F.col('pos'),
                                           F.col('pos') + (n - 1)))
                      .alias('pos'))
              .dropDuplicates(['doc_id', 'pos']))
+
+  if min_run_tokens is not None:
+    from pyspark.sql import Window
+    # gaps-and-islands: consecutive covered positions share
+    # pos - row_number; a run's token count is its row count
+    wo = Window.partitionBy('doc_id').orderBy('pos')
+    grp = (F.col('pos') - F.row_number().over(wo)).alias('grp')
+    runs = covered.select('doc_id', 'pos', grp)
+    wg = Window.partitionBy('doc_id', 'grp')
+    covered = (runs
+               .withColumn('run_len', F.count('*').over(wg))
+               .where(F.col('run_len') >= min_run_tokens)
+               .select('doc_id', 'pos'))
 
   tok_rows = base.select('doc_id', F.posexplode('w').alias('pos', 'tok'))
   kept = tok_rows.join(covered, ['doc_id', 'pos'], 'left_anti')

@@ -7,10 +7,12 @@ import random
 import pytest
 
 
-def _ref_remove(docs, n=10, min_count=2):
+def _ref_remove(docs, n=10, min_count=2, min_run_tokens=None):
   """Sequential recomputation of the operator's contract: corpus-wide
   n-gram occurrence counts (within-doc repeats included), covered
-  positions removed, tokens re-joined in order."""
+  positions removed, tokens re-joined in order.  With min_run_tokens,
+  only maximal runs of consecutive covered positions >= the threshold
+  are removed (Lee et al. 2022 length-threshold semantics)."""
   toks = {d: [t for t in text.split(' ') if t] for d, text in docs}
   from collections import Counter
   counts = Counter()
@@ -25,6 +27,17 @@ def _ref_remove(docs, n=10, min_count=2):
     for i in range(len(w) - n + 1):
       if counts[' '.join(w[i:i + n])] >= min_count:
         covered.update(range(i, i + n))
+    if min_run_tokens is not None:
+      keep_runs = set()
+      run = []
+      for p in sorted(covered) + [None]:
+        if run and (p is None or p != run[-1] + 1):
+          if len(run) >= min_run_tokens:
+            keep_runs.update(run)
+          run = []
+        if p is not None:
+          run.append(p)
+      covered = keep_runs
     kept = [t for i, t in enumerate(w) if i not in covered]
     out.append((d, ' '.join(kept), len(w), len(covered)))
   return out
@@ -82,6 +95,40 @@ def test_fuzz_corpus_matches_python(spark, tmp_path):
     docs.append((i, ' '.join(words)))
   got = _run(spark, tmp_path / 'f', docs, n=5)
   assert got == _ref_remove(docs, n=5)
+
+
+def test_min_run_tokens_planted(spark, tmp_path):
+  # one 12-token shared span (run of 12 covered) + one 30-token shared
+  # span: with min_run_tokens=20 only the 30-token run is stripped
+  short = ' '.join(f's{i}' for i in range(12))
+  long = ' '.join(f'L{i}' for i in range(30))
+  docs = [
+      (0, f'a0 {short} b0 {long} c0'),
+      (1, f'{short} z1 {long}'),
+      (2, 'no duplicated content in this document at all whatsoever here'),
+  ]
+  got = _run(spark, tmp_path / 'mr', docs, min_run_tokens=20)
+  assert got == _ref_remove(docs, min_run_tokens=20)
+  # the short duplicated span SURVIVES, the long one is removed
+  assert got[0][1] == f'a0 {short} b0 c0'
+  assert got[0][3] == 30
+  assert got[1][1] == f'{short} z1'
+  # threshold 1 degenerates to the aggressive any-covered-token rule
+  got_all = _run(spark, tmp_path / 'mr1', docs, min_run_tokens=1)
+  assert got_all == _ref_remove(docs)
+
+
+def test_min_run_tokens_fuzz(spark, tmp_path):
+  rng = random.Random(20260821)
+  vocab = [f'v{i}' for i in range(10)]
+  docs = []
+  for i in range(70):
+    words = [rng.choice(vocab) for _ in range(rng.randrange(0, 40))]
+    docs.append((i, ' '.join(words)))
+  for thr in (3, 8, 15):
+    got = _run(spark, tmp_path / f't{thr}', docs, n=4,
+               min_run_tokens=thr)
+    assert got == _ref_remove(docs, n=4, min_run_tokens=thr), thr
 
 
 def test_sf0001_matches_python():
