@@ -153,47 +153,22 @@ def decontaminate(spark: SparkSession, sf_dir: str, *,
           .orderBy('doc_id'))
 
 
-def _bloom_positions(gram_col, m_bits: int, k: int):
-  """The k Bloom bit positions of a gram, as an array<long> — ONE md5
-  per gram via Kirsch-Mitzenmacher double hashing (Kirsch &
-  Mitzenmacher 2006, "Less Hashing, Same Performance": k positions
-  h1 + j·h2 mod m preserve the Bloom FP asymptotics of k independent
-  hashes).  h1/h2 are the two 32-bit halves of the single digest; h2
-  is forced odd (2·raw + 1) so with the power-of-two m every step
-  size cycles all residues and h2 = 0 cannot collapse the k probes
-  onto one bit.  Round 4 measured the previous k-independent-md5
-  formulation as the bench's slowest query (k=4 digests per gram
-  dominated the scan); this computes the same filter semantics with
-  1/k the hashing.  md5 is bit-identical across Spark and DuckDB (the
-  corpus_split_mix precedent), so the from-scratch SQL oracles
-  recompute the exact same filter — including its false positives."""
-  digest = F.md5(F.concat(F.lit('bloom:'), gram_col))
-  h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast('long')
-  h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast('long') * 2 + 1
-  return F.array(*[
-      F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(k)])
+def _bloom_doc_grams(text: str, n: int):
+  """Distinct word n-grams of one document, Python-side — the Arrow-
+  stage twin of `_ngrams` with IDENTICAL token semantics: `_ngrams`
+  tokenizes as split(lower(trim(text)), r'\\s+') with empties dropped,
+  i.e. maximal runs of non-[ \\t\\n\\x0B\\f\\r] characters of the
+  lowercased text (Java regex \\s is the ASCII class; trim only strips
+  the separator ' ' so it cannot change the token stream).  ASCII-safe
+  by construction; full-unicode lower() edge cases would need the
+  JVM formulation back."""
+  toks = _BLOOM_TOKEN_RE.findall(text.lower())
+  if len(toks) < n:
+    return ()
+  return {' '.join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
-def _bloom_flat_positions(grams_col, m_bits: int, k: int):
-  """All k·|grams| Bloom positions of a per-row gram ARRAY, flattened
-  — the probe-side hot path.  Same Kirsch-Mitzenmacher positions as
-  _bloom_positions, but staged through nested transforms (digest
-  array, then (h1, h2) struct array, then the position fan-out) so
-  the md5 runs ONCE per gram: interpreted higher-order lambdas get NO
-  common-subexpression elimination, and inlining _bloom_positions
-  into a transform re-evaluated the digest under BOTH h1 and h2 in
-  EVERY one of the k array elements — 2k digests per gram, measured
-  SLOWER than the k-independent-md5 formula it replaced.  Lambda
-  variables, by contrast, are materialized values."""
-  digests = F.transform(
-      grams_col, lambda g: F.md5(F.concat(F.lit('bloom:'), g)))
-  hs = F.transform(digests, lambda x: F.struct(
-      F.conv(F.substring(x, 1, 8), 16, 10).cast('long').alias('h1'),
-      (F.conv(F.substring(x, 9, 8), 16, 10).cast('long') * 2 + 1)
-      .alias('h2')))
-  return F.flatten(F.transform(hs, lambda s: F.array(
-      *[F.pmod(s['h1'] + F.lit(j) * s['h2'], F.lit(m_bits))
-        for j in range(k)])))
+_BLOOM_TOKEN_RE = __import__('re').compile('[^ \t\n\x0b\f\r]+')
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
@@ -206,19 +181,44 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
   string dimension (`decontaminate` ships every distinct eval n-gram to
   every executor; real multi-benchmark suites reach 10^8 grams ≈ GBs).
 
-  Build: the eval set's distinct n-grams map to k md5-salted bit
-  positions; the DISTINCT positions are collected (bounded by m_bits —
-  at most m_bits rows regardless of corpus size, the same bounded-
-  collect contract as the IVF/PQ codebooks) and packed into an
-  m_bits/8-byte bitmap broadcast once per executor.
+  Hashing: ONE md5 per gram via Kirsch-Mitzenmacher double hashing
+  (Kirsch & Mitzenmacher 2006, "Less Hashing, Same Performance": k
+  positions h1 + j·h2 mod m preserve the Bloom FP asymptotics of k
+  independent hashes).  h1/h2 are the two 32-bit big-endian halves of
+  the digest's first 8 bytes; h2 is forced odd (2·raw + 1) so with the
+  power-of-two m every step size cycles all residues and h2 = 0 cannot
+  collapse the k probes onto one bit.  md5 is bit-identical across
+  Python / Spark / DuckDB, so the from-scratch SQL oracle recomputes
+  the exact same filter — including its false positives
+  (conv(substring(md5(..), 1, 8), 16, 10) ≡ int.from_bytes of the
+  first 4 digest bytes).
 
-  Probe: the 100 TB training side computes each doc's grams and their
-  positions per-row JVM-side (zero shuffles, no explode), then one
-  Arrow-batched vectorized pandas UDF tests the bitmap — a doc's gram
-  is flagged iff ALL k of its bits are set.  The probe stage is a pure
-  scan→project→filter plan: NO shuffle at all, vs `decontaminate`'s
-  broadcast-join + groupBy.  Returns (doc_id, n_flagged) for train
-  docs with at least one flagged gram.
+  Build: each eval doc's distinct n-grams map to k bit positions
+  inside ONE Arrow stage that also pre-folds them into (64-bit word
+  index, bits) partial bitmaps per batch — at most m_bits/64 rows
+  leave any task (16k words for the 2^20 default) regardless of
+  corpus size.  One word-keyed bit_or aggregation (map-side
+  combinable) finishes the bitmap, which is broadcast once per
+  executor.  Cross-doc duplicate grams are absorbed by the OR, so no
+  corpus-wide DISTINCT shuffle is needed at all (the previous JVM
+  formulation paid one).
+
+  Probe: the 100 TB training side is ONE Arrow-batched stage per scan
+  split — tokenize, build the per-doc distinct gram set, hash, and
+  test the bitmap (a gram is flagged iff ALL k bits are set, with
+  early exit on the first unset bit), emitting only contaminated
+  (doc_id, n_flagged) rows.  Pure scan→mapInPandas: NO shuffle at
+  all, vs `decontaminate`'s broadcast-join + groupBy.
+
+  Why Python-side gram/hash construction: the round-4 JVM
+  formulation (nested `transform` lambdas building grams, digests and
+  positions as array columns) was the bench's measured wall-clock
+  dominator — interpreted higher-order lambdas get NO whole-stage
+  codegen and NO common-subexpression elimination, so every array
+  element pays interpreted-expression overhead.  hashlib.md5 + C-level
+  str.join in the Arrow stage computes the identical positions at a
+  fraction of the constant (bit-identical output, verified against the
+  round-4 snapshot at two (m_bits, k, n) settings).
 
   Bloom semantics: no false negatives ever (every truly shared gram is
   flagged), false positives at the standard (1 - e^{-kn/m})^k rate —
@@ -227,88 +227,89 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
   """
   import numpy as np
   import pandas as pd
+  from hashlib import md5 as _md5
 
-  # spread the RAW text BEFORE the gram projection: repartitioning
-  # the projected frame leaves the expensive _ngrams evaluation in
-  # the single-split scan stage below the exchange (no Catalyst rule
-  # moves computed expressions past a repartition), which kept the
-  # whole gram construction on one core — measured, not guessed
-  d = _spread((docs if docs is not None else _docs(spark, sf_dir))
-              .select('doc_id', 'text')) \
-      .select('doc_id', _ngrams(F.col('text'), n).alias('grams'))
+  # spread the RAW text scan (single-split guard) BEFORE filtering:
+  # both the build and probe Arrow stages inherit the spread
+  base = _spread((docs if docs is not None else _docs(spark, sf_dir))
+                 .select('doc_id', 'text'))
   if eval_texts is not None:
-    eval_grams = (eval_texts
-                  .select(F.explode(_ngrams(F.col('text'), n))
-                          .alias('gram'))
-                  .distinct())
-    train = d
+    eval_side = eval_texts.select('text')
+    train = base
   else:
     is_eval = F.col('doc_id') % eval_mod == 0
-    eval_grams = (d.filter(is_eval)
-                  .select(F.explode('grams').alias('gram'))
-                  .distinct())
-    train = d.filter(~is_eval)
+    eval_side = base.filter(is_eval).select('text')
+    train = base.filter(~is_eval)
 
-  # bounded collect, distributed OR-fold: positions map to (64-bit
-  # word index, bit) and a map-side-combinable bit_or aggregate packs
-  # them BEFORE the driver sees anything — at most m_bits/64 rows
-  # cross the wire (16k words for the 2^20 default) instead of the
-  # previous <= m_bits DISTINCT position rows (a ~600k-row Arrow
-  # collect per build at sf0.1, measured as the op's wall-clock
-  # floor after the probe was parallelized; a round-3 row-object
-  # collect with a Python set-bit loop before THAT capped cluster
-  # scaling at 0.33).  The uint64 little-endian view writes land on
-  # exactly the byte/bit layout the probe reads (bm[pos >> 3] >>
-  # (pos & 7)).
-  words = (eval_grams
-           .select(F.explode(_bloom_positions(F.col('gram'), m_bits, k))
-                   .alias('pos'))
-           .select(F.shiftright('pos', 6).alias('w'),
-                   F.expr('shiftleft(1L, cast(pos % 64 as int))')
-                   .alias('b'))
-           .groupBy('w').agg(F.expr('bit_or(b)').alias('bits'))
+  def _build_batches(batches):
+    # per-batch partial bitmap: word index -> OR of set bits; ≤
+    # m_bits/64 rows per yield, signed-int64 view for Spark's bit_or
+    for pdf in batches:
+      ws: dict = {}
+      for text in pdf['text']:
+        for g in _bloom_doc_grams(text or '', n):
+          d = _md5(b'bloom:' + g.encode('utf-8')).digest()
+          h1 = int.from_bytes(d[:4], 'big')
+          h2 = int.from_bytes(d[4:8], 'big') * 2 + 1
+          for j in range(k):
+            pos = (h1 + j * h2) % m_bits
+            wi = pos >> 6
+            ws[wi] = ws.get(wi, 0) | (1 << (pos & 63))
+      yield pd.DataFrame({
+          'w': np.fromiter(ws.keys(), dtype=np.int64, count=len(ws)),
+          'bits': np.fromiter(
+              ((v - (1 << 64) if v >= (1 << 63) else v)
+               for v in ws.values()), dtype=np.int64, count=len(ws))})
+
+  # bounded collect, distributed OR-fold: at most m_bits/64 word rows
+  # cross the wire (a round-3 driver-loop build here capped cluster
+  # scaling at 0.33 — the fold must stay distributed)
+  words = (eval_side
+           .mapInPandas(_build_batches, 'w long, bits long')
+           .groupBy('w').agg(F.expr('bit_or(bits)').alias('bits'))
            .toPandas())
   # allocation padded to a whole number of 64-bit words: the uint64
   # view REQUIRES the byte length to be a multiple of 8 (a bare
   # m_bits//8 + 8 crashes for m_bits like 100_000), and the probe's
   # byte indexing stays in range since ceil(m_bits/64)*8 >=
   # ceil(m_bits/8).  Non-power-of-two m_bits stays correct (positions
-  # are pmod m_bits); only the KM odd-step full-cycle FP argument in
-  # _bloom_positions' docstring assumes the power-of-two default.
+  # are pmod m_bits); only the KM odd-step full-cycle FP argument
+  # above assumes the power-of-two default.
   bitmap = np.zeros(((m_bits + 63) // 64) * 8, dtype=np.uint8)
   view = bitmap.view(np.uint64)
   view[words['w'].to_numpy(dtype=np.int64)] = \
       words['bits'].to_numpy(dtype=np.int64).astype(np.uint64)
-  bc = spark.sparkContext.broadcast(bitmap)
+  # broadcast as bytes: python bytes indexing yields ints directly,
+  # ~3x faster than numpy scalar indexing in the per-gram loop
+  bc = spark.sparkContext.broadcast(bytes(bitmap))
 
   def _probe_batches(batches):
     # one Arrow stage computes n_flagged AND drops clean docs, so the
-    # (deterministic) UDF is never duplicated by filter pushdown
+    # (deterministic) stage is never duplicated by filter pushdown
     bm = bc.value
     for pdf in batches:
-      pos_lists = pdf['flat_pos']
-      lens = pos_lists.map(len).to_numpy()
-      out = np.zeros(len(pos_lists), dtype=np.int64)
-      if lens.sum() > 0:
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in pos_lists if len(v)])
-        hits = (bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
-        # grams are contiguous groups of k positions: all-k-set -> flag
-        per_gram = hits.reshape(-1, k).all(axis=1).astype(np.int64)
-        gram_counts = lens // k
-        starts = np.cumsum(gram_counts) - gram_counts
-        nz = gram_counts > 0
-        if nz.any():
-          # strictly increasing starts (each nz group has >=1 gram),
-          # so reduceat's equal-index quirk never triggers
-          out[nz] = np.add.reduceat(per_gram, starts[nz])
-      keep = out > 0
-      yield pd.DataFrame({'doc_id': pdf['doc_id'][keep],
-                          'n_flagged': out[keep]})
+      ids, counts = [], []
+      for doc_id, text in zip(pdf['doc_id'], pdf['text']):
+        cnt = 0
+        for g in _bloom_doc_grams(text or '', n):
+          d = _md5(b'bloom:' + g.encode('utf-8')).digest()
+          h1 = int.from_bytes(d[:4], 'big')
+          h2 = int.from_bytes(d[4:8], 'big') * 2 + 1
+          for j in range(k):
+            pos = (h1 + j * h2) % m_bits
+            if not (bm[pos >> 3] >> (pos & 7)) & 1:
+              break
+          else:
+            cnt += 1
+        if cnt:
+          ids.append(doc_id)
+          counts.append(cnt)
+      yield pd.DataFrame({
+          'doc_id': np.asarray(ids, dtype=np.int64),
+          'n_flagged': np.asarray(counts, dtype=np.int64)})
 
-  flat_pos = _bloom_flat_positions(F.col('grams'), m_bits, k)
   return (train
-          .select('doc_id', flat_pos.alias('flat_pos'))
+          .select('doc_id', 'text')
           .mapInPandas(_probe_batches, 'doc_id long, n_flagged long')
           .orderBy('doc_id'))
 
@@ -1555,7 +1556,16 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str, *,
   `urls=` takes any (doc_id, domain) frame (production passes its
   real URL table); default synthesizes via url_curation's
   deterministic URL grid so the DuckDB oracle can recompute every
-  cell from scratch."""
+  cell from scratch.
+
+  `urls=` CONTRACT — exactly one row per doc_id: the verdict join is
+  an inner equi-join, so (a) a doc_id appearing under multiple URLs
+  would be counted once PER ROW in every domain aggregate (pick the
+  canonical URL upstream — e.g. dropDuplicates('doc_id') or a
+  min-by-url reduction — before passing the frame), and (b) docs
+  absent from the frame are EXCLUDED from every aggregate (inner, not
+  left: a doc with no known domain has no domain to roll into).
+  Duplicate doc_ids raise at execution rather than double-count."""
   from .textops import quality_keep_expr
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
@@ -1572,6 +1582,21 @@ def domain_quality_rollup(spark: SparkSession, sf_dir: str, *,
       F.length('text').alias('n_chars'),
       quality_keep_expr(F.col('text'), toks=F.col('toks'))
       .alias('keep'))
+  # enforce the 1:1 contract: one map-side-combinable aggregation on
+  # the doc-count-sized URL dimension; the guard rides the live
+  # `domain` column (a separate asserted-then-dropped column would be
+  # pruned away by Catalyst, silently disabling the check) and
+  # raise_error's branch is only evaluated on offending rows
+  u = (u.groupBy('doc_id')
+       .agg(F.min('domain').alias('_dom'),
+            F.count(F.lit(1)).alias('_n'))
+       .select('doc_id',
+               F.when(F.col('_n') == 1, F.col('_dom'))
+               .otherwise(F.raise_error(F.concat(
+                   F.lit('domain_quality_rollup: duplicate doc_id '
+                         'in urls= frame: '),
+                   F.col('doc_id').cast('string'))))
+               .alias('domain')))
   rolled = (per_doc.join(u, 'doc_id')
             .groupBy('domain')
             .agg(F.count(F.lit(1)).alias('n_docs'),

@@ -98,3 +98,16 @@ def test_seam_plan_no_window_no_smj(spark):
       ._jdf.queryExecution().executedPlan().toString()
   assert 'Window' not in plan
   assert 'SortMergeJoin' not in plan  # AQE broadcasts the URL side
+
+
+def test_duplicate_doc_id_in_urls_raises(spark):
+  import pytest
+  rows = [(0, 'the cat sat on a mat'), (1, 'the dog ran in a park')]
+  d = spark.createDataFrame(rows, 'doc_id long, text string')
+  # doc 0 appears under TWO urls/domains — the 1:1 contract guard
+  # must throw instead of double-counting doc 0 in both domains
+  u = spark.createDataFrame(
+      [(0, 'a.com'), (0, 'b.com'), (1, 'c.com')],
+      'doc_id long, domain string')
+  with pytest.raises(Exception, match='duplicate doc_id'):
+    C.domain_quality_rollup(spark, SF1, docs=d, urls=u).collect()
