@@ -225,7 +225,15 @@ def viterbi_segment(word: str, vocab: dict, total: int,
   integer comparisons: a path of pieces with micro-counts c_i scores
   (prod c_i) / total^k; candidates compare by cross-multiplied
   bigints.  Ties: fewer pieces, then the earliest split point in the
-  pinned ascending-start scan.  Deterministic and float-free."""
+  pinned ascending-start scan.  Deterministic and float-free.
+
+  A word containing any character absent from the vocabulary has NO
+  segmentation path; it encodes to the single sentinel ['<unk>'] (the
+  SentencePiece contract — one visible unknown piece, never a silent
+  zero-token drop, so n_tokens counts it).  Unreachable when the
+  encode corpus equals the train corpus (training retains every
+  character), but the public vocab=/docs= seams allow cross-corpus
+  encoding."""
   n = len(word)
   # best[i] = (num bigint, k, path tuple) for word[:i]
   best: list = [None] * (n + 1)
@@ -250,7 +258,7 @@ def viterbi_segment(word: str, vocab: dict, total: int,
         cur = cand
     best[i] = cur
   if best[n] is None:
-    return []
+    return [] if n == 0 else ['<unk>']
   return list(best[n][2])
 
 
@@ -268,7 +276,9 @@ def unigram_encode(spark: SparkSession, sf_dir: str, *,
   word order preserved.  Scale shape mirrors bpe_encode: Viterbi runs
   once per DISTINCT word (vocabulary-sized Arrow-batched python —
   never per corpus token), the result joins back to the exploded
-  corpus on the word key."""
+  corpus on the word key.  Words with characters outside the trained
+  vocabulary encode to ['<unk>'] (see viterbi_segment) — visible in
+  tokens and counted in n_tokens, never silently dropped."""
   d = (docs if docs is not None else _docs(spark, sf_dir)) \
       .select('doc_id', 'text')
   if vocab is None:

@@ -594,9 +594,16 @@ def read_rollup_state(spark: SparkSession, state_dir: str,
   start_rollup_stream as v{batch_id} directories), or the latest with
   batch_id < `before_batch` — the read a replayed micro-batch does so
   it rebuilds its version from the SAME predecessor."""
-  import os
   import re
-  if not os.path.isdir(state_dir):
+  # version discovery via the Hadoop FileSystem API, NOT os.listdir:
+  # state_dir may be HDFS/S3/file — whatever filesystem the writer's
+  # DataFrame write resolves, the reader resolves identically (a
+  # driver-local os.listdir silently returned None for remote
+  # schemes, dropping all prior state instead of reading it)
+  jvm = spark._jvm
+  jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+  fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+  if not fs.exists(jpath):
     return None
   # committed = the writer's _SUCCESS marker is present; a version
   # directory mid-write (crash, or the stream still running) is
@@ -604,9 +611,11 @@ def read_rollup_state(spark: SparkSession, state_dir: str,
   # version' contract breaks with a torn or unreadable state
   versions = sorted(
       int(m.group(1))
-      for d in os.listdir(state_dir)
-      if (m := re.fullmatch(r'v(\d+)', d))
-      and os.path.exists(os.path.join(state_dir, d, '_SUCCESS')))
+      for st in fs.listStatus(jpath)
+      if st.isDirectory()
+      and (m := re.fullmatch(r'v(\d+)', st.getPath().getName()))
+      and fs.exists(
+          jvm.org.apache.hadoop.fs.Path(st.getPath(), '_SUCCESS')))
   if before_batch is not None:
     versions = [v for v in versions if v < before_batch]
   if not versions:

@@ -273,3 +273,26 @@ def test_encode_tokens_reconstruct_corpus(spark, trained):
   for did, toks in sample.items():
     assert ''.join(toks) == ''.join(
         w for w in texts[did].split(' ') if w)
+
+
+def test_unseen_char_word_encodes_to_unk(spark, trained):
+  """A word with a character absent from the trained vocabulary has no
+  segmentation path: it must encode to the visible ['<unk>'] sentinel
+  (counted in n_tokens), never a silent zero-token drop."""
+  v, rows = trained
+  vocab = {r['piece']: r['em_micro'] for r in rows}
+  total = rows[0]['total_micro']
+  mpl = KW['max_piece_len']
+  assert 'ß' not in vocab
+  assert U.viterbi_segment('straße', vocab, total, mpl) == ['<unk>']
+  assert U.viterbi_segment('', vocab, total, mpl) == []
+  # end-to-end: a cross-corpus doc mixing known words and an
+  # unseen-char word keeps the word visible in tokens and counts
+  known = next(p for p in vocab if len(p) == 1)
+  docs = spark.createDataFrame(
+      [(0, f'{known} straße')], 'doc_id long, text string')
+  out = U.unigram_encode(spark, SF1, vocab=v, docs=docs,
+                         return_tokens=True).collect()
+  [r] = out
+  assert '<unk>' in r['tokens']
+  assert r['n_tokens'] == len(r['tokens']) >= 2
