@@ -492,7 +492,11 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
   CCNet head/middle/tail terciles (sampled per-lang cut points) ride
   the SAME checkpointed score frame so the LM trains once;
   topic_tagging's per-lexicon counts + deterministic argmax topic
-  ride as n_db/n_infra/n_data/topic/n_topic_hits."""
+  ride as n_db/n_infra/n_data/topic/n_topic_hits; lang_id_trained's
+  char-bigram NB language identifier (CCNet's fastText-langid slot —
+  trained in-job on the md5-synthesized multilingual corpus, pinned-
+  fold posteriors, held-out split visible via lid_is_eval) rides as
+  synth_lang/lid_*/q_de..q_fr/pred_lang."""
   from pyspark.sql import functions as FF
   from blueprint_oss_spark.ops import textops as T
   lm = T.lm_score(spark, sf_dir).localCheckpoint(eager=True)
@@ -506,6 +510,7 @@ def _doc_fingerprint_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(lm, 'doc_id', 'left')
           .join(lb, 'doc_id', 'left')
           .join(T.topic_tagging(spark, sf_dir), 'doc_id')
+          .join(T.lang_id_trained(spark, sf_dir), 'doc_id')
           .orderBy('doc_id'))
 
 
@@ -3877,18 +3882,116 @@ def oracle_sql() -> dict[str, str]:
                    AS n_topic_hits
           FROM tpc
         )
+        -- trained char-bigram NB language ID (lang_id_trained):
+        -- md5-synthesized multilingual corpus rebuilt from the
+        -- doc_id universe, add-one NB over '<w>' boundary bigrams
+        -- trained on doc_id % 5 <> 0, per-doc pinned-order fold
+        , lidwd AS (
+          SELECT doc_id, tlang, j,
+                 CASE tlang
+                   WHEN 'de' THEN (['und','der','nicht','über',
+                     'müssen','schön','für','straße','zürich',
+                     'können','während','deutsch'])[idx + 1]
+                   WHEN 'en' THEN (['the','and','with','that','have',
+                     'this','from','they','would','there','which',
+                     'english'])[idx + 1]
+                   WHEN 'es' THEN (['que','los','para','está',
+                     'señor','años','también','más','día','aquí',
+                     'niño','español'])[idx + 1]
+                   ELSE (['les','des','être','avec','où','déjà',
+                     'garçon','très','après','même','château',
+                     'français'])[idx + 1] END AS w
+          FROM (
+            SELECT d.doc_id,
+                   CASE CAST(d.doc_id % 4 AS INT)
+                     WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                     WHEN 2 THEN 'es' ELSE 'fr' END AS tlang,
+                   j.j AS j,
+                   CAST(CAST(('0x' || substring(
+                       md5(d.doc_id || ':' || j.j), 1, 8)) AS BIGINT)
+                     % 12 AS INT) AS idx
+            FROM documents d,
+                 (SELECT unnest(generate_series(0, 15)) AS j) j)
+        ), lidg AS (
+          SELECT doc_id, tlang, j * 64 + k.k AS pos,
+                 substring('<' || w || '>', CAST(k.k + 1 AS INT), 2)
+                   AS g
+          FROM lidwd, (SELECT unnest(generate_series(0, 62)) AS k) k
+          WHERE k.k <= length('<' || w || '>') - 2
+        ), lidc AS (
+          SELECT g,
+                 count(*) FILTER (tlang = 'de') AS cde,
+                 count(*) FILTER (tlang = 'en') AS cen,
+                 count(*) FILTER (tlang = 'es') AS ces,
+                 count(*) FILTER (tlang = 'fr') AS cfr
+          FROM lidg WHERE doc_id % 5 <> 0 GROUP BY g
+        ), lidt AS (
+          SELECT coalesce(sum(cde), 0) AS tde,
+                 coalesce(sum(cen), 0) AS ten,
+                 coalesce(sum(ces), 0) AS tes,
+                 coalesce(sum(cfr), 0) AS tfr,
+                 count(*) AS v
+          FROM lidc
+        ), lidq AS (
+          SELECT doc_id, tlang, pos,
+                 pde / (pde + pen + pes + pfr) AS qde,
+                 pen / (pde + pen + pes + pfr) AS qen,
+                 pes / (pde + pen + pes + pfr) AS qes,
+                 pfr / (pde + pen + pes + pfr) AS qfr
+          FROM (
+            SELECT lidg.doc_id, lidg.tlang, lidg.pos,
+                   (coalesce(lidc.cde, 0) + 1)
+                     / (lidt.tde + lidt.v) AS pde,
+                   (coalesce(lidc.cen, 0) + 1)
+                     / (lidt.ten + lidt.v) AS pen,
+                   (coalesce(lidc.ces, 0) + 1)
+                     / (lidt.tes + lidt.v) AS pes,
+                   (coalesce(lidc.cfr, 0) + 1)
+                     / (lidt.tfr + lidt.v) AS pfr
+            FROM lidg LEFT JOIN lidc USING (g) CROSS JOIN lidt)
+        ), lidagg AS (
+          SELECT doc_id, tlang,
+                 CAST(count(*) AS BIGINT) AS lid_n_grams,
+                 list_aggregate(list(qde ORDER BY pos), 'sum') AS sde,
+                 list_aggregate(list(qen ORDER BY pos), 'sum') AS sen,
+                 list_aggregate(list(qes ORDER BY pos), 'sum') AS ses,
+                 list_aggregate(list(qfr ORDER BY pos), 'sum') AS sfr
+          FROM lidq GROUP BY doc_id, tlang
+        ), lid AS (
+          SELECT doc_id, synth_lang, lid_is_eval, lid_n_grams,
+                 q_de, q_en, q_es, q_fr, pred_lang,
+                 CAST(pred_lang = synth_lang AS INT) AS lid_correct
+          FROM (
+            SELECT doc_id, tlang AS synth_lang,
+                   CAST(doc_id % 5 = 0 AS INT) AS lid_is_eval,
+                   lid_n_grams,
+                   round(sde / lid_n_grams, 6) AS q_de,
+                   round(sen / lid_n_grams, 6) AS q_en,
+                   round(ses / lid_n_grams, 6) AS q_es,
+                   round(sfr / lid_n_grams, 6) AS q_fr,
+                   CASE WHEN sde >= sen AND sde >= ses AND sde >= sfr
+                        THEN 'de'
+                        WHEN sen >= ses AND sen >= sfr THEN 'en'
+                        WHEN ses >= sfr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM lidagg)
+        )
         SELECT fp.doc_id, fp.fp_full, fp.fp_prefix8, fp.fp_rolling31,
                li.lang, li.hits_en, li.hits_es, li.hits_de, li.hits_fr,
                dd.keeper_doc_id, dd.n_copies,
                lm.n_scored, lm.lm_score,
                lmb.lm_t_lo, lmb.lm_t_hi, lmb.lm_bucket,
                tp.n_db, tp.n_infra, tp.n_data, tp.topic,
-               tp.n_topic_hits
+               tp.n_topic_hits,
+               lid.synth_lang, lid.lid_is_eval, lid.lid_n_grams,
+               lid.q_de, lid.q_en, lid.q_es, lid.q_fr,
+               lid.pred_lang, lid.lid_correct
         FROM fp JOIN li ON fp.doc_id = li.doc_id
         JOIN dd ON fp.fp_full = dd.content_hash
         LEFT JOIN lm ON fp.doc_id = lm.doc_id
         LEFT JOIN lmb ON fp.doc_id = lmb.doc_id
         JOIN tp ON fp.doc_id = tp.doc_id
+        JOIN lid ON fp.doc_id = lid.doc_id
         ORDER BY fp.doc_id
       """,
       # DSIR-style selection recomputed from scratch: hashed

@@ -116,6 +116,160 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
   return d.select('doc_id', 'lang', *cols).orderBy('doc_id')
 
 
+#: Pinned language order + per-language word pools for the trained
+#: language identifier's deterministic synthesis (distinct diacritics
+#: give the char-bigram features real signal; pools are word-disjoint
+#: but share many ASCII bigrams, so classification is non-trivial).
+LANGID_LANGS = ('de', 'en', 'es', 'fr')
+LANGID_POOLS = {
+    'de': ('und', 'der', 'nicht', 'über', 'müssen', 'schön', 'für',
+           'straße', 'zürich', 'können', 'während', 'deutsch'),
+    'en': ('the', 'and', 'with', 'that', 'have', 'this', 'from',
+           'they', 'would', 'there', 'which', 'english'),
+    'es': ('que', 'los', 'para', 'está', 'señor', 'años', 'también',
+           'más', 'día', 'aquí', 'niño', 'español'),
+    'fr': ('les', 'des', 'être', 'avec', 'où', 'déjà', 'garçon',
+           'très', 'après', 'même', 'château', 'français'),
+}
+
+
+def lang_id_trained(spark: SparkSession, sf_dir: str, *,
+                    n_words: int = 16, pool_size: int = 12,
+                    eval_mod: int = 5,
+                    docs: DataFrame = None) -> DataFrame:
+  """TRAINED language identification — the char-n-gram classifier
+  CCNet (Wenzek et al. 2020) runs (fastText langid) before its LM
+  quality buckets, completing the CCNet chain next to
+  `lang_id_heuristic`'s stopword lists: a multiclass Naive-Bayes over
+  char BIGRAMS with word-boundary markers ('<w>' fastText-style),
+  trained IN-JOB on a deterministically synthesized multilingual
+  corpus and applied to every doc, with held-out accuracy visible in
+  the output (is_eval marks docs excluded from training).
+
+  Synthesis (both engines recompute it exactly): doc i's true
+  language is LANGID_LANGS[i % 4]; its j-th of `n_words` words is
+  LANGID_POOLS[lang][md5(i||':'||j) % pool_size] — md5-indexed,
+  corpus-independent, so the DuckDB oracle rebuilds the identical
+  corpus from the documents table's doc_id universe alone.
+
+  Scoring (transcendental-free, the quality_classifier device): gram
+  occurrence g scores the equal-prior per-class posterior
+    q_c = p_c / Σ_c' p_c',  p_c = (cnt(g,c) + 1) / (T_c + V)
+  with add-one smoothing over the train split (docs with doc_id %
+  eval_mod != 0); per-doc class scores are pinned-order left folds
+  over the pos-sorted gram array, so the oracle reproduces every
+  double bit-for-bit; pred_lang = argmax with ties broken by pinned
+  LANGID_LANGS order.  Every q_c ∈ (0,1): no overflow at any doc
+  length.
+
+  Output per doc: doc_id, synth_lang (true label), lid_is_eval,
+  lid_n_grams, q_de/q_en/q_es/q_fr (round 6), pred_lang, lid_correct.
+
+  Scale shape: synthesis + gram fan-out are map-side array ops (the
+  explode is bounded by n_words × max word length); training is ONE
+  map-side-combinable groupBy whose output is bounded by the pools'
+  distinct-bigram vocabulary (≤ a few hundred rows regardless of
+  corpus size — collected once, re-broadcast as a literal local
+  relation, the IVF/PQ codebook precedent); scoring broadcast-joins
+  the model and re-aggregates per doc.  Two substantive shuffles,
+  zero Python."""
+  d = (docs if docs is not None else _docs(spark, sf_dir)) \
+      .select('doc_id')
+  d = spread_small_scan(d)
+  tlang = F.element_at(
+      F.array(*[F.lit(l) for l in LANGID_LANGS]),
+      (F.col('doc_id') % len(LANGID_LANGS)).cast('int') + 1)
+
+  def _word_at(j):
+    idx = (F.conv(F.substring(
+        F.md5(F.concat(F.col('doc_id').cast('string'), F.lit(':'),
+                       j.cast('string'))), 1, 8), 16, 10)
+        .cast('long') % pool_size).cast('int')
+    expr = F.lit(None).cast('string')
+    for lang in LANGID_LANGS:
+      arr = F.array(*[F.lit(x) for x in LANGID_POOLS[lang]])
+      expr = F.when(F.col('tlang') == lang,
+                    F.element_at(arr, idx + 1)).otherwise(expr)
+    return expr
+
+  staged = (d.select('doc_id', tlang.alias('tlang'))
+            .select('doc_id', 'tlang',
+                    F.transform(F.sequence(F.lit(0), F.lit(n_words - 1)),
+                                _word_at).alias('ws')))
+  wrows = staged.select('doc_id', 'tlang',
+                        F.posexplode('ws').alias('j', 'w'))
+  padded = F.concat(F.lit('<'), F.col('w'), F.lit('>'))
+  gr = (wrows
+        .select('doc_id', 'tlang', (F.col('j') * 64).alias('jbase'),
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(0), F.length(padded) - 2),
+                    lambda i: padded.substr(i + 1, F.lit(2))))
+                .alias('k', 'g'))
+        .select('doc_id', 'tlang',
+                (F.col('jbase') + F.col('k')).alias('pos'), 'g'))
+
+  # train on the non-held-out split; the model is vocabulary-bounded
+  tr = gr.where(F.col('doc_id') % eval_mod != 0)
+  model_rows = (tr.groupBy('g')
+                .agg(*[F.count(F.when(F.col('tlang') == lang, 1))
+                       .alias(f'c_{lang}') for lang in LANGID_LANGS])
+                .collect())
+  totals = {lang: sum(r[f'c_{lang}'] for r in model_rows)
+            for lang in LANGID_LANGS}
+  v_grams = len(model_rows)
+  cnt = spark.createDataFrame(
+      [tuple([r['g']] + [r[f'c_{lang}'] for lang in LANGID_LANGS])
+       for r in model_rows] or [tuple([None] * 5)],
+      'g string, ' + ', '.join(f'c_{lang} long'
+                               for lang in LANGID_LANGS)) \
+      .where(F.col('g').isNotNull())
+
+  scored = gr.join(F.broadcast(cnt), 'g', 'left')
+  ps = {lang: (F.coalesce(f'c_{lang}', F.lit(0)) + 1)
+        / F.lit(totals[lang] + v_grams) for lang in LANGID_LANGS}
+  s_tot = sum(ps.values())
+  qcols = [(ps[lang] / s_tot).alias(f'q_{lang}')
+           for lang in LANGID_LANGS]
+  per_gram = scored.select('doc_id', 'tlang', 'pos', *qcols)
+
+  acc0 = F.struct(*[F.lit(0.0).alias(lang) for lang in LANGID_LANGS])
+
+  def _fold(acc, x):
+    return F.struct(*[(acc[lang] + x[f'q_{lang}']).alias(lang)
+                      for lang in LANGID_LANGS])
+
+  folded = (per_gram
+            .groupBy('doc_id', 'tlang')
+            .agg(F.count(F.lit(1)).alias('lid_n_grams'),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(F.struct(
+                         'pos', *[f'q_{lang}'
+                                  for lang in LANGID_LANGS]))),
+                     acc0, _fold).alias('s')))
+
+  # argmax with pinned-order tie-break: the first language whose
+  # score is >= every later language wins (CASE evaluates in order)
+  pred = F.lit(LANGID_LANGS[-1])
+  for i in range(len(LANGID_LANGS) - 2, -1, -1):
+    lang = LANGID_LANGS[i]
+    cond = None
+    for other in LANGID_LANGS[i + 1:]:
+      c = F.col('s')[lang] >= F.col('s')[other]
+      cond = c if cond is None else (cond & c)
+    pred = F.when(cond, F.lit(lang)).otherwise(pred)
+
+  return (folded.select(
+      'doc_id',
+      F.col('tlang').alias('synth_lang'),
+      (F.col('doc_id') % eval_mod == 0).cast('int').alias('lid_is_eval'),
+      'lid_n_grams',
+      *[F.round(F.col('s')[lang] / F.col('lid_n_grams'), 6)
+        .alias(f'q_{lang}') for lang in LANGID_LANGS],
+      pred.alias('pred_lang'),
+      (pred == F.col('tlang')).cast('int').alias('lid_correct'))
+      .orderBy('doc_id'))
+
+
 def _cap_hub_buckets(grouped: DataFrame, ids_col: str,
                      max_bucket_size: int, op_name: str,
                      remedy: str) -> DataFrame:
@@ -2574,13 +2728,15 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str, *,
       'doc_id', F.size(toks).alias('n'),
       F.posexplode(toks).alias('pos', 'token'))
 
-  # FLOOR division, stated explicitly: Spark's cast(double as long)
-  # truncates but DuckDB's rounds — the exact-arithmetic contract is
-  # n_spans = max(1, (n*noise_num) DIV (noise_den*span_len))
+  # INTEGER division, stated explicitly on both sides: the contract is
+  # n_spans = max(1, (n*noise_num) DIV (noise_den*span_len)) and the
+  # DuckDB oracle uses true integer // — `div` keeps the whole
+  # computation in exact BIGINT arithmetic (floor-of-double was
+  # equivalent for realistic n but violated the oracle-shared-
+  # arithmetic discipline; length_bucket_batches precedent)
   n_spans = F.greatest(
-      F.lit(1),
-      F.floor(F.col('n') * noise_num / (noise_den * span_len))
-      .cast('long'))
+      F.lit(1).cast('long'),
+      F.expr(f'(n * {noise_num}) div {noise_den * span_len}'))
   h = F.md5(F.concat(F.col('doc_id').cast('string'), F.lit(':'),
                      F.col('pos').cast('string')))
   wrank = Window.partitionBy('doc_id').orderBy(h, 'pos')
