@@ -254,6 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # method-tagged row-set (gate-budget merge; both from-scratch
       # SQL oracles)
       'incremental_dedup': _incremental_and_diff,
+      # STRUCTURED STREAMING driver signal: the continuous-aggregate
+      # rollup stream drained with availableNow inside a batch
+      # callable — the final committed state's report hashes against
+      # the same from-scratch SQL as the batch rollup (merge ≡ full)
+      'streaming_rollup': _streaming_rollup,
       'sessionize': R.sessionize,
       'funnel_analysis': R.funnel_analysis,
       'cohort_retention': R.cohort_retention,
@@ -289,6 +294,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       'stratified_sample': P.stratified_sample,
       'table_profile': _table_profile_hll,
   }
+
+
+def _streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+  """Structured Streaming end-to-end inside a batch-callable gate row:
+  the events table is landed as four parquet files, drained through
+  start_rollup_stream (readStream file source, maxFilesPerTrigger=1 →
+  four micro-batches through the versioned merge path, availableNow
+  trigger), and the FINAL committed state read back via
+  read_rollup_state — its rollup_report must hash against the same
+  from-scratch SQL recomputation the batch rollup_events path uses,
+  so the driver gate certifies the streaming maintenance end-to-end
+  (state independence from micro-batch boundaries is the merge ≡ full
+  property the events_cube row already certifies for the batch
+  split).  localCheckpoint pins the result so the temp state dir's
+  lifetime cannot matter to a later collect."""
+  import os
+  import tempfile
+  from blueprint_oss_spark.ops import relational as RR
+  from blueprint_oss_spark.spark.streaming import (
+      read_rollup_state, start_rollup_stream)
+  td = tempfile.mkdtemp(prefix='bos_stream_gate_')
+  in_dir = os.path.join(td, 'in')
+  ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+  for b in range(4):
+    (ev.where(F.pmod('event_id', F.lit(4)) == b)
+     .coalesce(1).write.mode('append').parquet(in_dir))
+  q = start_rollup_stream(spark, in_dir, os.path.join(td, 'state'),
+                          os.path.join(td, 'ckpt'),
+                          trigger_once=True, max_files_per_trigger=1)
+  q.awaitTermination(600)
+  final = read_rollup_state(spark, os.path.join(td, 'state'))
+  return (RR.rollup_report(final)
+          .select('event_type', 'day', 'n_events', 'value_micro',
+                  'n_zero_regs', 'reg_checksum', 'hll_est')
+          .localCheckpoint(eager=True)
+          .orderBy('event_type', 'day'))
 
 
 def _ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,15 +732,41 @@ def _dedup_groups_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
   the 100 TB banded-LSH minhash edge variant (snapshot section,
   verified by a FULL pure-python xxhash64 + union-find recomputation —
   see scripts/build_oracles.py).  Identical schemas; every column of
-  both paths stays value-checked."""
+  both paths stays value-checked.
+
+  Plus the method='decision' section: dedup_decision_report's
+  Dolma-style multi-signal composition (exact / jaccard / simhash /
+  semantic verdict columns, first-failing-signal drop_reason, final
+  keep) over documents ∪ the semantic verification plants — the
+  oracle recomputes exact+jaccard from scratch, simhash components
+  from the verified signature snapshot, and the semantic verdict from
+  the verified semantic_dedup snapshot, then recomputes the whole
+  composition."""
   from blueprint_oss_spark.ops import textops as T
+  nul_l = F.lit(None).cast('long')
+  nul_i = F.lit(None).cast('int')
+  nul_s = F.lit(None).cast('string')
   jac = (T.dedup_groups(spark, sf_dir)
          .withColumn('method', F.lit('jaccard')))
   mh = (T.dedup_groups(spark, sf_dir, edge_source='minhash')
         .withColumn('method', F.lit('minhash')))
-  return (jac.unionByName(mh)
+  both = (jac.unionByName(mh)
           .select('method', 'doc_id', 'group_id', 'group_size',
-                  'is_keeper')
+                  'is_keeper',
+                  nul_i.alias('planted'), nul_i.alias('exact_keep'),
+                  nul_i.alias('jac_keep'), nul_i.alias('sim_keep'),
+                  nul_i.alias('sem_keep'),
+                  nul_i.alias('n_drop_signals'),
+                  nul_i.alias('keep_final'),
+                  nul_s.alias('drop_reason')))
+  dec = (T.dedup_decision_report(spark, sf_dir)
+         .select(F.lit('decision').alias('method'), 'doc_id',
+                 F.col('jac_group').alias('group_id'),
+                 nul_l.alias('group_size'), nul_i.alias('is_keeper'),
+                 'planted', 'exact_keep', 'jac_keep', 'sim_keep',
+                 'sem_keep', 'n_drop_signals', 'keep_final',
+                 'drop_reason'))
+  return (both.unionByName(dec)
           .orderBy('method', 'doc_id'))
 
 
@@ -3479,6 +3546,61 @@ def oracle_sql() -> dict[str, str]:
       """,
       # Sessionization recomputed from scratch: same lag-flag +
       # running-sum numbering in integer microseconds.
+      # streaming rollup: the SAME from-scratch recomputation as the
+      # events_cube rollup sections — the streaming state drained
+      # through four micro-batches must equal rollup(all events)
+      'streaming_rollup': """
+        WITH rbase AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id,
+                 CAST(trunc(value * 1000000.0) AS BIGINT) AS vm
+          FROM events
+        ), rsum AS (
+          SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(vm) AS BIGINT) AS value_micro
+          FROM rbase GROUP BY day, event_type
+        ), rh AS (
+          SELECT day, event_type,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) AS h
+          FROM rbase
+        ), rrho AS (
+          SELECT day, event_type, h % 64 AS bucket,
+                 CASE WHEN (h >> 6) = 0 THEN 55
+                      ELSE 55 - length(bin(h >> 6)) END AS rho
+          FROM rh
+        ), rregs AS (
+          SELECT day, event_type, bucket, max(rho) AS r
+          FROM rrho GROUP BY day, event_type, bucket
+        ), rgb AS (
+          SELECT g.day, g.event_type, b.b AS bucket
+          FROM (SELECT DISTINCT day, event_type FROM rbase) g
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        ), rfilled AS (
+          SELECT rgb.day, rgb.event_type, rgb.bucket,
+                 coalesce(rregs.r, 0) AS r
+          FROM rgb LEFT JOIN rregs
+            ON rregs.day = rgb.day
+           AND rregs.event_type = rgb.event_type
+           AND rregs.bucket = rgb.bucket
+        ), rfolded AS (
+          SELECT day, event_type,
+                 CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_regs,
+                 CAST(sum((bucket + 1) * r) AS BIGINT) AS reg_checksum,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CAST(1.0 AS DOUBLE)
+                          / CAST((1::BIGINT << r) AS DOUBLE)
+                          ORDER BY bucket)),
+                     (a, x) -> a + x) AS denom
+          FROM rfilled GROUP BY day, event_type
+        )
+        SELECT s.event_type, s.day, s.n_events, s.value_micro,
+               f.n_zero_regs, f.reg_checksum,
+               round(0.709 * 64.0 * 64.0 / f.denom, 6) AS hll_est
+        FROM rsum s JOIN rfolded f
+          ON f.day = s.day AND f.event_type = s.event_type
+        ORDER BY s.event_type, s.day
+      """,
       'sessionize': """
         WITH flagged AS (
           SELECT user_id, event_id, event_type, value,
@@ -5692,15 +5814,95 @@ def oracle_sql() -> dict[str, str]:
           FROM reach JOIN edges e ON e.src = reach.r
         ), comp AS (
           SELECT doc_id, MIN(r) AS group_id FROM reach GROUP BY doc_id
+        ),
+        -- decision section (dedup_decision_report): exact + jaccard
+        -- recomputed from scratch, simhash components from the
+        -- verified signature snapshot, semantic verdicts from the
+        -- verified semantic_dedup snapshot; composition recomputed
+        exk AS (
+          SELECT doc_id,
+                 CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                      AS INT) AS exact_keep
+          FROM documents
+        ), spair AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM read_parquet('/root/repo/oracles/simhash64.parquet') a
+          JOIN read_parquet('/root/repo/oracles/simhash64.parquet') b
+            ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ), sedges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM spair
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM spair
+        ), sreach AS (
+          SELECT doc_id, doc_id AS r FROM documents
+          UNION
+          SELECT sreach.doc_id, e.dst AS r
+          FROM sreach JOIN sedges e ON e.src = sreach.r
+        ), sgrp AS (
+          SELECT doc_id, MIN(r) AS sim_group FROM sreach
+          GROUP BY doc_id
+        ), semk AS (
+          SELECT vec_id AS doc_id, keep AS sem_keep
+          FROM read_parquet('/root/repo/oracles/semantic_dedup.parquet')
+        ), duni AS (
+          -- explicit DISTINCT: inside a WITH RECURSIVE context
+          -- DuckDB treated the bare UNION here as non-deduplicating
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id FROM semk)
+        ), decbase AS (
+          SELECT u.doc_id,
+                 CAST(u.doc_id >= 1000000 AS INT) AS planted,
+                 coalesce(exk.exact_keep, 1) AS exact_keep,
+                 comp.group_id AS jac_group,
+                 coalesce(CAST(comp.doc_id = comp.group_id AS INT), 1)
+                   AS jac_keep,
+                 CAST(u.doc_id = coalesce(sgrp.sim_group, u.doc_id)
+                      AS INT) AS sim_keep,
+                 coalesce(semk.sem_keep, 1) AS sem_keep
+          FROM duni u
+          LEFT JOIN exk ON u.doc_id = exk.doc_id
+          LEFT JOIN comp ON u.doc_id = comp.doc_id
+          LEFT JOIN sgrp ON u.doc_id = sgrp.doc_id
+          LEFT JOIN semk ON u.doc_id = semk.doc_id
         )
         SELECT 'jaccard' AS method, doc_id, group_id,
                COUNT(*) OVER (PARTITION BY group_id) AS group_size,
-               CAST(doc_id = group_id AS INT) AS is_keeper
+               CAST(doc_id = group_id AS INT) AS is_keeper,
+               CAST(NULL AS INT) AS planted,
+               CAST(NULL AS INT) AS exact_keep,
+               CAST(NULL AS INT) AS jac_keep,
+               CAST(NULL AS INT) AS sim_keep,
+               CAST(NULL AS INT) AS sem_keep,
+               CAST(NULL AS INT) AS n_drop_signals,
+               CAST(NULL AS INT) AS keep_final,
+               CAST(NULL AS VARCHAR) AS drop_reason
         FROM comp
         UNION ALL
         SELECT 'minhash' AS method, doc_id, group_id, group_size,
-               is_keeper
+               is_keeper,
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR)
         FROM read_parquet('/root/repo/oracles/dedup_groups_minhash.parquet')
+        UNION ALL
+        SELECT 'decision' AS method, doc_id, jac_group AS group_id,
+               CAST(NULL AS BIGINT) AS group_size,
+               CAST(NULL AS INT) AS is_keeper,
+               planted, exact_keep, jac_keep, sim_keep, sem_keep,
+               CAST(4 - (exact_keep + jac_keep + sim_keep + sem_keep)
+                    AS INT) AS n_drop_signals,
+               CAST(exact_keep + jac_keep + sim_keep + sem_keep = 4
+                    AS INT) AS keep_final,
+               CASE WHEN exact_keep = 0 THEN 'exact'
+                    WHEN jac_keep = 0 THEN 'jaccard'
+                    WHEN sim_keep = 0 THEN 'simhash'
+                    WHEN sem_keep = 0 THEN 'semantic'
+                    ELSE '' END AS drop_reason
+        FROM decbase
         ORDER BY method, doc_id
       """,
       # Exact brute-force O(n²) recomputation of the LSH-blocked
