@@ -460,8 +460,36 @@ def _substring_score(pred: Predicate, raw: str) -> float:
     flags = pred.p('flags')
     t = massage(flags, pred.p('text'))
     et = massage(flags, raw)
-    got = taper_error_int(substring_edit_distance(et, t),
-                          pred.p('tolerance'), pred.p('taper'))
+    tol = pred.p('tolerance')
+    tap = pred.p('taper')
+    if t in et:
+      # distance 0 without the DP (C-speed find); exact same score
+      got = taper_error_int(0, tol, tap)
+    else:
+      # character-multiset lower bound: every needle-char occurrence
+      # missing from the haystack costs >= 1 edit, and score is
+      # EXACTLY 0.0 whenever distance > tolerance + taper
+      # (taper_error_int), so far strings skip the O(|s||t|) DP —
+      # the text_does_not_contain_substring sugar (tol=taper=0) makes
+      # this the checks model's hot case: 78 stop/street/state scans
+      # per candidate, almost all far
+      need = pred.__dict__.get('_tneed')
+      if need is None:
+        from collections import Counter
+        need = tuple(Counter(t).items())
+        object.__setattr__(pred, '_tneed', need)
+      cutoff = tol + tap
+      lb = 0
+      for c, k in need:
+        have = et.count(c)
+        if have < k:
+          lb += k - have
+          if lb > cutoff:
+            break
+      if lb > cutoff:
+        got = 0.0
+      else:
+        got = taper_error_int(substring_edit_distance(et, t), tol, tap)
     if len(memo) > 200_000:
       memo.clear()
     memo[raw] = got
@@ -817,10 +845,62 @@ def score_predicate_batch(pred: Predicate, doc: DocPool,
     return np.ones(n)
 
   if k == 'all_hold':
+    # fused none-contains scan: subs of the form
+    # negate(text_has_substring(w, tolerance=0, taper=0)) score
+    # EXACTLY 0.0 or 1.0 (taper_error_int at tol=taper=0), so their
+    # product collapses to the indicator "no word is a substring" —
+    # one memoized any(w in text) per entity instead of |words|
+    # batch passes.  0/1 factors commute exactly under float
+    # multiplication, so hoisting them after the other subs is
+    # bit-identical.  The checks model's 57-stop-word scan is the
+    # motivating case (measured 16% of the whole solve).
+    fused = pred.__dict__.get('_fused_nc')
+    if fused is None:
+      words_by_flags: Dict[int, list] = {}
+      others = []
+      for sub in pred.p('predicates'):
+        inner = sub.p('predicate') if sub.kind == 'negate' else None
+        if (inner is not None and inner.kind == 'text_has_substring'
+            and inner.p('tolerance') == 0 and inner.p('taper') == 0):
+          words_by_flags.setdefault(inner.p('flags'), []).append(
+              massage(inner.p('flags'), inner.p('text')))
+        else:
+          others.append(sub)
+      fused = (tuple((f, tuple(ws))
+                     for f, ws in words_by_flags.items()),
+               tuple(others), {})
+      object.__setattr__(pred, '_fused_nc', fused)
+    groups, others, fmemo = fused
+    if not groups:
+      score = np.ones(n)
+      for sub in others:
+        score = score * score_predicate_batch(sub, doc, ents)
+      return score
     score = np.ones(n)
-    for sub in pred.p('predicates'):
+    for sub in others:
       score = score * score_predicate_batch(sub, doc, ents)
-    return score
+    etext, etype = doc.etext, doc.etype
+    out = np.empty(n)
+    mget = fmemo.get
+    for i in range(n):
+      e = int(ents[i])
+      if etype[e] != TYPE_TEXT:
+        out[i] = 1.0  # text_has_substring is 0 off-TEXT → negate 1
+        continue
+      raw = etext[e]
+      v = mget(raw)
+      if v is None:
+        v = 1.0
+        for flags, words in groups:
+          et = massage(flags, raw)
+          if any(w in et for w in words):
+            v = 0.0
+            break
+        if len(fmemo) > 200_000:
+          fmemo.clear()
+        fmemo[raw] = v
+      out[i] = v
+    return score * out
 
   if k == 'any_holds':
     best = None
@@ -877,11 +957,26 @@ def score_predicate_batch(pred: Predicate, doc: DocPool,
         np.float64, n)
 
   if k == 'text_has_substring':
+    # tight loop with the memo dict hoisted: the memo-hit path is one
+    # dict get per element instead of a function call + attribute
+    # lookups (identical values — _substring_score owns the misses)
     etext, etype = doc.etext, doc.etype
-    return np.fromiter(
-        (0.0 if etype[int(e)] != TYPE_TEXT
-         else _substring_score(pred, etext[int(e)]) for e in ents),
-        np.float64, n)
+    memo = pred.__dict__.get('_tm')
+    if memo is None:
+      memo = {}
+      object.__setattr__(pred, '_tm', memo)
+    mget = memo.get
+    out = np.empty(n)
+    for i in range(n):
+      e = int(ents[i])
+      if etype[e] != TYPE_TEXT:
+        out[i] = 0.0
+        continue
+      v = mget(etext[e])
+      if v is None:
+        v = _substring_score(pred, etext[e])
+      out[i] = v
+    return out
 
   if k == 'text_matches_pattern':
     etext, etype = doc.etext, doc.etype
