@@ -254,11 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       # method-tagged row-set (gate-budget merge; both from-scratch
       # SQL oracles)
       'incremental_dedup': _incremental_and_diff,
-      # STRUCTURED STREAMING driver signal: the continuous-aggregate
-      # rollup stream drained with availableNow inside a batch
-      # callable — the final committed state's report hashes against
-      # the same from-scratch SQL as the batch rollup (merge ≡ full)
-      'streaming_rollup': _streaming_rollup,
       'sessionize': R.sessionize,
       'funnel_analysis': R.funnel_analysis,
       'cohort_retention': R.cohort_retention,
@@ -455,7 +450,14 @@ def _events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
   ONCE from scratch and both rollup sections must hash against those
   identical rows — so the driver gate itself certifies
   merge ≡ full, the property that makes the rollup incrementally
-  maintainable."""
+  maintainable.
+
+  method='rollup_stream' is the STRUCTURED STREAMING driver signal
+  (_streaming_rollup): the same report read from the final committed
+  state after draining start_rollup_stream over four landed files
+  with availableNow — four micro-batches through the versioned merge
+  path — so the streaming maintenance is certified end-to-end against
+  the identical oracle rows."""
   from blueprint_oss_spark.ops import relational as R
   nul_s = F.lit(None).cast('string')
   nul_i = F.lit(None).cast('int')
@@ -477,7 +479,9 @@ def _events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
   full = tag(R.rollup_report(R.rollup_events(spark, sf_dir)),
              'rollup_full')
   merged = tag(R.incremental_rollup(spark, sf_dir), 'rollup_merged')
+  streamed = tag(_streaming_rollup(spark, sf_dir), 'rollup_stream')
   return (cube.unionByName(full).unionByName(merged)
+          .unionByName(streamed)
           .orderBy('method', F.col('event_type').asc_nulls_first(),
                    F.col('dow').asc_nulls_first(), 'day'))
 
@@ -3292,6 +3296,13 @@ def oracle_sql() -> dict[str, str]:
                n_events, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                value_micro, n_zero_regs, reg_checksum, hll_est
         FROM rrep
+        UNION ALL
+        -- streaming drain (availableNow, 4 micro-batches) must land
+        -- on the SAME recomputed rows: end-to-end streaming gate
+        SELECT 'rollup_stream', event_type, CAST(NULL AS INT), day,
+               n_events, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               value_micro, n_zero_regs, reg_checksum, hll_est
+        FROM rrep
         ORDER BY method, event_type NULLS FIRST, dow NULLS FIRST, day
       """,
       'q10_returned_items': """
@@ -3546,61 +3557,6 @@ def oracle_sql() -> dict[str, str]:
       """,
       # Sessionization recomputed from scratch: same lag-flag +
       # running-sum numbering in integer microseconds.
-      # streaming rollup: the SAME from-scratch recomputation as the
-      # events_cube rollup sections — the streaming state drained
-      # through four micro-batches must equal rollup(all events)
-      'streaming_rollup': """
-        WITH rbase AS (
-          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id,
-                 CAST(trunc(value * 1000000.0) AS BIGINT) AS vm
-          FROM events
-        ), rsum AS (
-          SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-                 CAST(SUM(vm) AS BIGINT) AS value_micro
-          FROM rbase GROUP BY day, event_type
-        ), rh AS (
-          SELECT day, event_type,
-                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
-                       1, 15)) AS BIGINT) AS h
-          FROM rbase
-        ), rrho AS (
-          SELECT day, event_type, h % 64 AS bucket,
-                 CASE WHEN (h >> 6) = 0 THEN 55
-                      ELSE 55 - length(bin(h >> 6)) END AS rho
-          FROM rh
-        ), rregs AS (
-          SELECT day, event_type, bucket, max(rho) AS r
-          FROM rrho GROUP BY day, event_type, bucket
-        ), rgb AS (
-          SELECT g.day, g.event_type, b.b AS bucket
-          FROM (SELECT DISTINCT day, event_type FROM rbase) g
-          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
-        ), rfilled AS (
-          SELECT rgb.day, rgb.event_type, rgb.bucket,
-                 coalesce(rregs.r, 0) AS r
-          FROM rgb LEFT JOIN rregs
-            ON rregs.day = rgb.day
-           AND rregs.event_type = rgb.event_type
-           AND rregs.bucket = rgb.bucket
-        ), rfolded AS (
-          SELECT day, event_type,
-                 CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_zero_regs,
-                 CAST(sum((bucket + 1) * r) AS BIGINT) AS reg_checksum,
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list(CAST(1.0 AS DOUBLE)
-                          / CAST((1::BIGINT << r) AS DOUBLE)
-                          ORDER BY bucket)),
-                     (a, x) -> a + x) AS denom
-          FROM rfilled GROUP BY day, event_type
-        )
-        SELECT s.event_type, s.day, s.n_events, s.value_micro,
-               f.n_zero_regs, f.reg_checksum,
-               round(0.709 * 64.0 * 64.0 / f.denom, 6) AS hll_est
-        FROM rsum s JOIN rfolded f
-          ON f.day = s.day AND f.event_type = s.event_type
-        ORDER BY s.event_type, s.day
-      """,
       'sessionize': """
         WITH flagged AS (
           SELECT user_id, event_id, event_type, value,

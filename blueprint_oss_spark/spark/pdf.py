@@ -119,8 +119,9 @@ def write_simple_pdf(pages: Sequence[Dict], *,
 
 
 _OBJ_RE = re.compile(rb'(\d+) 0 obj(.*?)endobj', re.S)
-_STREAM_RE = re.compile(rb'<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream',
-                        re.S)
+_STREAM_HEAD_RE = re.compile(rb'<<(.*?)>>\s*stream\r?\n', re.S)
+_STREAM_TAIL_RE = re.compile(rb'(.*?)\r?\nendstream', re.S)
+_LENGTH_RE = re.compile(rb'/Length\s+(\d+)\b')
 _MEDIABOX_RE = re.compile(
     rb'/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)'
     rb'\s+([\d.+-]+)\s*\]')
@@ -217,9 +218,23 @@ def _words_from_content(text: str, h: float) -> List[Word]:
 
 def parse_pdf(payload: bytes) -> List[dict]:
   """PDF bytes → the OCR-parser page format
-  [{'page_number', 'width', 'height', 'words': [(t,x0,x1,y0,y1)]}]."""
+  [{'page_number', 'width', 'height', 'words': [(t,x0,x1,y0,y1)]}].
+
+  Stream extraction honors the dict's /Length (the spec-authoritative
+  byte count) and only falls back to the `...\\r?\\nendstream` scan
+  when /Length is absent or inconsistent.  The round-5 sf1 stress
+  found why this matters: FlateDecode data ending in byte 0x0D (\\r —
+  ~1/256 of real compressed streams; first hit at 8-digit doc ids)
+  had its last byte eaten by the terminator's optional \\r, producing
+  'incomplete or truncated stream' on an entirely valid PDF.  The
+  /Length slice is also taken from the RAW payload at the object's
+  absolute offset, so compressed bytes that happen to contain
+  'endobj' cannot truncate the object body either."""
+  spans: Dict[int, Tuple[int, int]] = {
+      int(m.group(1)): (m.start(2), m.end(2))
+      for m in _OBJ_RE.finditer(payload)}
   objs: Dict[int, bytes] = {
-      int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+      n: payload[a:b] for n, (a, b) in spans.items()}
 
   # page order from the /Pages /Kids array when present, else object
   # order of /Type /Page objects
@@ -246,9 +261,25 @@ def parse_pdf(payload: bytes) -> List[dict]:
     words: List[Word] = []
     cm = _CONTENTS_RE.search(body)
     if cm:
-      sm = _STREAM_RE.search(objs.get(int(cm.group(1)), b''))
-      if sm:
-        head, data = sm.group(1), sm.group(2)
+      cs = spans.get(int(cm.group(1)))
+      hm = (_STREAM_HEAD_RE.search(payload, cs[0], cs[1])
+            if cs else None)
+      if hm:
+        head = hm.group(1)
+        dstart = hm.end()
+        data = None
+        lm = _LENGTH_RE.search(head)
+        if lm:
+          n_bytes = int(lm.group(1))
+          tail = payload[dstart + n_bytes:dstart + n_bytes + 12]
+          # trust /Length only when the slice is actually followed by
+          # the endstream keyword (malformed writers lie about Length;
+          # a lying Length falls back to the scan below)
+          if re.match(rb'\r?\n?endstream', tail):
+            data = payload[dstart:dstart + n_bytes]
+        if data is None:
+          tm = _STREAM_TAIL_RE.match(payload, dstart)
+          data = tm.group(1) if tm else b''
         if b'FlateDecode' in head:
           data = zlib.decompress(data)
         text = data.decode('latin-1', errors='replace')
