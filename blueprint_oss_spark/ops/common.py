@@ -32,3 +32,14 @@ def spread_small_scan(raw: DataFrame,
   if files and len(files) < target:
     return out.repartition(target)
   return out
+
+
+def presented(df: DataFrame, *cols, sort: bool = True) -> DataFrame:
+  """Presentation sort at an operator tail — a global range exchange
+  (RangePartitioning + per-partition sort) that exists only so gate
+  rows and humans read stable output.  A 100 TB caller feeding the
+  result into further stages should pass the operator's `sort=False`
+  to drop it: the exchange is pure cost there (the next groupBy/join
+  re-partitions anyway), and every operator's VALUES are identical
+  either way (the driver gate's compare is order-insensitive)."""
+  return df.orderBy(*cols) if sort else df

@@ -103,7 +103,7 @@ def _ngrams(col, n: int):
 #: the CAUTION there about spreading BEFORE the gram projection was
 #: learned here).
 from blueprint_oss_spark.ops.common import \
-    spread_small_scan as _spread  # noqa: E402
+    presented, spread_small_scan as _spread  # noqa: E402
 
 
 def decontaminate(spark: SparkSession, sf_dir: str, *,
@@ -175,6 +175,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
                         n: int = 8, eval_mod: int = 4,
                         m_bits: int = 1 << 20, k: int = 4,
                         eval_texts: DataFrame | None = None,
+                        sort: bool = True,
                         docs: DataFrame | None = None) -> DataFrame:
   """Benchmark decontamination via a Bloom filter — the fixed-memory
   scale path for when the eval side is too large to broadcast as a
@@ -308,10 +309,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
           'doc_id': np.asarray(ids, dtype=np.int64),
           'n_flagged': np.asarray(counts, dtype=np.int64)})
 
-  return (train
-          .select('doc_id', 'text')
-          .mapInPandas(_probe_batches, 'doc_id long, n_flagged long')
-          .orderBy('doc_id'))
+  return presented(
+      train
+      .select('doc_id', 'text')
+      .mapInPandas(_probe_batches, 'doc_id long, n_flagged long'),
+      'doc_id', sort=sort)
 
 
 def decontaminate_spans(spark: SparkSession, sf_dir: str, *,
@@ -966,6 +968,7 @@ _URL_BAD_WORDS = ('casino', 'poker')
 
 def url_curation(spark: SparkSession, sf_dir: str, *,
                  domain_cap: int = 2, keep_only: bool = False,
+                 sort: bool = True,
                  docs: DataFrame = None,
                  opt_out_domains: DataFrame | None = None) -> DataFrame:
   """RefinedWeb-style URL-level curation (Penedo et al. 2023 §3.1,
@@ -1102,15 +1105,15 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
     # partial+final group limits; hub-domain partitions shrink to
     # ~domain_cap rows before the shuffle.
     w_dom_rn = Window.partitionBy('domain').orderBy('doc_id')
-    return (flags
+    return presented(flags
             .where((F.col('blocked_domain') == 0)
                    & (F.col('blocked_word') == 0))
             .withColumn('url_rank', F.row_number().over(w_url))
             .where(F.col('url_rank') == 1)
             .withColumn('domain_rank', F.row_number().over(w_dom_rn))
             .where(F.col('domain_rank') <= domain_cap)
-            .select('doc_id', 'url', 'norm_url', 'domain')
-            .orderBy('doc_id'))
+            .select('doc_id', 'url', 'norm_url', 'domain'),
+        'doc_id', sort=sort)
 
   scored = (
       flags
@@ -1123,14 +1126,15 @@ def url_curation(spark: SparkSession, sf_dir: str, *,
       .withColumn('domain_rank',
                   F.when(F.col('eligible') == 1,
                          F.sum('eligible').over(w_dom)).cast('long')))
-  return (scored
-          .select('doc_id', 'url', 'norm_url', 'domain',
-                  'blocked_domain', 'blocked_word', 'url_rank',
-                  'domain_rank',
-                  ((F.col('eligible') == 1)
-                   & (F.col('domain_rank') <= domain_cap)).cast('int')
-                  .alias('kept'))
-          .orderBy('doc_id'))
+  return presented(
+      scored
+      .select('doc_id', 'url', 'norm_url', 'domain',
+              'blocked_domain', 'blocked_word', 'url_rank',
+              'domain_rank',
+              ((F.col('eligible') == 1)
+               & (F.col('domain_rank') <= domain_cap)).cast('int')
+              .alias('kept')),
+      'doc_id', sort=sort)
 
 
 # ---------------------------------------------------------------------------

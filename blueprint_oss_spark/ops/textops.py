@@ -11,7 +11,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from blueprint_oss_spark.ops.common import spread_small_scan
+from blueprint_oss_spark.ops.common import presented, spread_small_scan
 
 STOPWORDS_EN = ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'for',
                 'on', 'with', 'as', 'at', 'by')
@@ -353,6 +353,7 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
                      n_hashes: int = 16, shingle: int = 3,
                      bands: int = 4,
                      max_bucket_size: int = 0,
+                     sort: bool = True,
                      docs: DataFrame = None) -> DataFrame:
   """MinHash + LSH banding near-dup candidates, entirely with built-ins:
   token shingles → xxhash64 per permutation (hash-xor trick) → band
@@ -419,9 +420,8 @@ def minhash_shingles(spark: SparkSession, sf_dir: str, *,
       'flatten(transform(ids, (a, i) -> '
       'transform(slice(ids, i + 2, size(ids)), '
       'b -> struct(a AS doc_a, b AS doc_b))))')).alias('p'))
-  return (pairs.select('p.doc_a', 'p.doc_b')
-          .distinct()
-          .orderBy('doc_a', 'doc_b'))
+  return presented(pairs.select('p.doc_a', 'p.doc_b').distinct(),
+                   'doc_a', 'doc_b', sort=sort)
 
 
 def minhash_calibration(spark: SparkSession, sf_dir: str, *,
@@ -556,7 +556,8 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
                  edge_source: str = 'jaccard',
                  docs: DataFrame = None,
                  edges: DataFrame = None,
-                 max_bucket_size: int = 0) -> DataFrame:
+                 max_bucket_size: int = 0,
+                 sort: bool = True) -> DataFrame:
   """Near-dup dedup GROUPS: exact n-gram-Jaccard candidate pairs →
   connected components (alternating large-star/small-star, see
   ops/graph.py) → one row per document with its group representative
@@ -598,18 +599,20 @@ def dedup_groups(spark: SparkSession, sf_dir: str, *,
                      F.coalesce('component', 'doc_id').alias('group_id')))
   sizes = labeled.groupBy('group_id') \
       .agg(F.count(F.lit(1)).alias('group_size'))
-  return (labeled.join(sizes, 'group_id')
-          .select('doc_id', 'group_id', 'group_size',
-                  (F.col('doc_id') == F.col('group_id'))
-                  .cast('int').alias('is_keeper'))
-          .orderBy('doc_id'))
+  return presented(
+      labeled.join(sizes, 'group_id')
+      .select('doc_id', 'group_id', 'group_size',
+              (F.col('doc_id') == F.col('group_id'))
+              .cast('int').alias('is_keeper')),
+      'doc_id', sort=sort)
 
 
 def dedup_decision_report(spark: SparkSession, sf_dir: str, *,
                           jaccard_shingle: int = 3,
                           jaccard_threshold: float = 0.8,
                           sim_max_hamming: int = 3,
-                          sem_threshold: float = 0.9) -> DataFrame:
+                          sem_threshold: float = 0.9,
+                          sort: bool = True) -> DataFrame:
   """Multi-signal dedup DECISION table — the Dolma-style composition
   (Soldaini et al. 2024: per-doc attribute files composed into one
   keep/drop mixer decision): every dedup family's verdict lands as a
@@ -652,20 +655,22 @@ def dedup_decision_report(spark: SparkSession, sf_dir: str, *,
         .select('doc_id', (F.col('doc_id') == F.col('k'))
                 .cast('int').alias('exact_keep')))
 
+  # component operators feed joins — their own presentation sorts
+  # would be dead range exchanges here, so they run unsorted
   jac = (dedup_groups(spark, sf_dir, shingle=jaccard_shingle,
-                      threshold=jaccard_threshold)
+                      threshold=jaccard_threshold, sort=False)
          .select('doc_id', F.col('group_id').alias('jac_group'),
                  F.col('is_keeper').cast('int').alias('jac_keep')))
 
   sp = simhash_near_dup_pairs(
-      spark, sf_dir, max_hamming=sim_max_hamming).select('doc_a',
-                                                         'doc_b')
+      spark, sf_dir, max_hamming=sim_max_hamming,
+      sort=False).select('doc_a', 'doc_b')
   scomp = connected_components(sp, 'doc_a', 'doc_b') \
       .select(F.col('node').alias('doc_id'),
               F.col('component').alias('sim_group'))
 
   sem = (semantic_dedup(spark, sf_dir, threshold=sem_threshold,
-                        plant_for_verification=True)
+                        plant_for_verification=True, sort=False)
          .select(F.col('vec_id').alias('doc_id'),
                  F.col('keep').cast('int').alias('sem_keep')))
 
@@ -689,7 +694,7 @@ def dedup_decision_report(spark: SparkSession, sf_dir: str, *,
              F.coalesce('sem_keep', F.lit(1)).alias('sem_keep')))
   n_keep = (F.col('exact_keep') + F.col('jac_keep')
             + F.col('sim_keep') + F.col('sem_keep'))
-  return (rep.select(
+  return presented(rep.select(
       'doc_id', 'planted', 'exact_keep', 'jac_group', 'jac_keep',
       'sim_keep', 'sem_keep',
       (F.lit(4) - n_keep).cast('int').alias('n_drop_signals'),
@@ -698,8 +703,8 @@ def dedup_decision_report(spark: SparkSession, sf_dir: str, *,
       .when(F.col('jac_keep') == 0, F.lit('jaccard'))
       .when(F.col('sim_keep') == 0, F.lit('simhash'))
       .when(F.col('sem_keep') == 0, F.lit('semantic'))
-      .otherwise(F.lit('')).alias('drop_reason'))
-      .orderBy('doc_id'))
+      .otherwise(F.lit('')).alias('drop_reason')),
+      'doc_id', sort=sort)
 
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,7 +783,8 @@ def _simhash_block_keys(bands: int, key_blocks: int, max_hamming: int):
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
                            max_hamming: int = 3,
                            bands: int = 4,
-                           key_blocks: int = 1) -> DataFrame:
+                           key_blocks: int = 1,
+                           sort: bool = True) -> DataFrame:
   """Near-dup pairs by SimHash hamming distance, banded (Manku et al.,
   WWW 2007 — the web-scale simhash dedup construction).
 
@@ -813,12 +819,13 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str, *,
   b = banded.select(F.col('doc_id').alias('doc_b'),
                     F.col('simhash').alias('h_b'), 'band')
   ham = F.bit_count(F.col('h_a').bitwiseXOR(F.col('h_b')))
-  return (a.join(b, ['band'])
-          .where(F.col('doc_a') < F.col('doc_b'))
-          .where(ham <= max_hamming)
-          .select('doc_a', 'doc_b', ham.cast('int').alias('hamming'))
-          .distinct()
-          .orderBy('doc_a', 'doc_b'))
+  return presented(
+      a.join(b, ['band'])
+      .where(F.col('doc_a') < F.col('doc_b'))
+      .where(ham <= max_hamming)
+      .select('doc_a', 'doc_b', ham.cast('int').alias('hamming'))
+      .distinct(),
+      'doc_a', 'doc_b', sort=sort)
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, *,
@@ -863,6 +870,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                         shingle: int = 3,
                         threshold: float = 0.8,
                         max_shingle_df: int = 0,
+                        sort: bool = True,
                         docs: DataFrame = None) -> DataFrame:
   """Exact n-gram Jaccard near-dup pairs above a threshold, via a
   shingle-inverted-index join (prefix-blocked to avoid the full cross
@@ -915,13 +923,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, *,
                     F.col('n').alias('n_a'))
   sb = sizes.select(F.col('doc_id').alias('doc_b'),
                     F.col('n').alias('n_b'))
-  return (inter.join(sa, 'doc_a').join(sb, 'doc_b')
-          .withColumn('jaccard',
-                      F.col('n_common')
-                      / (F.col('n_a') + F.col('n_b') - F.col('n_common')))
-          .where(F.col('jaccard') >= threshold)
-          .select('doc_a', 'doc_b', 'n_common', 'n_a', 'n_b')
-          .orderBy('doc_a', 'doc_b'))
+  return presented(
+      inter.join(sa, 'doc_a').join(sb, 'doc_b')
+      .withColumn('jaccard',
+                  F.col('n_common')
+                  / (F.col('n_a') + F.col('n_b') - F.col('n_common')))
+      .where(F.col('jaccard') >= threshold)
+      .select('doc_a', 'doc_b', 'n_common', 'n_a', 'n_b'),
+      'doc_a', 'doc_b', sort=sort)
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +987,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pack_sequences(spark: SparkSession, sf_dir: str, *,
                    max_tokens: int = 256, shards: int = 8,
+                   sort: bool = True,
                    docs: DataFrame = None) -> DataFrame:
   """GPT-style sequence packing (concat-and-chunk): documents are
   concatenated in deterministic order and chunked into fixed
@@ -1010,7 +1020,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
   # stage cum as ONE column first — referencing the window expression
   # from two derived columns left two stacked Window nodes (two full
   # per-shard sort passes) in the physical plan
-  return (sized
+  return presented(sized
           .withColumn('cum', F.sum('n_tokens').over(w))
           .withColumn('tokens_before', F.col('cum') - F.col('n_tokens'))
           .withColumn('chunk_first',
@@ -1023,8 +1033,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str, *,
           .withColumn('n_chunks',
                       F.col('chunk_last') - F.col('chunk_first') + 1)
           .select('doc_id', 'shard', 'n_tokens', 'tokens_before',
-                  'chunk_first', 'chunk_last', 'n_chunks')
-          .orderBy('doc_id'))
+                  'chunk_first', 'chunk_last', 'n_chunks'),
+      'doc_id', sort=sort)
 
 
 def sequence_segments(spark: SparkSession, sf_dir: str, *,
@@ -1095,6 +1105,7 @@ def pack_interleaved_sequences(spark: SparkSession, sf_dir: str, *,
                                max_tokens: int = 256,
                                media_token_cost: int = 64,
                                shards: int = 8,
+                               sort: bool = True,
                                spans: DataFrame = None) -> DataFrame:
   """Multimodal sequence packing over the north-rule pipeline's
   interleaved output — pack_sequences' concat-and-chunk contract
@@ -1155,7 +1166,7 @@ def pack_interleaved_sequences(spark: SparkSession, sf_dir: str, *,
   # stage cum as ONE column first: referencing the window expression
   # from several derived columns leaves two stacked Window nodes in
   # the physical plan (CollapseWindow does not merge them here)
-  return (sized
+  return presented(sized
           .withColumn('cum', F.sum('n_tokens').over(w))
           .withColumn('tokens_before', F.col('cum') - F.col('n_tokens'))
           .withColumn('chunk_first',
@@ -1169,8 +1180,8 @@ def pack_interleaved_sequences(spark: SparkSession, sf_dir: str, *,
                       F.col('chunk_last') - F.col('chunk_first') + 1)
           .select('doc_id', 'order', 'kind', 'media_ref', 'n_tokens',
                   'shard', 'tokens_before', 'chunk_first',
-                  'chunk_last', 'n_chunks')
-          .orderBy('doc_id', 'order'))
+                  'chunk_last', 'n_chunks'),
+      'doc_id', 'order', sort=sort)
 
 
 def count_min_terms(spark: SparkSession, sf_dir: str, *,
@@ -1632,6 +1643,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str, *,
 def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
                             n: int = 10, min_count: int = 2,
                             min_run_tokens: int = None,
+                            sort: bool = True,
                             docs: DataFrame = None) -> DataFrame:
   """Exact substring deduplication (Lee et al. 2022, "Deduplicating
   Training Data Makes Language Models Better", arXiv:2107.06499 §3.1
@@ -1685,7 +1697,8 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str, *,
          .select('gram'))
 
   return strip_covered_tokens(base, occ, dup, n,
-                              min_run_tokens=min_run_tokens)
+                              min_run_tokens=min_run_tokens,
+                              sort=sort)
 
 
 def gram_occurrences(d: DataFrame, n: int):
@@ -1710,7 +1723,8 @@ def gram_occurrences(d: DataFrame, n: int):
 
 def strip_covered_tokens(base: DataFrame, occ: DataFrame,
                          bad: DataFrame, n: int, *,
-                         min_run_tokens: int = None) -> DataFrame:
+                         min_run_tokens: int = None,
+                         sort: bool = True) -> DataFrame:
   """Remove every token covered by an occurrence of a gram in `bad`
   (a one-column 'gram' dimension) and re-join survivors in order:
   (doc_id, clean_text, n_tokens, n_removed) for every doc in base.
@@ -1750,15 +1764,16 @@ def strip_covered_tokens(base: DataFrame, occ: DataFrame,
                   F.count('*').cast('long').alias('n_kept')))
 
   stats = base.select('doc_id', F.size('w').cast('long').alias('n_tokens'))
-  return (stats
-          .join(rebuilt, 'doc_id', 'left')
-          .select('doc_id',
-                  F.coalesce('clean_text', F.lit('')).alias('clean_text'),
-                  'n_tokens',
-                  (F.col('n_tokens')
-                   - F.coalesce('n_kept', F.lit(0)).cast('long'))
-                  .alias('n_removed'))
-          .orderBy('doc_id'))
+  return presented(
+      stats
+      .join(rebuilt, 'doc_id', 'left')
+      .select('doc_id',
+              F.coalesce('clean_text', F.lit('')).alias('clean_text'),
+              'n_tokens',
+              (F.col('n_tokens')
+               - F.coalesce('n_kept', F.lit(0)).cast('long'))
+              .alias('n_removed')),
+      'doc_id', sort=sort)
 
 
 def bpe_train(spark: SparkSession, sf_dir: str, *,

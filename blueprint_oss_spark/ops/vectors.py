@@ -435,7 +435,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, *,
                    max_bucket_size: int = 0,
                    plant_for_verification: bool = False,
                    n_planted: int = 40,
-                   plant_eps: float = 0.01) -> DataFrame:
+                   plant_eps: float = 0.01,
+                   sort: bool = True) -> DataFrame:
   """SemDeDup-style semantic deduplication (Abbas et al. 2023,
   arXiv:2303.09540): spherical k-means clusters the embedding space,
   exact pairwise cosine runs ONLY within each cluster, pairs above
@@ -517,13 +518,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str, *,
 
   from blueprint_oss_spark.ops.graph import connected_components
   comp = connected_components(edges, 'vec_a', 'vec_b')
-  return (u.select('vec_id')
-          .join(comp, u['vec_id'] == comp['node'], 'left')
-          .select('vec_id',
-                  F.coalesce('component', 'vec_id').alias('group'))
-          .withColumn('keep',
-                      (F.col('vec_id') == F.col('group')).cast('int'))
-          .orderBy('vec_id'))
+  out = (u.select('vec_id')
+         .join(comp, u['vec_id'] == comp['node'], 'left')
+         .select('vec_id',
+                 F.coalesce('component', 'vec_id').alias('group'))
+         .withColumn('keep',
+                     (F.col('vec_id') == F.col('group')).cast('int')))
+  return out.orderBy('vec_id') if sort else out
 
 
 def semantic_decontaminate(spark: SparkSession, sf_dir: str, *,
