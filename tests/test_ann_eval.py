@@ -146,3 +146,25 @@ def test_materialized_equals_lazy(spark, got):
   lazy = {r['q_id']: (r['n_gt'], r['n_ann'], r['n_hit'], r['nn_rank'])
           for r in V.ann_eval(spark, SF1, materialize=False).collect()}
   assert lazy == got
+
+
+def test_recall_speed_dial_monotone(spark):
+  """The recall/speed dial the low headline recall points at: holding
+  n_planes=8, widening the banding (1 -> 2 -> 4 bands = 8/4/2-bit
+  bucket keys, more multi-probe collisions) must raise total recall
+  monotonically, and each configuration must still match the python
+  replica exactly — the index is tunably-approximate, not broken."""
+  totals = []
+  for bands in (1, 2, 4):
+    got = {r['q_id']: tuple(r)[1:]
+           for r in V.ann_eval(spark, SF1, bands=bands).collect()}
+    exp = _replica(SF1, bands=bands)
+    assert got == exp, f'bands={bands}'
+    n_gt = sum(v[0] for v in got.values())
+    n_hit = sum(v[2] for v in got.values())
+    totals.append((bands, n_hit, n_gt))
+  assert totals[0][2] == totals[1][2] == totals[2][2]
+  assert totals[0][1] <= totals[1][1] <= totals[2][1]
+  # the widest config must be a substantial improvement over the
+  # narrowest, or the dial is dead
+  assert totals[2][1] > totals[0][1]
