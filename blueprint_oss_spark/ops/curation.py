@@ -318,6 +318,8 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str, *,
 
 def decontaminate_spans(spark: SparkSession, sf_dir: str, *,
                         n: int = 8, eval_mod: int = 4,
+                        min_run_tokens: int = None,
+                        sort: bool = True,
                         eval_texts: DataFrame | None = None,
                         docs: DataFrame | None = None) -> DataFrame:
   """Span-level decontamination — the surgical third option next to
@@ -338,6 +340,10 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str, *,
   duplicated-gram dimension replaced by the DISTINCT eval gram set,
   which is broadcast exactly like `decontaminate`'s (swap in the
   bloom bitmap upstream when the eval side outgrows a broadcast).
+  `min_run_tokens` applies the same Lee-et-al length-threshold run
+  merge as remove_duplicated_spans: only maximal covered runs of at
+  least that many tokens are removed (None = every covered token,
+  the aggressive default).
   Gram convention: BOTH sides use gram_occurrences' raw
   space-split tokens (the removal must splice the original token
   stream back together, so no lower/trim normalization — unlike
@@ -358,7 +364,9 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str, *,
   ev_grams = ev_occ.select('gram').distinct()
 
   base, occ = gram_occurrences(train, n)
-  return strip_covered_tokens(base, occ, F.broadcast(ev_grams), n)
+  return strip_covered_tokens(base, occ, F.broadcast(ev_grams), n,
+                              min_run_tokens=min_run_tokens,
+                              sort=sort)
 
 
 def quality_classifier(spark: SparkSession, sf_dir: str, *,

@@ -109,3 +109,36 @@ def test_explicit_eval_texts(spark):
       on='doc_id')
   long_docs = self_hit[self_hit['n_tokens'] >= 8]
   assert (long_docs['n_removed'] == long_docs['n_tokens']).all()
+
+
+def test_min_run_tokens_threshold(spark, tmp_path):
+  """Length-threshold mode (the remove_duplicated_spans round-5
+  mechanism on the eval-gram surgeon): an 8-token covered run survives
+  min_run_tokens=10 but a 16-token run (two adjacent quoted eval
+  grams) is stripped."""
+  ev1 = 'alpha bravo charlie delta echo foxtrot golf hotel'
+  ev2 = 'india juliet kilo lima mike november oscar papa'
+  rows = [
+      (4, f'{ev1} {ev2} extra tail', 'en', 's', 0),            # eval
+      (1, f'aa {ev1} bb cc dd ee ff gg hh ii', 'en', 's', 0),  # 8-run
+      (2, f'aa {ev1} {ev2} bb', 'en', 's', 0),                 # 16-run
+  ]
+  df = spark.createDataFrame(
+      rows, 'doc_id long, text string, lang string, source string, '
+            'n_chars long')
+  df.write.parquet(str(tmp_path / 'documents.parquet'))
+  out = {r['doc_id']: r for r in
+         C.decontaminate_spans(spark, str(tmp_path),
+                               min_run_tokens=10).collect()}
+  # doc 1's 8-token covered run is UNDER the threshold -> kept whole
+  assert out[1]['n_removed'] == 0
+  assert out[1]['clean_text'].startswith(f'aa {ev1} bb')
+  # doc 2's contiguous 16-token covered run crosses it -> stripped.
+  # (ev1's last 7 tokens + ev2's first 7 also form covering grams, so
+  # the run is exactly the 16 quoted tokens)
+  assert out[2]['n_removed'] == 16
+  assert out[2]['clean_text'] == 'aa bb'
+  # default (None) strips both, unchanged behavior
+  out0 = {r['doc_id']: r for r in
+          C.decontaminate_spans(spark, str(tmp_path)).collect()}
+  assert out0[1]['n_removed'] == 8 and out0[2]['n_removed'] == 16
