@@ -85,6 +85,13 @@ def main() -> None:
   print('=== TABLE PROFILE ===')
   P.table_profile(spark, '/root/testdata/sf0.001') \
       .explain('formatted')
+  print('=== TRAINED LANG-ID (broadcast NB model, pinned fold) ===')
+  T.lang_id_trained(spark, '/root/testdata/sf0.001') \
+      .explain('formatted')
+  print('=== DEDUP DECISION REPORT (4-signal composition, '
+        'unsorted component inputs) ===')
+  T.dedup_decision_report(spark, '/root/testdata/sf0.001',
+                          sort=False).explain('formatted')
   spark.stop()
 
 
